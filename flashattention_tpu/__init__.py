@@ -1,0 +1,27 @@
+"""flashattention_tpu — a TPU-native flash-attention engine.
+
+Brand-new JAX/Pallas implementation of the capabilities of
+kilianhae/FlashAttention.C (see SURVEY.md for the component-by-component map),
+generalized into a production attention stack: fused prefill/decode kernels,
+quantized paged KV-cache, continuous batching, and mesh-parallel / ring
+attention.
+"""
+
+from flashattention_tpu.ops.dispatch import attention, sdpa
+from flashattention_tpu.ops.flash import BlockSizes, flash_attention, flash_attention_naive
+from flashattention_tpu.ops.reference import (
+    attention_reference,
+    attention_reference_with_stats,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "attention",
+    "sdpa",
+    "BlockSizes",
+    "flash_attention",
+    "flash_attention_naive",
+    "attention_reference",
+    "attention_reference_with_stats",
+]

@@ -1,0 +1,438 @@
+"""Core Pallas TPU flash-attention forward kernels.
+
+TPU-native redesign of the reference's fused CUDA kernels:
+
+- ``flash_attention`` is the tuned flagship kernel, the MXU/VMEM analog of the
+  thread-coarsened SMEM/register kernel ``flash_tiled_coarse``
+  (``/root/reference/src/flashattention.cu:139-355``) and its causal twin
+  ``flash_tiled_coarse_causal`` (``:359-579``).  The reference's two-level
+  tiling hierarchy (SMEM block tile -> per-thread TM x TN register tile) maps to
+  (HBM -> VMEM block tile via BlockSpec pipelining -> MXU 128x128 systolic tile
+  via ``jnp.dot``); its B_r/B_c block sizes map to ``block_q``/``block_kv``;
+  its ``CACHE_Q`` residency policy maps to the Q BlockSpec being invariant
+  across the KV grid dimension (Pallas keeps the tile resident in VMEM).
+- The causal path implements both reference optimizations: whole-KV-block skip
+  above the diagonal (``src/flashattention.cu:434``) via ``pl.when`` on the
+  grid step, and elementwise masking of the diagonal block
+  (``src/flashattention.cu:480-486``) via a broadcasted-iota mask.
+- Unlike the reference (which allocates an ``O_l`` output but never writes it,
+  ``src/flashattention.cu:608-609``), the softmax statistics (l, m) are
+  first-class outputs (``save_residuals=True``) because they are the
+  cross-device ring-attention combiner state and the backward-pass residuals.
+
+Numerics: QK^T and PV accumulate in float32 (``preferred_element_type``) with
+float32 (m, l, acc) state, matching the reference's fp32-throughout behavior
+while allowing bf16 inputs on the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
+
+__all__ = ["BlockSizes", "flash_attention", "flash_attention_naive"]
+
+NUM_LANES = 128
+MIN_BLOCK = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSizes:
+    """Tunable kernel config space.
+
+    TPU analog of the reference's compile-time macro space
+    ``d/B_r/B_c/BK/TM/TN/CACHE_Q`` (``src/flashattention.cu:15-24``):
+
+    - ``block_q``   ~ B_r (rows of Q per grid step)
+    - ``block_kv``  ~ B_c scaled to the MXU (KV rows loaded from HBM per step)
+    - ``block_kv_compute`` ~ BK-style inner tile: KV rows per MXU matmul;
+      must divide ``block_kv``.  Controls the VMEM footprint of the scores
+      tile independently of HBM transfer granularity.
+    """
+
+    block_q: int = 256
+    block_kv: int = 512
+    block_kv_compute: int = 256
+
+    def __post_init__(self):
+        if self.block_kv % self.block_kv_compute != 0:
+            raise ValueError(
+                f"block_kv ({self.block_kv}) must be a multiple of "
+                f"block_kv_compute ({self.block_kv_compute})"
+            )
+        for name in ("block_q", "block_kv", "block_kv_compute"):
+            val = getattr(self, name)
+            if val % MIN_BLOCK != 0:
+                raise ValueError(f"{name} ({val}) must be a multiple of {MIN_BLOCK}")
+
+    @classmethod
+    def fit(cls, s_q: int, s_kv: int, head_dim: int) -> "BlockSizes":
+        """Pick defaults that divide the (padded) problem and fit VMEM."""
+        del head_dim
+        block_q = min(256, max(MIN_BLOCK, _round_up(s_q, MIN_BLOCK)))
+        while s_q % block_q and block_q > MIN_BLOCK:
+            block_q //= 2
+        block_kv = min(512, max(MIN_BLOCK, _round_up(s_kv, MIN_BLOCK)))
+        while s_kv % block_kv and block_kv > MIN_BLOCK:
+            block_kv //= 2
+        block_kv_compute = min(block_kv, 256)
+        while block_kv % block_kv_compute and block_kv_compute > MIN_BLOCK:
+            block_kv_compute //= 2
+        return cls(block_q, block_kv, block_kv_compute)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _mm_precision(dtype) -> jax.lax.Precision:
+    # fp32 inputs need HIGHEST (multi-pass MXU) to hit the reference's 1e-4
+    # fp32 tolerance; bf16 inputs run the MXU natively at full rate.
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def _kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    *rest,
+    causal: bool,
+    scale: float,
+    block_kv_compute: int,
+    kv_len: int,
+    q_offset: int,
+    num_kv_blocks: int,
+    save_residuals: bool,
+):
+    if save_residuals:
+        l_ref, m_ref, m_scratch, l_scratch, acc_scratch = rest
+    else:
+        m_scratch, l_scratch, acc_scratch = rest
+    """Grid = (batch*heads, num_q_blocks, num_kv_blocks); kv dim is sequential.
+
+    Per grid step: one (block_q, d) Q tile against one (block_kv, d) K/V tile,
+    with the online-softmax state (m, l, acc) carried in VMEM scratch across
+    the kv dimension — the same loop body as the reference's per-KV-block
+    iteration (``src/flashattention.cu:214-342``), with the MXU playing the
+    role of the TM x TN register tiles.
+    """
+    q_idx = pl.program_id(1)
+    kv_idx = pl.program_id(2)
+    block_q = q_ref.shape[1]
+    block_kv = k_ref.shape[1]
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    if causal:
+        # Run only if some element of this tile is at/below the diagonal:
+        # last q row of the tile >= first kv col of the tile.
+        # (block-skip ~ src/flashattention.cu:434)
+        should_run = (q_offset + (q_idx + 1) * block_q - 1) >= (kv_idx * block_kv)
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0]  # (block_q, d)
+        for start in range(0, block_kv, block_kv_compute):
+            k = k_ref[0, start : start + block_kv_compute, :]
+            s = jax.lax.dot_general(
+                q,
+                k,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_mm_precision(q.dtype),
+            )  # (block_q, block_kv_compute)
+            if scale != 1.0:
+                s = s * scale
+
+            kv_start = kv_idx * block_kv + start
+            mask = None
+            if causal:
+                # Elementwise diagonal-block mask (~ src/flashattention.cu:478-487).
+                # Applied on every surviving tile: grid ids are traced, so the
+                # "tile fully below diagonal" shortcut can't be decided at trace
+                # time; the iota+select is cheap VPU work hidden under the MXU.
+                row_ids = (
+                    q_offset
+                    + q_idx * block_q
+                    + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                )
+                col_ids = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                mask = col_ids <= row_ids
+            if kv_len is not None:
+                col_ids = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                len_mask = col_ids < kv_len
+                mask = len_mask if mask is None else (mask & len_mask)
+            if mask is not None:
+                s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+
+            m_prev = m_scratch[:, 0:1]  # (block_q, 1) replicated state
+            l_prev = l_scratch[:, 0:1]
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)  # rescale of old state
+            p = jnp.exp(s - m_next)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+
+            m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+            l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+
+            v = v_ref[0, start : start + block_kv_compute, :]
+            pv = jax.lax.dot(
+                p.astype(v.dtype),
+                v,
+                preferred_element_type=jnp.float32,
+                precision=_mm_precision(v.dtype),
+            )
+            # Unnormalized accumulator; rescale old contribution by alpha and
+            # divide by l once in the epilogue (~ src/flashattention.cu:346-354).
+            acc_scratch[...] = acc_scratch[...] * alpha + pv
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _epilogue():
+        l = l_scratch[:, 0:1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        if save_residuals:
+            l_ref[0] = l_scratch[...].astype(l_ref.dtype)
+            m_ref[0] = m_scratch[...].astype(m_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal",
+        "scale",
+        "block_sizes",
+        "kv_len",
+        "q_offset",
+        "save_residuals",
+        "interpret",
+    ),
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    scale: float = 1.0,
+    block_sizes: BlockSizes | None = None,
+    kv_len: int | None = None,
+    q_offset: int = 0,
+    save_residuals: bool = False,
+    interpret: bool | None = None,
+) -> Any:
+    """Fused flash attention forward on (BH, S, d) tensors.
+
+    Low-level entry: expects batch/head already folded (the reference's caller
+    convention, ``bench_flashattention.py:31-33``) and sequence lengths already
+    padded to multiples of the block sizes (use :mod:`ops.dispatch` for the
+    padded/shape-polymorphic public API).
+
+    Args:
+      q: (BH, S_q, d); k, v: (BH, S_kv, d).
+      causal: causal masking with query i at absolute position ``q_offset + i``.
+      scale: score scale; 1.0 is reference-parity (``src/flashattention.cu:586``),
+        pass ``d**-0.5`` for standard SDPA.
+      kv_len: mask KV columns >= kv_len (ragged-tail support).
+      save_residuals: also return (l, m) in float32, each (BH, S_q).
+      interpret: run the Pallas interpreter (auto-on when not on TPU, so the
+        same code path is testable on CPU meshes).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    bh, s_q, d = q.shape
+    _, s_kv, dk = k.shape
+    if k.shape != v.shape:
+        raise ValueError(f"k/v shape mismatch: {k.shape} vs {v.shape}")
+    if dk != d:
+        raise ValueError(f"q/k head_dim mismatch: {d} vs {dk}")
+
+    if block_sizes is None:
+        block_sizes = BlockSizes.fit(s_q, s_kv, d)
+    bq, bkv = block_sizes.block_q, block_sizes.block_kv
+    if s_q % bq or s_kv % bkv:
+        raise ValueError(
+            f"sequence lengths ({s_q}, {s_kv}) must be multiples of block sizes "
+            f"({bq}, {bkv}); use ops.dispatch.attention for automatic padding"
+        )
+
+    num_q_blocks = s_q // bq
+    num_kv_blocks = s_kv // bkv
+    grid = (bh, num_q_blocks, num_kv_blocks)
+
+    kernel = functools.partial(
+        _kernel,
+        causal=causal,
+        scale=scale,
+        block_kv_compute=block_sizes.block_kv_compute,
+        kv_len=kv_len,
+        q_offset=q_offset,
+        num_kv_blocks=num_kv_blocks,
+        save_residuals=save_residuals,
+    )
+
+    out_shape = [jax.ShapeDtypeStruct((bh, s_q, d), q.dtype)]  # o
+    out_specs = [pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0))]
+    if save_residuals:
+        # l/m replicated over 128 lanes: a lane-aligned layout the epilogue can
+        # store without a cross-lane transpose; sliced to (BH, S_q) below.
+        out_shape += [
+            jax.ShapeDtypeStruct((bh, s_q, NUM_LANES), jnp.float32),  # l
+            jax.ShapeDtypeStruct((bh, s_q, NUM_LANES), jnp.float32),  # m
+        ]
+        out_specs += [
+            pl.BlockSpec((1, bq, NUM_LANES), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, NUM_LANES), lambda b, i, j: (b, i, 0)),
+        ]
+    in_specs = [
+        pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),  # q: kv-invariant
+        pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),  # k
+        pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),  # v
+    ]
+
+    # FLOPs: 2*S_q*S_kv*d for QK^T + 2*S_q*S_kv*d for PV, per batch*head.
+    flops = 4 * bh * s_q * s_kv * d
+    if causal:
+        flops //= 2
+    bytes_accessed = (
+        q.size * q.dtype.itemsize
+        + k.size * k.dtype.itemsize
+        + v.size * v.dtype.itemsize
+        + q.size * q.dtype.itemsize
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((bq, NUM_LANES), jnp.float32),  # m
+            pltpu.VMEM((bq, NUM_LANES), jnp.float32),  # l
+            pltpu.VMEM((bq, d), jnp.float32),  # acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=bytes_accessed,
+            transcendentals=bh * s_q * s_kv,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+    if save_residuals:
+        o, l, m = outs
+        return o, l[..., 0], m[..., 0]
+    return outs[0]
+
+
+def _naive_kernel(q_ref, k_ref, v_ref, o_ref, *, causal, scale, kv_len, q_offset):
+    """Whole-row kernel: one Q block vs the full KV sequence, dense softmax.
+
+    The TPU analog of the reference's naive tiled kernel ``flash_tiled``
+    (``src/flashattention.cu:26-136``): simple, obviously-correct, used to
+    cross-check the tuned kernel (SURVEY.md 2.1).  Materializes a
+    (block_q, S_kv) score stripe in VMEM, so only valid for moderate S_kv.
+    """
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q,
+        k,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if scale != 1.0:
+        s = s * scale
+    mask = None
+    if causal:
+        q_idx = pl.program_id(1)
+        block_q = q_ref.shape[1]
+        row_ids = q_offset + q_idx * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 0
+        )
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = col_ids <= row_ids
+    if kv_len is not None and kv_len < s.shape[1]:
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        len_mask = col_ids < kv_len
+        mask = len_mask if mask is None else (mask & len_mask)
+    if mask is not None:
+        s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    v = v_ref[0].astype(jnp.float32)
+    o = jax.lax.dot(
+        p, v, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "scale", "block_q", "kv_len", "q_offset", "interpret"),
+)
+def flash_attention_naive(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    scale: float = 1.0,
+    block_q: int = 128,
+    kv_len: int | None = None,
+    q_offset: int = 0,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Naive Pallas attention (full-KV stripe per Q block); see _naive_kernel."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bh, s_q, d = q.shape
+    _, s_kv, _ = k.shape
+    if s_q % block_q:
+        raise ValueError(f"s_q ({s_q}) must be a multiple of block_q ({block_q})")
+
+    kernel = functools.partial(
+        _naive_kernel, causal=causal, scale=scale, kv_len=kv_len, q_offset=q_offset
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(bh, s_q // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, s_kv, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, s_kv, d), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(q, k, v)

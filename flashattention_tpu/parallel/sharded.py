@@ -1,0 +1,147 @@
+"""Mesh-sharded attention wrappers: DP over batch, TP over heads, CP variants.
+
+The reference has *no* cross-device parallelism (SURVEY.md 2.15/2.16: its only
+"backend" is cudaMemcpy + cudaDeviceSynchronize; heads are folded into batch
+by the caller).  Here the same fold becomes mesh sharding: the (B*H) leading
+dim shards over data/model axes with zero communication during attention
+(each chip runs the single-chip Pallas kernel on its slice), and long
+sequences shard over a sequence axis via either KV all-gather or ring
+attention (:mod:`flashattention_tpu.parallel.ring`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flashattention_tpu.ops.flash import BlockSizes, flash_attention
+from flashattention_tpu.parallel.ring import merge_partials
+
+__all__ = [
+    "make_data_parallel_attention",
+    "make_allgather_cp_attention",
+    "make_reduce_cp_attention",
+]
+
+
+def make_data_parallel_attention(
+    mesh: Mesh,
+    *,
+    axes=("dp",),
+    causal: bool = False,
+    scale: float = 1.0,
+    block_sizes: BlockSizes | None = None,
+    interpret: bool | None = None,
+):
+    """Batch(+head) parallel attention: (BH, S, d) with BH sharded over axes.
+
+    DP over batch and TP over heads are the same sharding once heads are
+    folded (the reference's caller convention, bench_flashattention.py:31-33):
+    no communication during attention at all.
+    """
+    spec = P(axes, None, None)
+
+    def local(q, k, v):
+        return flash_attention(
+            q,
+            k,
+            v,
+            causal=causal,
+            scale=scale,
+            block_sizes=block_sizes,
+            interpret=interpret,
+        )
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def make_allgather_cp_attention(
+    mesh: Mesh,
+    *,
+    axis_name: str = "sp",
+    causal: bool = False,
+    scale: float = 1.0,
+    block_sizes: BlockSizes | None = None,
+    interpret: bool | None = None,
+):
+    """Context parallelism, all-gather flavor: Q and KV sharded on S; each chip
+    all-gathers the full KV then runs the local kernel on its Q shard.
+
+    Simpler than ring attention, costs O(S * d) ICI bytes up front with no
+    compute overlap; the right choice for short-to-moderate S.
+    """
+    axis_size = mesh.shape[axis_name]
+    spec = P(None, axis_name, None)
+
+    def local(q, k, v):
+        kf = jax.lax.all_gather(k, axis_name, axis=1, tiled=True)
+        vf = jax.lax.all_gather(v, axis_name, axis=1, tiled=True)
+        s_local = q.shape[1]
+        if causal:
+            # Queries of shard i live at global offset i * s_local.
+            idx = jax.lax.axis_index(axis_name)
+            # q_offset must be static for the kernel: branch over shards.
+            branches = [
+                functools.partial(
+                    flash_attention,
+                    causal=True,
+                    scale=scale,
+                    q_offset=i * s_local,
+                    block_sizes=block_sizes,
+                    interpret=interpret,
+                )
+                for i in range(axis_size)
+            ]
+            return jax.lax.switch(idx, branches, q, kf, vf)
+        return flash_attention(
+            q, kf, vf, causal=False, scale=scale,
+            block_sizes=block_sizes, interpret=interpret,
+        )
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def make_reduce_cp_attention(
+    mesh: Mesh,
+    *,
+    axis_name: str = "sp",
+    scale: float = 1.0,
+    block_sizes: BlockSizes | None = None,
+    interpret: bool | None = None,
+):
+    """Context parallelism, reduce flavor (non-causal): Q replicated, KV
+    sharded on S; each chip computes a partial (o, l, m) against its local KV
+    shard and partials merge with the online-softmax combiner via collectives
+    (pmax + psum) — O(d) bytes per query instead of O(S * d).
+    """
+    kv_spec = P(None, axis_name, None)
+    q_spec = P(None, None, None)
+
+    def local(q, k, v):
+        o, l, m = flash_attention(
+            q, k, v, causal=False, scale=scale, save_residuals=True,
+            block_sizes=block_sizes, interpret=interpret,
+        )
+        m_g = jax.lax.pmax(m, axis_name)
+        a = jnp.exp(m - m_g) * l
+        l_g = jax.lax.psum(a, axis_name)
+        o_g = jax.lax.psum(o.astype(jnp.float32) * a[..., None], axis_name)
+        denom = jnp.where(l_g == 0.0, 1.0, l_g)
+        return (o_g / denom[..., None]).astype(q.dtype)
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(q_spec, kv_spec, kv_spec), out_specs=q_spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)

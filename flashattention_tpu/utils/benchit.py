@@ -1,0 +1,125 @@
+"""Device-time benchmarking + roofline accounting.
+
+TPU-native equivalent of the reference's three timing mechanisms
+(SURVEY.md section 5): CUDA-event averaged timing
+(``/root/reference/src/llm.c/common.h:108-124`` ``benchmark_kernel``),
+``gettimeofday`` wall clock (``test.cu:28-32``), and the torch autograd
+profiler tables (``bench_flashattention.py:61-72``).  On TPU the analog is
+wall-clock around ``block_until_ready`` after a warmup/compile run, plus
+roofline math from the known chip specs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+
+__all__ = ["benchmark", "devtime_ms", "BenchResult", "attention_flops", "roofline"]
+
+
+# Peak specs per chip generation (bf16 matmul TFLOP/s, HBM GB/s). Used only
+# for roofline percentage reporting; latency numbers never depend on these.
+CHIP_SPECS = {
+    # name: (bf16_tflops, fp32_tflops_equiv, hbm_gbps)
+    "v5 lite": (197.0, 98.5, 819.0),  # v5e
+    "v5e": (197.0, 98.5, 819.0),
+    "v5p": (459.0, 229.5, 2765.0),
+    "v4": (275.0, 137.5, 1228.0),
+    "v6 lite": (918.0, 459.0, 1640.0),  # trillium
+    "v6e": (918.0, 459.0, 1640.0),
+}
+
+
+@dataclasses.dataclass
+class BenchResult:
+    ms: float            # mean device-step latency (ms)
+    ms_min: float
+    repeats: int
+    flops: float = 0.0   # problem FLOPs (if provided)
+
+    @property
+    def tflops_per_s(self) -> float:
+        return self.flops / (self.ms * 1e-3) / 1e12 if self.flops else 0.0
+
+
+def devtime_ms(fn, args, *, n_lo: int = 1, n_hi: int = 17, trials: int = 5) -> float:
+    """Per-iteration device time of ``fn(*args)`` via a chained-loop slope.
+
+    Robust on tunneled TPU setups where per-call wall clock is dominated by
+    network round trips and ``block_until_ready`` is unreliable: runs
+    ``fn`` chained n times under ONE jit (each iteration's output feeds the
+    next, preventing dedup/overlap), forces a scalar host readback, and takes
+    the min-over-trials slope between two loop lengths.
+
+    ``fn(*args)`` must return something with the shape/dtype of ``args[0]``
+    (or castable to it) so the chain can feed back.
+    """
+    import functools
+
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(args, n):
+        def body(_, x):
+            return fn(x, *args[1:]).astype(args[0].dtype).reshape(args[0].shape)
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, args[0]))
+
+    # Compile both variants before timing.
+    float(loop(args, n_lo))
+    float(loop(args, n_hi))
+    t_lo, t_hi = [], []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        float(loop(args, n_lo))
+        t_lo.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(loop(args, n_hi))
+        t_hi.append(time.perf_counter() - t0)
+    return (min(t_hi) - min(t_lo)) / (n_hi - n_lo) * 1e3
+
+
+def benchmark(fn, *args, repeats: int = 20, warmup: int = 3, flops: float = 0.0) -> BenchResult:
+    """Time ``fn(*args)`` on device (~ benchmark_kernel, common.h:108-124).
+
+    Runs ``warmup`` untimed iterations (first one compiles), then ``repeats``
+    timed iterations each synchronized with ``block_until_ready``.
+    """
+    for _ in range(warmup):
+        out = fn(*args)
+        jax.block_until_ready(out)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    ms = [t * 1e3 for t in times]
+    return BenchResult(
+        ms=sum(ms) / len(ms), ms_min=min(ms), repeats=repeats, flops=flops
+    )
+
+
+def attention_flops(bh: int, s_q: int, s_kv: int, d: int, *, causal: bool = False) -> int:
+    """FLOPs of attention forward: 2 matmuls of 2*S_q*S_kv*d each per (b, h)."""
+    f = 4 * bh * s_q * s_kv * d
+    return f // 2 if causal else f
+
+
+def chip_peak(dtype_bits: int = 16) -> tuple[float, float] | None:
+    """(peak TFLOP/s for the dtype, HBM GB/s) of the local chip, if known."""
+    kind = jax.devices()[0].device_kind.lower()
+    for name, (bf16, fp32, hbm) in CHIP_SPECS.items():
+        if name in kind:
+            return (bf16 if dtype_bits <= 16 else fp32, hbm)
+    return None
+
+
+def roofline(result: BenchResult, *, dtype_bits: int = 16) -> float | None:
+    """Fraction of the chip's matmul roofline achieved (None if chip unknown)."""
+    peak = chip_peak(dtype_bits)
+    if peak is None or not result.flops:
+        return None
+    return result.tflops_per_s / peak[0]

@@ -1,0 +1,51 @@
+"""Block-size tuning sweep for the flash kernel on real TPU hardware.
+
+Run directly on a TPU host: ``python scripts/tune_flash.py``.
+Timing uses a chained fori_loop under one jit with forced host readback and a
+two-point slope, which is robust to the remote-dispatch overhead of tunneled
+TPU setups (plain per-call wall clock is dominated by round trips).
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+
+from flashattention_tpu.ops.flash import BlockSizes, flash_attention
+from flashattention_tpu.utils.benchit import attention_flops, devtime_ms
+from flashattention_tpu.utils.testing import make_random
+
+
+def main():
+    shapes = [(8, 16, 64, 1024), (2, 8, 64, 8192)]
+    dtypes = [jnp.bfloat16, jnp.float32]
+    for (b, h, d, s), dtype in itertools.product(shapes, dtypes):
+        ks = jax.random.split(jax.random.key(0), 3)
+        q, k, v = (make_random(kk, (b * h, s, d), dtype) for kk in ks)
+        fl = attention_flops(b * h, s, s, d)
+        print(f"== B={b} H={h} d={d} S={s} {dtype.__name__} ==")
+        best = None
+        for bq, bkv, bkc in itertools.product(
+            (128, 256, 512), (128, 256, 512, 1024, 2048), (128, 256, 512, 1024, 2048)
+        ):
+            if bkc > bkv or bkv % bkc or bq > s or bkv > s:
+                continue
+            bs = BlockSizes(bq, bkv, bkc)
+            try:
+                ms = devtime_ms(
+                    lambda q, k, v, bs=bs: flash_attention(q, k, v, block_sizes=bs),
+                    (q, k, v),
+                )
+            except Exception as e:  # VMEM OOM etc.
+                print(f"  {bq:4}/{bkv:5}/{bkc:5}: FAIL {type(e).__name__}")
+                continue
+            tag = ""
+            if best is None or ms < best[0]:
+                best = (ms, bs)
+                tag = "  <-- best"
+            print(f"  {bq:4}/{bkv:5}/{bkc:5}: {ms:7.3f} ms  {fl/ms/1e9:6.1f} TF/s{tag}")
+        print(f"  BEST: {best[1]} -> {best[0]:.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

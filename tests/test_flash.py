@@ -1,0 +1,183 @@
+"""L1 differential tests: Pallas flash kernel vs the jnp oracle.
+
+Mirrors the reference's two-oracle strategy (SURVEY.md section 4): the llm.c
+multi-config sweep (``attention_forward.cu:1253-1275``, tol 1e-4 fp32) and the
+public-API randomized gate (``bench_flashattention.py:74``, atol 1e-1).
+Runs in Pallas interpreter mode on CPU; identical code compiles on TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flashattention_tpu.ops.dispatch import attention, sdpa
+from flashattention_tpu.ops.flash import BlockSizes, flash_attention, flash_attention_naive
+from flashattention_tpu.ops.reference import (
+    attention_reference,
+    attention_reference_with_stats,
+)
+from flashattention_tpu.utils.testing import (
+    TOL_BF16,
+    TOL_FP32,
+    make_random,
+    validate_result,
+)
+
+
+def qkv(shape, seed=0, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.key(seed), 3)
+    return tuple(make_random(k, shape, dtype) for k in ks)
+
+
+# ~ llm.c block-size sweep: validate across kernel configs at fp32/1e-4.
+@pytest.mark.parametrize(
+    "blocks",
+    [
+        BlockSizes(128, 128, 128),
+        BlockSizes(128, 256, 128),
+        BlockSizes(256, 256, 256),
+        BlockSizes(128, 512, 256),
+    ],
+)
+@pytest.mark.parametrize("causal", [False, True])
+def test_block_size_sweep(blocks, causal):
+    q, k, v = qkv((2, 512, 64), seed=1)
+    o = flash_attention(q, k, v, causal=causal, block_sizes=blocks)
+    want = attention_reference(q, k, v, causal=causal)
+    validate_result(o, want, TOL_FP32)
+
+
+@pytest.mark.parametrize("d", [32, 64, 128])
+@pytest.mark.parametrize("causal", [False, True])
+def test_head_dims(d, causal):
+    q, k, v = qkv((3, 256, d), seed=2)
+    o = flash_attention(q, k, v, causal=causal, block_sizes=BlockSizes(128, 128, 128))
+    want = attention_reference(q, k, v, causal=causal)
+    validate_result(o, want, TOL_FP32)
+
+
+def test_scale():
+    q, k, v = qkv((2, 256, 64), seed=3)
+    scale = 64**-0.5
+    o = flash_attention(q, k, v, scale=scale, block_sizes=BlockSizes(128, 128, 128))
+    want = attention_reference(q, k, v, scale=scale)
+    validate_result(o, want, TOL_FP32)
+
+
+def test_bf16():
+    q, k, v = qkv((2, 256, 64), seed=4, dtype=jnp.bfloat16)
+    o = flash_attention(q, k, v, causal=True, block_sizes=BlockSizes(128, 128, 128))
+    want = attention_reference(q, k, v, causal=True)
+    validate_result(o, want, TOL_BF16)
+
+
+def test_residuals_match_reference():
+    q, k, v = qkv((2, 256, 32), seed=5)
+    o, l, m = flash_attention(
+        q, k, v, save_residuals=True, block_sizes=BlockSizes(128, 128, 128)
+    )
+    want_o, want_l, want_m = attention_reference_with_stats(q, k, v)
+    validate_result(o, want_o, TOL_FP32)
+    validate_result(m, want_m, TOL_FP32, name="m")
+    # l is sum(exp(s - m)); compare in log space for stability.
+    validate_result(jnp.log(l), jnp.log(want_l), 1e-3, name="log_l")
+
+
+def test_kv_len_ragged_tail():
+    # Padded KV columns must not pollute the softmax (the reference bug the
+    # build consciously fixes; SURVEY.md "behavioral contracts").
+    q, k, v = qkv((2, 128, 64), seed=6)
+    kp = jnp.pad(k, ((0, 0), (0, 128), (0, 0)), constant_values=7.0)
+    vp = jnp.pad(v, ((0, 0), (0, 128), (0, 0)), constant_values=7.0)
+    o = flash_attention(
+        q, kp, vp, kv_len=128, block_sizes=BlockSizes(128, 128, 128)
+    )
+    want = attention_reference(q, k, v)
+    validate_result(o, want, TOL_FP32)
+
+
+def test_cross_attention_shapes():
+    # S_q != S_kv.
+    q = make_random(jax.random.key(20), (2, 128, 64))
+    k = make_random(jax.random.key(21), (2, 384, 64))
+    v = make_random(jax.random.key(22), (2, 384, 64))
+    o = flash_attention(q, k, v, block_sizes=BlockSizes(128, 128, 128))
+    want = attention_reference(q, k, v)
+    validate_result(o, want, TOL_FP32)
+
+
+def test_q_offset_decode_alignment():
+    # Suffix queries against full KV with causal masking (decode convention).
+    q = make_random(jax.random.key(23), (2, 128, 64))
+    k = make_random(jax.random.key(24), (2, 256, 64))
+    v = make_random(jax.random.key(25), (2, 256, 64))
+    o = flash_attention(
+        q, k, v, causal=True, q_offset=128, block_sizes=BlockSizes(128, 128, 128)
+    )
+    want = attention_reference(q, k, v, causal=True, q_offset=128)
+    validate_result(o, want, TOL_FP32)
+
+
+def test_naive_kernel_matches():
+    q, k, v = qkv((2, 256, 64), seed=7)
+    for causal in (False, True):
+        o = flash_attention_naive(q, k, v, causal=causal)
+        want = attention_reference(q, k, v, causal=causal)
+        validate_result(o, want, TOL_FP32)
+
+
+# ── public dispatch API ──────────────────────────────────────────────────────
+
+
+def test_attention_4d_and_3d_agree():
+    b, h, s, d = 2, 3, 128, 32
+    q4 = make_random(jax.random.key(30), (b, h, s, d))
+    k4 = make_random(jax.random.key(31), (b, h, s, d))
+    v4 = make_random(jax.random.key(32), (b, h, s, d))
+    o4 = attention(q4, k4, v4, causal=True)
+    o3 = attention(
+        q4.reshape(b * h, s, d), k4.reshape(b * h, s, d), v4.reshape(b * h, s, d),
+        causal=True,
+    )
+    validate_result(o4, o3.reshape(b, h, s, d), 1e-6)
+    assert o4.shape == (b, h, s, d)
+
+
+@pytest.mark.parametrize("s", [100, 128, 200, 384])
+def test_attention_unaligned_lengths(s):
+    # Public API pads internally; any sequence length must work.
+    q, k, v = qkv((2, s, 64), seed=8)
+    for causal in (False, True):
+        o = attention(q, k, v, causal=causal)
+        want = attention_reference(q, k, v, causal=causal)
+        validate_result(o, want, TOL_FP32)
+
+
+def test_attention_xla_fallback():
+    q, k, v = qkv((2, 100, 64), seed=9)
+    o = attention(q, k, v, causal=True, implementation="xla")
+    want = attention_reference(q, k, v, causal=True)
+    validate_result(o, want, 1e-6)
+
+
+def test_sdpa_applies_scale():
+    q, k, v = qkv((2, 128, 64), seed=10)
+    o = sdpa(q, k, v)
+    want = attention_reference(q, k, v, scale=64**-0.5)
+    validate_result(o, want, TOL_FP32)
+
+
+def test_attention_save_residuals_shape():
+    b, h, s, d = 2, 2, 150, 32
+    q = make_random(jax.random.key(40), (b, h, s, d))
+    k = make_random(jax.random.key(41), (b, h, s, d))
+    v = make_random(jax.random.key(42), (b, h, s, d))
+    o, l, m = attention(q, k, v, causal=True, save_residuals=True)
+    assert o.shape == (b, h, s, d)
+    assert l.shape == (b, h, s)
+    assert m.shape == (b, h, s)
+    _, want_l, want_m = attention_reference_with_stats(
+        q.reshape(b * h, s, d), k.reshape(b * h, s, d), v.reshape(b * h, s, d),
+        causal=True,
+    )
+    validate_result(m, want_m.reshape(b, h, s), TOL_FP32, name="m")
