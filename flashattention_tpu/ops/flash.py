@@ -75,15 +75,19 @@ class BlockSizes:
 
     @classmethod
     def fit(cls, s_q: int, s_kv: int, head_dim: int) -> "BlockSizes":
-        """Pick defaults that divide the (padded) problem and fit VMEM."""
+        """Pick defaults that divide the (padded) problem and fit VMEM.
+
+        Caps tuned empirically on TPU v5e (scripts/tune_flash.py): large
+        blocks amortize per-grid-step overhead; 512/1024/512 wins at S=8192.
+        """
         del head_dim
-        block_q = min(256, max(MIN_BLOCK, _round_up(s_q, MIN_BLOCK)))
+        block_q = min(512, max(MIN_BLOCK, _round_up(s_q, MIN_BLOCK)))
         while s_q % block_q and block_q > MIN_BLOCK:
             block_q //= 2
-        block_kv = min(512, max(MIN_BLOCK, _round_up(s_kv, MIN_BLOCK)))
+        block_kv = min(1024, max(MIN_BLOCK, _round_up(s_kv, MIN_BLOCK)))
         while s_kv % block_kv and block_kv > MIN_BLOCK:
             block_kv //= 2
-        block_kv_compute = min(block_kv, 256)
+        block_kv_compute = min(block_kv, 512)
         while block_kv % block_kv_compute and block_kv_compute > MIN_BLOCK:
             block_kv_compute //= 2
         return cls(block_q, block_kv, block_kv_compute)
@@ -107,7 +111,6 @@ def _kernel(
     q_ref,
     k_ref,
     v_ref,
-    o_ref,
     *rest,
     causal: bool,
     scale: float,
@@ -116,11 +119,18 @@ def _kernel(
     q_offset: int,
     num_kv_blocks: int,
     save_residuals: bool,
+    quantized: bool,
 ):
+    rest = list(rest)
+    if quantized:
+        # Per-token dequant scales for the int8/fp8 KV payloads; folded into
+        # the score/p tiles below, so the MXU matmuls run on the raw payloads.
+        k_scales_ref = rest.pop(0)
+        v_scales_ref = rest.pop(0)
+    o_ref = rest.pop(0)
     if save_residuals:
-        l_ref, m_ref, m_scratch, l_scratch, acc_scratch = rest
-    else:
-        m_scratch, l_scratch, acc_scratch = rest
+        l_ref, m_ref = rest.pop(0), rest.pop(0)
+    m_scratch, l_scratch, acc_scratch = rest
     """Grid = (batch*heads, num_q_blocks, num_kv_blocks); kv dim is sequential.
 
     Per grid step: one (block_q, d) Q tile against one (block_kv, d) K/V tile,
@@ -153,13 +163,21 @@ def _kernel(
         q = q_ref[0]  # (block_q, d)
         for start in range(0, block_kv, block_kv_compute):
             k = k_ref[0, start : start + block_kv_compute, :]
+            if quantized:
+                # MXU can't contract f32 x int8 directly; run the payload as
+                # bf16 (exact for int8 values in [-127,127] and fp8) and fold
+                # the per-token scale into the score *columns* afterwards:
+                # s_ij = (q_i . k_j_payload) * k_scale_j.
+                k = k.astype(jnp.bfloat16)
             s = jax.lax.dot_general(
-                q,
+                q.astype(k.dtype) if quantized else q,
                 k,
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_mm_precision(q.dtype),
             )  # (block_q, block_kv_compute)
+            if quantized:
+                s = s * k_scales_ref[0, :, start : start + block_kv_compute]
             if scale != 1.0:
                 s = s * scale
 
@@ -196,6 +214,11 @@ def _kernel(
             l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
 
             v = v_ref[0, start : start + block_kv_compute, :]
+            if quantized:
+                # Fold the V dequant scale into p (o_d = sum_j p_j*s_j*v_jd):
+                # one VPU row-scale instead of dequantizing the whole V tile.
+                v = v.astype(jnp.bfloat16)
+                p = p * v_scales_ref[0, :, start : start + block_kv_compute]
             pv = jax.lax.dot(
                 p.astype(v.dtype),
                 v,
@@ -232,6 +255,8 @@ def flash_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
+    k_scales: jax.Array | None = None,
+    v_scales: jax.Array | None = None,
     *,
     causal: bool = False,
     scale: float = 1.0,
@@ -249,7 +274,11 @@ def flash_attention(
     padded/shape-polymorphic public API).
 
     Args:
-      q: (BH, S_q, d); k, v: (BH, S_kv, d).
+      q: (BH, S_q, d); k, v: (BH, S_kv, d).  When ``k_scales``/``v_scales``
+        are given (each (BH, S_kv), float32), k/v are treated as quantized
+        payloads (int8 or fp8) and dequantized *inside* the kernel, fused
+        into the score/p tiles (the quantized-KV-cache path of BASELINE.json;
+        KV HBM traffic drops 2-4x vs bf16/fp32).
       causal: causal masking with query i at absolute position ``q_offset + i``.
       scale: score scale; 1.0 is reference-parity (``src/flashattention.cu:586``),
         pass ``d**-0.5`` for standard SDPA.
@@ -267,6 +296,15 @@ def flash_attention(
         raise ValueError(f"k/v shape mismatch: {k.shape} vs {v.shape}")
     if dk != d:
         raise ValueError(f"q/k head_dim mismatch: {d} vs {dk}")
+    quantized = k_scales is not None
+    if quantized:
+        if v_scales is None:
+            raise ValueError("k_scales given without v_scales")
+        if k_scales.shape != (bh, s_kv) or v_scales.shape != (bh, s_kv):
+            raise ValueError(
+                f"scales must be (BH, S_kv)=({bh}, {s_kv}), got "
+                f"{k_scales.shape} / {v_scales.shape}"
+            )
 
     if block_sizes is None:
         block_sizes = BlockSizes.fit(s_q, s_kv, d)
@@ -290,6 +328,7 @@ def flash_attention(
         q_offset=q_offset,
         num_kv_blocks=num_kv_blocks,
         save_residuals=save_residuals,
+        quantized=quantized,
     )
 
     out_shape = [jax.ShapeDtypeStruct((bh, s_q, d), q.dtype)]  # o
@@ -310,6 +349,15 @@ def flash_attention(
         pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),  # k
         pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),  # v
     ]
+    inputs = [q, k, v]
+    if quantized:
+        # (BH, 1, S) layout: TPU block sublane dim must divide 8 or equal the
+        # array dim, so a middle singleton axis carries the "row" of scales.
+        in_specs += [
+            pl.BlockSpec((1, 1, bkv), lambda b, i, j: (b, 0, j)),  # k_scales
+            pl.BlockSpec((1, 1, bkv), lambda b, i, j: (b, 0, j)),  # v_scales
+        ]
+        inputs += [k_scales[:, None, :], v_scales[:, None, :]]
 
     # FLOPs: 2*S_q*S_kv*d for QK^T + 2*S_q*S_kv*d for PV, per batch*head.
     flops = 4 * bh * s_q * s_kv * d
@@ -342,7 +390,7 @@ def flash_attention(
             transcendentals=bh * s_q * s_kv,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(*inputs)
 
     if save_residuals:
         o, l, m = outs

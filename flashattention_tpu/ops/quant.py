@@ -1,0 +1,137 @@
+"""KV quantization: INT8 / FP8 payloads with per-token (or per-head) scales.
+
+The reference is FP32-only (SURVEY.md section 0 "What it is NOT"); this is the
+north-star extension from BASELINE.json: "KV-cache stored quantized (per-head
+INT8/FP8 scales) and dequantized inside the Pallas kernel".  Dequant is fused
+into the flash kernel's score/p tiles (see ``ops.flash._kernel``): the MXU
+contracts the raw payloads (cast bf16) and a single VPU row-scale applies the
+scales, so KV HBM traffic drops 4x (fp32->int8) / 2x (bf16->int8) with no
+extra matmul work.
+
+Scale granularities:
+- ``"token"`` (default): one scale per (batch*head, position) row — the
+  standard KV-cache choice, accuracy ~1e-2;
+- ``"head"``: one scale per batch*head, replicated over positions (uniform
+  (BH, S) scale layout keeps the kernel single-path; overhead is 4
+  bytes/token either way, negligible next to the d-byte payload).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from flashattention_tpu.ops.flash import BlockSizes, flash_attention
+
+__all__ = [
+    "QuantizedTensor",
+    "quantize",
+    "dequantize",
+    "quantize_kv",
+    "attention_quantized",
+    "QUANT_DTYPES",
+]
+
+QUANT_DTYPES = {
+    "int8": (jnp.int8, 127.0),
+    "fp8": (jnp.float8_e4m3fn, 448.0),
+}
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedTensor:
+    """Quantized payload + float32 scales.
+
+    payload: (BH, S, d) int8 or fp8; scales: (BH, S) float32 such that
+    ``dequantized = payload.astype(f32) * scales[..., None]``.
+    """
+
+    payload: jax.Array
+    scales: jax.Array
+
+    def tree_flatten(self):
+        return (self.payload, self.scales), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.payload.shape
+
+    @property
+    def dtype(self):
+        return self.payload.dtype
+
+
+def quantize(
+    x: jax.Array, dtype: str = "int8", *, granularity: str = "token"
+) -> QuantizedTensor:
+    """Quantize (BH, S, d) to int8/fp8 with absmax scaling."""
+    if dtype not in QUANT_DTYPES:
+        raise ValueError(f"dtype must be one of {list(QUANT_DTYPES)}, got {dtype!r}")
+    qdtype, qmax = QUANT_DTYPES[dtype]
+    xf = x.astype(jnp.float32)
+    if granularity == "token":
+        absmax = jnp.max(jnp.abs(xf), axis=-1)  # (BH, S)
+    elif granularity == "head":
+        absmax = jnp.broadcast_to(
+            jnp.max(jnp.abs(xf), axis=(-2, -1), keepdims=True)[..., 0], xf.shape[:-1]
+        )  # (BH, S), replicated over S
+    else:
+        raise ValueError(f"granularity must be 'token' or 'head', got {granularity!r}")
+    scales = jnp.where(absmax == 0.0, 1.0, absmax / qmax)
+    scaled = xf / scales[..., None]
+    if qdtype == jnp.int8:
+        payload = jnp.clip(jnp.round(scaled), -qmax, qmax).astype(jnp.int8)
+    else:
+        payload = scaled.astype(qdtype)
+    return QuantizedTensor(payload, scales)
+
+
+def dequantize(qt: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
+    return (qt.payload.astype(jnp.float32) * qt.scales[..., None]).astype(dtype)
+
+
+def quantize_kv(
+    k: jax.Array, v: jax.Array, dtype: str = "int8", *, granularity: str = "token"
+) -> tuple[QuantizedTensor, QuantizedTensor]:
+    return (
+        quantize(k, dtype, granularity=granularity),
+        quantize(v, dtype, granularity=granularity),
+    )
+
+
+def attention_quantized(
+    q: jax.Array,
+    k: QuantizedTensor,
+    v: QuantizedTensor,
+    *,
+    causal: bool = False,
+    scale: float = 1.0,
+    block_sizes: BlockSizes | None = None,
+    kv_len: int | None = None,
+    q_offset: int = 0,
+    save_residuals: bool = False,
+    interpret: bool | None = None,
+) -> Any:
+    """Flash attention over a quantized KV pair (fused in-kernel dequant)."""
+    return flash_attention(
+        q,
+        k.payload,
+        v.payload,
+        k.scales,
+        v.scales,
+        causal=causal,
+        scale=scale,
+        block_sizes=block_sizes,
+        kv_len=kv_len,
+        q_offset=q_offset,
+        save_residuals=save_residuals,
+        interpret=interpret,
+    )
