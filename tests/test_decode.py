@@ -1,0 +1,120 @@
+"""Paged decode-attention differential tests (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashattention_tpu.ops.decode import paged_attention, paged_attention_reference
+from flashattention_tpu.utils.testing import TOL_FP32, make_random, validate_result
+
+
+def make_paged(seed, b, kvh, g, d, page_size, pages_per_seq, total_pages):
+    ks = jax.random.split(jax.random.key(seed), 4)
+    q = make_random(ks[0], (b, kvh, g, d))
+    k_pages = make_random(ks[1], (kvh, total_pages, page_size, d))
+    v_pages = make_random(ks[2], (kvh, total_pages, page_size, d))
+    # Random non-overlapping page assignment per request.
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(total_pages)[: b * pages_per_seq]
+    page_indices = jnp.asarray(perm.reshape(b, pages_per_seq), jnp.int32)
+    return q, k_pages, v_pages, page_indices
+
+
+def test_reference_matches_dense_gather():
+    b, kvh, g, d, ps, pps = 2, 2, 4, 16, 8, 4
+    q, kp, vp, pi = make_paged(0, b, kvh, g, d, ps, pps, 16)
+    lengths = jnp.array([13, 29], jnp.int32)
+    o = paged_attention_reference(q, kp, vp, lengths, pi)
+    # Manual: gather rows for request 0, dense attention over first 13.
+    from flashattention_tpu.ops.reference import attention_reference
+
+    rows = np.asarray(kp)[:, np.asarray(pi)[0]].reshape(kvh, pps * ps, d)[:, :13]
+    vrows = np.asarray(vp)[:, np.asarray(pi)[0]].reshape(kvh, pps * ps, d)[:, :13]
+    want = attention_reference(
+        np.asarray(q)[0], jnp.asarray(rows), jnp.asarray(vrows)
+    )
+    validate_result(o[0], want, 1e-5)
+
+
+@pytest.mark.parametrize("pages_per_block", [1, 2, 4])
+def test_paged_attention_vs_reference(pages_per_block):
+    b, kvh, g, d, ps, pps = 3, 2, 4, 32, 16, 4
+    q, kp, vp, pi = make_paged(1, b, kvh, g, d, ps, pps, 24)
+    lengths = jnp.array([17, 64, 40], jnp.int32)
+    o = paged_attention(
+        q, kp, vp, lengths, pi, pages_per_compute_block=pages_per_block
+    )
+    want = paged_attention_reference(q, kp, vp, lengths, pi)
+    validate_result(o, want, TOL_FP32)
+
+
+def test_paged_attention_gqa_groups():
+    # G=8 (8 query heads per KV head), KVH=4 -> 32 q heads.
+    b, kvh, g, d, ps, pps = 2, 4, 8, 64, 16, 4
+    q, kp, vp, pi = make_paged(2, b, kvh, g, d, ps, pps, 16)
+    lengths = jnp.array([30, 64], jnp.int32)
+    o = paged_attention(q, kp, vp, lengths, pi, pages_per_compute_block=2)
+    want = paged_attention_reference(q, kp, vp, lengths, pi)
+    validate_result(o, want, TOL_FP32)
+
+
+def test_paged_attention_single_token_length():
+    b, kvh, g, d, ps, pps = 2, 1, 4, 32, 8, 2
+    q, kp, vp, pi = make_paged(3, b, kvh, g, d, ps, pps, 8)
+    lengths = jnp.array([1, 5], jnp.int32)
+    o = paged_attention(q, kp, vp, lengths, pi, pages_per_compute_block=1)
+    want = paged_attention_reference(q, kp, vp, lengths, pi)
+    validate_result(o, want, TOL_FP32)
+
+
+def test_paged_attention_full_pages():
+    # Lengths exactly filling all pages.
+    b, kvh, g, d, ps, pps = 2, 2, 4, 32, 8, 4
+    q, kp, vp, pi = make_paged(4, b, kvh, g, d, ps, pps, 16)
+    lengths = jnp.array([32, 32], jnp.int32)
+    o = paged_attention(q, kp, vp, lengths, pi, pages_per_compute_block=2)
+    want = paged_attention_reference(q, kp, vp, lengths, pi)
+    validate_result(o, want, TOL_FP32)
+
+
+def test_paged_attention_quantized():
+    from flashattention_tpu.ops.quant import quantize
+
+    b, kvh, g, d, ps, pps = 2, 2, 4, 32, 16, 4
+    q, kp, vp, pi = make_paged(5, b, kvh, g, d, ps, pps, 16)
+    lengths = jnp.array([25, 60], jnp.int32)
+    # Quantize the page pools per token (flatten pages to rows).
+    kq = quantize(kp.reshape(kvh, -1, d), "int8")
+    vq = quantize(vp.reshape(kvh, -1, d), "int8")
+    o = paged_attention(
+        q,
+        kq.payload.reshape(kp.shape),
+        vq.payload.reshape(vp.shape),
+        lengths,
+        pi,
+        k_scales_pages=kq.scales.reshape(kvh, -1, ps),
+        v_scales_pages=vq.scales.reshape(kvh, -1, ps),
+        pages_per_compute_block=2,
+    )
+    want = paged_attention_reference(q, kp, vp, lengths, pi)
+    validate_result(o, want, 3e-2)
+
+
+def test_paged_attention_scale():
+    b, kvh, g, d, ps, pps = 1, 1, 4, 32, 8, 2
+    q, kp, vp, pi = make_paged(6, b, kvh, g, d, ps, pps, 4)
+    lengths = jnp.array([11], jnp.int32)
+    sc = d**-0.5
+    o = paged_attention(q, kp, vp, lengths, pi, scale=sc, pages_per_compute_block=1)
+    want = paged_attention_reference(q, kp, vp, lengths, pi, scale=sc)
+    validate_result(o, want, TOL_FP32)
+
+
+def test_bad_pages_per_block_raises():
+    b, kvh, g, d, ps, pps = 1, 1, 4, 32, 8, 3
+    q, kp, vp, pi = make_paged(7, b, kvh, g, d, ps, pps, 4)
+    with pytest.raises(ValueError):
+        paged_attention(
+            q, kp, vp, jnp.array([1], jnp.int32), pi, pages_per_compute_block=2
+        )
