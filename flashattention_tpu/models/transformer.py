@@ -1,0 +1,282 @@
+"""Flagship model: a Llama-style decoder-only transformer on the fused kernels.
+
+The reference exposes attention only (heads folded into batch by the caller,
+``/root/reference/bench_flashattention.py:31-33``); the north star embeds it
+in a real serving stack, so this module provides the model family the engine
+runs: RMSNorm + RoPE + GQA attention + SwiGLU, decoder-only.
+
+Two jittable entry points per model:
+- ``prefill``: full-sequence forward on the causal flash kernel
+  (``ops/flash.py``), returning logits and the per-layer K/V rows for the
+  cache (the engine writes them into the paged pool);
+- ``decode_step``: one-token forward over the paged KV cache
+  (``ops/decode.py``) for a whole continuous batch.
+
+Llama-7B shape (BASELINE.json config 5) = ``ModelConfig.llama7b_attention()``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from flashattention_tpu.ops.decode import paged_attention
+from flashattention_tpu.ops.flash import BlockSizes, flash_attention
+
+__all__ = ["ModelConfig", "init_params", "prefill", "decode_step"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    vocab_size: int = 32000
+    num_layers: int = 2
+    d_model: int = 512
+    num_q_heads: int = 8
+    num_kv_heads: int = 4
+    head_dim: int = 64
+    intermediate: int = 1408
+    rope_theta: float = 10000.0
+    dtype: str = "bfloat16"
+
+    @property
+    def group_size(self) -> int:
+        if self.num_q_heads % self.num_kv_heads:
+            raise ValueError("num_q_heads must be a multiple of num_kv_heads")
+        return self.num_q_heads // self.num_kv_heads
+
+    @property
+    def jnp_dtype(self):
+        return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[self.dtype]
+
+    @classmethod
+    def tiny(cls) -> "ModelConfig":
+        return cls(
+            vocab_size=256,
+            num_layers=2,
+            d_model=128,
+            num_q_heads=4,
+            num_kv_heads=2,
+            head_dim=32,
+            intermediate=256,
+        )
+
+    @classmethod
+    def llama7b_attention(cls) -> "ModelConfig":
+        """Llama-7B attention geometry (H=32, d=128; BASELINE.json config 5)."""
+        return cls(
+            vocab_size=32000,
+            num_layers=2,  # attention-scope benchmark: 2 layers stand in
+            d_model=4096,
+            num_q_heads=32,
+            num_kv_heads=32,
+            head_dim=128,
+            intermediate=11008,
+        )
+
+
+def init_params(key: jax.Array, cfg: ModelConfig):
+    """Random-init parameter pytree (scaled normal, fan-in)."""
+    d, hq, hkv, hd = cfg.d_model, cfg.num_q_heads, cfg.num_kv_heads, cfg.head_dim
+    dt = cfg.jnp_dtype
+
+    def dense(key, shape, fan_in):
+        return (jax.random.normal(key, shape, jnp.float32) * fan_in**-0.5).astype(dt)
+
+    keys = jax.random.split(key, 3 + cfg.num_layers)
+    params = {
+        "embed": dense(keys[0], (cfg.vocab_size, d), 1.0),
+        "final_norm": jnp.ones((d,), dt),
+        "lm_head": dense(keys[1], (d, cfg.vocab_size), d),
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        lk = jax.random.split(keys[3 + i], 7)
+        params["layers"].append(
+            {
+                "attn_norm": jnp.ones((d,), dt),
+                "wq": dense(lk[0], (d, hq * hd), d),
+                "wk": dense(lk[1], (d, hkv * hd), d),
+                "wv": dense(lk[2], (d, hkv * hd), d),
+                "wo": dense(lk[3], (hq * hd, d), hq * hd),
+                "mlp_norm": jnp.ones((d,), dt),
+                "w_gate": dense(lk[4], (d, cfg.intermediate), d),
+                "w_up": dense(lk[5], (d, cfg.intermediate), d),
+                "w_down": dense(lk[6], (cfg.intermediate, d), cfg.intermediate),
+            }
+        )
+    return params
+
+
+def _rmsnorm(x, w, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    norm = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (norm * w.astype(jnp.float32)).astype(x.dtype)
+
+
+def _rope(x, positions, theta):
+    """Rotate-half RoPE. x: (..., S, H, d); positions: (..., S)."""
+    d = x.shape[-1]
+    freqs = 1.0 / (
+        theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+    )  # (d/2,)
+    angles = positions[..., None].astype(jnp.float32) * freqs  # (..., S, d/2)
+    cos = jnp.cos(angles)[..., None, :]  # (..., S, 1, d/2)
+    sin = jnp.sin(angles)[..., None, :]
+    x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    return jnp.concatenate(
+        [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+def _mlp(x, layer):
+    gate = jax.nn.silu(x @ layer["w_gate"])
+    return (gate * (x @ layer["w_up"])) @ layer["w_down"]
+
+
+def _qkv(x, layer, cfg, positions):
+    b, s, _ = x.shape
+    q = (x @ layer["wq"]).reshape(b, s, cfg.num_q_heads, cfg.head_dim)
+    k = (x @ layer["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = (x @ layer["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q = _rope(q, positions, cfg.rope_theta)
+    k = _rope(k, positions, cfg.rope_theta)
+    return q, k, v
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def prefill(params, tokens: jax.Array, cfg: ModelConfig, interpret=None):
+    """Full-sequence forward.
+
+    tokens: (B, S) int32.  Returns (logits (B, S, V), k_cache, v_cache) with
+    k_cache/v_cache: (L, B, S, KVH, d) rows for the paged cache.
+    """
+    b, s = tokens.shape
+    x = params["embed"][tokens]
+    positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+    g = cfg.group_size
+    k_rows, v_rows = [], []
+    for layer in params["layers"]:
+        h = _rmsnorm(x, layer["attn_norm"])
+        q, k, v = _qkv(h, layer, cfg, positions)
+        k_rows.append(k)
+        v_rows.append(v)
+        # GQA prefill on the MHA flash kernel: repeat KV heads to G groups.
+        kr = jnp.repeat(k, g, axis=2) if g > 1 else k
+        vr = jnp.repeat(v, g, axis=2) if g > 1 else v
+        # (B, S, H, d) -> (B*H, S, d) folded layout (the reference's caller
+        # convention) for the kernel.
+        qf = q.transpose(0, 2, 1, 3).reshape(b * cfg.num_q_heads, s, cfg.head_dim)
+        kf = kr.transpose(0, 2, 1, 3).reshape(b * cfg.num_q_heads, s, cfg.head_dim)
+        vf = vr.transpose(0, 2, 1, 3).reshape(b * cfg.num_q_heads, s, cfg.head_dim)
+        from flashattention_tpu.ops.dispatch import attention
+
+        o = attention(
+            qf, kf, vf, causal=True, scale=cfg.head_dim**-0.5, interpret=interpret
+        )
+        o = o.reshape(b, cfg.num_q_heads, s, cfg.head_dim).transpose(0, 2, 1, 3)
+        x = x + o.reshape(b, s, -1) @ layer["wo"]
+        x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer)
+    x = _rmsnorm(x, params["final_norm"])
+    logits = x @ params["lm_head"]
+    return logits, jnp.stack(k_rows), jnp.stack(v_rows)
+
+
+def _quantize_row(x, dtype):
+    """Per-token absmax quantization of (B, KVH, d) rows -> (payload, scales)."""
+    qmax = 127.0 if dtype == jnp.int8 else 448.0
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scales = jnp.where(absmax == 0.0, 1.0, absmax / qmax)
+    payload = x.astype(jnp.float32) / scales[..., None]
+    if dtype == jnp.int8:
+        payload = jnp.clip(jnp.round(payload), -qmax, qmax).astype(jnp.int8)
+    else:
+        payload = payload.astype(dtype)
+    return payload, scales
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "pages_per_compute_block", "interpret"),
+    donate_argnums=(3, 4),
+)
+def decode_step(
+    params,
+    tokens: jax.Array,  # (B,) int32 current tokens
+    positions: jax.Array,  # (B,) int32 positions (= old length) of those tokens
+    k_pages: jax.Array,  # (L, KVH, P, ps, d), donated
+    v_pages: jax.Array,  # donated
+    lengths: jax.Array,  # (B,) int32 *including* the current token
+    page_indices: jax.Array,  # (B, pages_per_seq)
+    write_pages: jax.Array,  # (B,) physical page receiving this token's K/V
+    write_slots: jax.Array,  # (B,) slot within that page
+    cfg: ModelConfig,
+    k_scales: jax.Array | None = None,  # (L, KVH, P, ps) when quantized
+    v_scales: jax.Array | None = None,
+    pages_per_compute_block: int = 4,
+    interpret=None,
+):
+    """One decode token for a whole continuous batch over the paged cache.
+
+    The current token's K/V rows are computed layer-by-layer inside this jit
+    and scattered into the (donated) page pools *before* the layer's paged
+    attention runs, so the token attends to itself (lengths include it).
+    Inactive batch slots: point write_pages at an out-of-range page (dropped).
+
+    Returns (logits (B, V), k_pages, v_pages, k_scales, v_scales) — the
+    updated pools (scales None when not quantized).
+    """
+    b = tokens.shape[0]
+    x = params["embed"][tokens]  # (B, d_model)
+    x = x[:, None, :]  # (B, 1, d_model)
+    pos = positions[:, None]
+    quantized = k_scales is not None
+    for li, layer in enumerate(params["layers"]):
+        h = _rmsnorm(x, layer["attn_norm"])
+        q, k, v = _qkv(h, layer, cfg, pos)  # (B, 1, H, d)
+        k_row, v_row = k[:, 0], v[:, 0]  # (B, KVH, d)
+        if quantized:
+            k_pay, k_sc = _quantize_row(k_row, k_pages.dtype)
+            v_pay, v_sc = _quantize_row(v_row, v_pages.dtype)
+            # Advanced-indexing note: the integer layer index and the (B,)
+            # page/slot arrays are separated by a slice, so the broadcast
+            # axes land at the *front*: target shape (B, KVH, ...) — exactly
+            # the row layout, no transpose needed.
+            k_scales = k_scales.at[li, :, write_pages, write_slots].set(
+                k_sc, mode="drop"
+            )
+            v_scales = v_scales.at[li, :, write_pages, write_slots].set(
+                v_sc, mode="drop"
+            )
+        else:
+            k_pay = k_row.astype(k_pages.dtype)
+            v_pay = v_row.astype(v_pages.dtype)
+        k_pages = k_pages.at[li, :, write_pages, write_slots, :].set(
+            k_pay, mode="drop"
+        )
+        v_pages = v_pages.at[li, :, write_pages, write_slots, :].set(
+            v_pay, mode="drop"
+        )
+        # (B, 1, Hq, d) -> (B, KVH, G, d) grouped layout for the paged kernel.
+        qg = q[:, 0].reshape(b, cfg.num_kv_heads, cfg.group_size, cfg.head_dim)
+        o = paged_attention(
+            qg,
+            k_pages[li],
+            v_pages[li],
+            lengths,
+            page_indices,
+            k_scales_pages=None if k_scales is None else k_scales[li],
+            v_scales_pages=None if v_scales is None else v_scales[li],
+            scale=cfg.head_dim**-0.5,
+            pages_per_compute_block=pages_per_compute_block,
+            interpret=interpret,
+        )  # (B, KVH, G, d)
+        o = o.reshape(b, 1, cfg.num_q_heads * cfg.head_dim)
+        x = x + o @ layer["wo"]
+        x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer)
+    x = _rmsnorm(x[:, 0], params["final_norm"])
+    logits = x @ params["lm_head"]
+    return logits, k_pages, v_pages, k_scales, v_scales

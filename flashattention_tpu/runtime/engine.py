@@ -1,0 +1,224 @@
+"""Continuous-batching inference engine.
+
+The serving loop of the north star (BASELINE.json: "continuous batching of
+decode requests"): requests arrive at any time; the engine admits them FCFS
+through the native scheduler when batch slots + KV pages are available,
+prefills their prompts with the causal flash kernel, then advances *all*
+running requests one token per :meth:`Engine.step` with the batched paged
+decode kernel.  Finished requests free their pages immediately, letting
+waiting requests admit on the next step — the defining continuous-batching
+behavior (no static batch barriers).
+
+JIT stability: the decode batch is padded to ``max_batch`` and prompts pad to
+power-of-two buckets, so steady-state serving compiles a handful of programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flashattention_tpu.models import transformer
+from flashattention_tpu.runtime.kvcache import CacheConfig, PagedKVCache
+from flashattention_tpu.runtime.native import Scheduler
+
+__all__ = ["EngineConfig", "Request", "Engine"]
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    max_batch: int = 8
+    pages_per_seq: int = 16  # max pages (=> max length) per request
+    pages_per_compute_block: int = 4
+    greedy: bool = True
+    eos_token: int | None = None
+
+
+@dataclasses.dataclass
+class Request:
+    req_id: int
+    prompt: list
+    max_new_tokens: int
+    output: list = dataclasses.field(default_factory=list)
+    state: str = "waiting"  # waiting | running | finished
+
+    @property
+    def length(self) -> int:
+        return len(self.prompt) + len(self.output)
+
+
+def _bucket(n: int) -> int:
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
+class Engine:
+    def __init__(
+        self,
+        params,
+        model_cfg: transformer.ModelConfig,
+        cache_cfg: CacheConfig,
+        engine_cfg: EngineConfig = EngineConfig(),
+        *,
+        interpret: bool | None = None,
+    ):
+        self.params = params
+        self.model_cfg = model_cfg
+        self.cache = PagedKVCache(cache_cfg)
+        self.cfg = engine_cfg
+        self.scheduler = Scheduler(engine_cfg.max_batch, cache_cfg.page_size)
+        self.requests: dict[int, Request] = {}
+        self.running: list[int] = []  # req ids in batch-slot order
+        self._next_id = itertools.count()
+        self._interpret = interpret
+        # Largest divisor of pages_per_seq not exceeding the configured block.
+        ppcb = min(engine_cfg.pages_per_compute_block, engine_cfg.pages_per_seq)
+        while engine_cfg.pages_per_seq % ppcb:
+            ppcb -= 1
+        self._ppcb = ppcb
+
+    # ── public API ────────────────────────────────────────────────────────
+
+    def add_request(self, prompt, max_new_tokens: int) -> int:
+        req_id = next(self._next_id)
+        self.requests[req_id] = Request(req_id, list(prompt), max_new_tokens)
+        self.scheduler.add_request(req_id, len(prompt), max_new_tokens)
+        return req_id
+
+    def has_work(self) -> bool:
+        return bool(self.running) or self.scheduler.num_waiting() > 0
+
+    def run(self, max_steps: int = 10_000) -> dict[int, list]:
+        """Drive steps until all requests finish; returns outputs by id."""
+        for _ in range(max_steps):
+            if not self.has_work():
+                break
+            self.step()
+        return {rid: r.output for rid, r in self.requests.items()}
+
+    # ── engine step ───────────────────────────────────────────────────────
+
+    def step(self) -> None:
+        """Admit + prefill new requests, then one decode token for all."""
+        self._admit_and_prefill()
+        if self.running:
+            self._decode_batch()
+
+    def _admit_and_prefill(self) -> None:
+        admitted = self.scheduler.admit(self.cache.num_free_pages())
+        for req_id in admitted:
+            req = self.requests[req_id]
+            req.state = "running"
+            self.running.append(req_id)
+            self._prefill(req)
+
+    def _prefill(self, req: Request) -> None:
+        # Re-prefills after preemption include already-generated tokens
+        # (recompute-style preemption: the context is re-embedded, no state
+        # beyond the token ids survives eviction).
+        prompt = np.asarray(req.prompt + req.output, np.int32)
+        s = len(prompt)
+        sb = _bucket(s)
+        tokens = jnp.asarray(
+            np.pad(prompt, (0, sb - s))[None, :], jnp.int32
+        )  # (1, Sb)
+        logits, k_rows, v_rows = transformer.prefill(
+            self.params, tokens, cfg=self.model_cfg, interpret=self._interpret
+        )
+        # Cache rows for the real prompt only: (L, 1, Sb, KVH, d) -> (L, S, KVH, d)
+        self.cache.append(req.req_id, k_rows[:, 0, :s], v_rows[:, 0, :s])
+        first = self._sample(logits[0, s - 1])
+        self._emit(req, int(first))
+
+    def _decode_batch(self) -> None:
+        bmax = self.cfg.max_batch
+        rows = []  # (rid, token, position, page, slot) for surviving requests
+        for rid in list(self.running):
+            if rid not in self.running:
+                continue  # preempted by an earlier row's OOM this step
+            req = self.requests[rid]
+            while True:
+                try:
+                    page, slot = self.cache.reserve_slot(rid)
+                    break
+                except MemoryError:
+                    if not self._preempt(exclude=rid):
+                        raise
+            tok = req.output[-1] if req.output else req.prompt[-1]
+            rows.append((rid, tok, req.length - 1, page, slot))
+        rows = [r for r in rows if r[0] in self.running]
+        if not rows:
+            return
+        batch = [r[0] for r in rows]
+        n = len(batch)
+        tokens = np.zeros((bmax,), np.int32)
+        positions = np.zeros((bmax,), np.int32)
+        write_pages = np.full((bmax,), self.cache.config.num_pages, np.int32)
+        write_slots = np.zeros((bmax,), np.int32)
+        for i, (_, tok, pos, page, slot) in enumerate(rows):
+            tokens[i], positions[i] = tok, pos
+            write_pages[i], write_slots[i] = page, slot
+        seq_ids = batch + [-1] * (bmax - n)
+        lengths, page_indices = self.cache.batch_view(
+            seq_ids, self.cfg.pages_per_seq
+        )
+        quant = self.cache.config.quantized
+        logits, kp, vp, ks, vs = transformer.decode_step(
+            self.params,
+            jnp.asarray(tokens),
+            jnp.asarray(positions),
+            self.cache.k_pages,
+            self.cache.v_pages,
+            lengths,
+            page_indices,
+            jnp.asarray(write_pages),
+            jnp.asarray(write_slots),
+            cfg=self.model_cfg,
+            k_scales=self.cache.k_scales if quant else None,
+            v_scales=self.cache.v_scales if quant else None,
+            pages_per_compute_block=self._ppcb,
+            interpret=self._interpret,
+        )
+        self.cache.set_pools(kp, vp, ks, vs)
+        next_tokens = np.asarray(self._sample(logits))
+        for i, rid in enumerate(batch):
+            self._emit(self.requests[rid], int(next_tokens[i]))
+
+    def _preempt(self, exclude: int) -> bool:
+        """Evict the latest-admitted running request (recompute preemption):
+        free its pages and requeue it with prompt = everything generated so
+        far.  Returns False when nobody but ``exclude`` is running."""
+        for rid in reversed(self.running):
+            if rid == exclude:
+                continue
+            req = self.requests[rid]
+            req.state = "waiting"
+            self.running.remove(rid)
+            self.scheduler.finish(rid)
+            self.cache.free_sequence(rid)
+            self.scheduler.add_request(
+                rid, req.length, req.max_new_tokens - len(req.output)
+            )
+            return True
+        return False
+
+    def _sample(self, logits):
+        # Greedy decoding; logits (V,) or (B, V).
+        return jnp.argmax(logits, axis=-1)
+
+    def _emit(self, req: Request, token: int) -> None:
+        req.output.append(token)
+        done = len(req.output) >= req.max_new_tokens or (
+            self.cfg.eos_token is not None and token == self.cfg.eos_token
+        )
+        if done:
+            req.state = "finished"
+            self.running.remove(req.req_id)
+            self.scheduler.finish(req.req_id)
+            self.cache.free_sequence(req.req_id)

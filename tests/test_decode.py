@@ -111,10 +111,8 @@ def test_paged_attention_scale():
     validate_result(o, want, TOL_FP32)
 
 
-def test_bad_pages_per_block_raises():
+def test_mismatched_pages_raises():
     b, kvh, g, d, ps, pps = 1, 1, 4, 32, 8, 3
     q, kp, vp, pi = make_paged(7, b, kvh, g, d, ps, pps, 4)
     with pytest.raises(ValueError):
-        paged_attention(
-            q, kp, vp, jnp.array([1], jnp.int32), pi, pages_per_compute_block=2
-        )
+        paged_attention(q, kp, vp[:, :, :, :16], jnp.array([1], jnp.int32), pi)

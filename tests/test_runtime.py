@@ -1,0 +1,228 @@
+"""Runtime tests: native allocator/scheduler, paged cache, serving engine.
+
+The engine end-to-end oracle: greedy generation through the continuous-
+batching engine (paged decode kernel) must produce the same tokens as naive
+generation by repeated full causal forwards (flash prefill kernel) — the
+serving-stack analog of the reference's differential test strategy.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashattention_tpu.models import transformer
+from flashattention_tpu.runtime.engine import Engine, EngineConfig
+from flashattention_tpu.runtime.kvcache import CacheConfig, PagedKVCache
+from flashattention_tpu.runtime.native import PageAllocator, Scheduler
+from flashattention_tpu.utils.testing import validate_result
+
+
+# ── allocator / scheduler (native + fallback) ───────────────────────────────
+
+
+def test_allocator_alloc_free_cycle():
+    a = PageAllocator(8)
+    p = a.alloc(8)
+    assert sorted(p) == list(range(8))
+    assert a.alloc(1) is None and a.num_free() == 0
+    a.free(p[:3])
+    assert a.num_free() == 3
+    assert len(a.alloc(3)) == 3
+
+
+def test_allocator_no_partial():
+    a = PageAllocator(4)
+    assert a.alloc(5) is None
+    assert a.num_free() == 4  # failed alloc must not leak
+
+
+def test_scheduler_fcfs_page_budget():
+    s = Scheduler(max_batch=4, page_size=8)
+    s.add_request(1, 16, 4)  # 2 pages
+    s.add_request(2, 64, 4)  # 8 pages
+    s.add_request(3, 8, 4)  # 1 page
+    # Budget 5: admit req1 (2), then req2 needs 8 > 3 left -> strict FCFS stops.
+    assert s.admit(free_pages=5) == [1]
+    assert s.num_waiting() == 2
+    assert s.admit(free_pages=20) == [2, 3]
+
+
+def test_scheduler_batch_cap():
+    s = Scheduler(max_batch=1, page_size=8)
+    s.add_request(1, 8, 1)
+    s.add_request(2, 8, 1)
+    assert s.admit(free_pages=100) == [1]
+    s.finish(1)
+    assert s.admit(free_pages=100) == [2]
+
+
+def test_scheduler_worst_case_reservation():
+    s = Scheduler(max_batch=4, page_size=8, reserve_worst_case=True)
+    s.add_request(1, 8, 17)  # now: 1 page; worst case: ceil(25/8) = 4 pages
+    assert s.admit(free_pages=3) == []
+    assert s.admit(free_pages=4) == [1]
+
+
+# ── paged KV cache ───────────────────────────────────────────────────────────
+
+
+def cache_cfg(**kw):
+    base = dict(
+        num_layers=2,
+        num_kv_heads=2,
+        head_dim=16,
+        page_size=4,
+        num_pages=16,
+        dtype="float32",
+    )
+    base.update(kw)
+    return CacheConfig(**base)
+
+
+def test_cache_append_and_view_roundtrip():
+    cfg = cache_cfg()
+    cache = PagedKVCache(cfg)
+    k = jax.random.normal(jax.random.key(0), (2, 6, 2, 16))
+    v = jax.random.normal(jax.random.key(1), (2, 6, 2, 16))
+    cache.append(7, k, v)
+    assert cache.length(7) == 6
+    lengths, table = cache.batch_view([7], pages_per_seq=4)
+    assert int(lengths[0]) == 6
+    pages = np.asarray(table[0])
+    # Row 3 of the gathered pages == token 3 of the appended K.
+    got = cache.k_pages[:, :, pages[0], 3, :]  # (L, KVH, d)
+    validate_result(got, jnp.moveaxis(k, 2, 1)[:, :, 3], 1e-6)
+
+
+def test_cache_append_across_pages_and_free():
+    cfg = cache_cfg()
+    cache = PagedKVCache(cfg)
+    for t in range(9):  # 9 tokens, page_size 4 -> 3 pages
+        k = jnp.full((2, 1, 2, 16), float(t))
+        cache.append(1, k, k)
+    assert cache.length(1) == 9
+    used_before = cache.num_free_pages()
+    cache.free_sequence(1)
+    assert cache.num_free_pages() == used_before + 3
+
+
+def test_cache_reserve_slot_sequence():
+    cfg = cache_cfg()
+    cache = PagedKVCache(cfg)
+    slots = [cache.reserve_slot(5) for _ in range(6)]
+    assert [s for _, s in slots] == [0, 1, 2, 3, 0, 1]
+    assert cache.length(5) == 6
+
+
+def test_cache_oom():
+    cfg = cache_cfg(num_pages=1)
+    cache = PagedKVCache(cfg)
+    cache.append(1, jnp.zeros((2, 4, 2, 16)), jnp.zeros((2, 4, 2, 16)))
+    with pytest.raises(MemoryError):
+        cache.append(1, jnp.zeros((2, 1, 2, 16)), jnp.zeros((2, 1, 2, 16)))
+
+
+def test_cache_quantized_roundtrip():
+    cfg = cache_cfg(dtype="int8")
+    cache = PagedKVCache(cfg)
+    k = jax.random.normal(jax.random.key(2), (2, 4, 2, 16))
+    cache.append(3, k, k)
+    lengths, table = cache.batch_view([3], pages_per_seq=2)
+    page = int(table[0, 0])
+    deq = (
+        cache.k_pages[:, :, page].astype(jnp.float32)
+        * cache.k_scales[:, :, page][..., None]
+    )  # (L, KVH, ps, d)
+    validate_result(deq, jnp.moveaxis(k, 2, 1), 2e-2)
+
+
+# ── engine end-to-end ────────────────────────────────────────────────────────
+
+
+def reference_generate(params, cfg, prompt, n_new):
+    """Greedy generation via repeated full causal forwards (ground truth)."""
+    toks = list(prompt)
+    for _ in range(n_new):
+        s = len(toks)
+        sb = 8
+        while sb < s:
+            sb *= 2
+        padded = jnp.asarray(np.pad(np.asarray(toks, np.int32), (0, sb - s))[None])
+        logits, _, _ = transformer.prefill(params, padded, cfg=cfg)
+        toks.append(int(jnp.argmax(logits[0, s - 1])))
+    return toks[len(prompt) :]
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = transformer.ModelConfig.tiny().__class__(
+        **{**transformer.ModelConfig.tiny().__dict__, "dtype": "float32"}
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+    return params, cfg
+
+
+def test_engine_matches_reference_single(tiny_model):
+    params, cfg = tiny_model
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        page_size=8,
+        num_pages=64,
+        dtype="float32",
+    )
+    eng = Engine(params, cfg, ccfg, EngineConfig(max_batch=2, pages_per_seq=8))
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    rid = eng.add_request(prompt, max_new_tokens=6)
+    out = eng.run()[rid]
+    want = reference_generate(params, cfg, prompt, 6)
+    assert out == want, (out, want)
+
+
+def test_engine_continuous_batching(tiny_model):
+    # Three staggered requests with different lengths; all must match the
+    # sequential reference, and the engine must overlap them (continuous).
+    params, cfg = tiny_model
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        page_size=8,
+        num_pages=64,
+        dtype="float32",
+    )
+    eng = Engine(params, cfg, ccfg, EngineConfig(max_batch=4, pages_per_seq=8))
+    prompts = {
+        eng.add_request([1, 2, 3], 5): [1, 2, 3],
+        eng.add_request([7, 7, 7, 7, 7, 7], 3): [7, 7, 7, 7, 7, 7],
+    }
+    eng.step()  # first two admitted and prefilled
+    late = eng.add_request([9, 8], 4)
+    prompts[late] = [9, 8]
+    outs = eng.run()
+    for rid, prompt in prompts.items():
+        want = reference_generate(
+            params, cfg, prompt, len(outs[rid])
+        )
+        assert outs[rid] == want, (rid, outs[rid], want)
+    # All pages returned after everything finished.
+    assert eng.cache.num_free_pages() == 64
+
+
+def test_engine_admission_waits_for_pages(tiny_model):
+    params, cfg = tiny_model
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        page_size=8,
+        num_pages=3,  # room for ~one request at a time
+        dtype="float32",
+    )
+    eng = Engine(params, cfg, ccfg, EngineConfig(max_batch=4, pages_per_seq=2))
+    r1 = eng.add_request([1, 2, 3, 4, 5, 6, 7, 8], 4)  # 1 page prompt + growth
+    r2 = eng.add_request([5, 5, 5, 5, 5, 5, 5, 5], 4)
+    outs = eng.run(max_steps=100)
+    assert len(outs[r1]) == 4 and len(outs[r2]) == 4
