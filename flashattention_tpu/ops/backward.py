@@ -1,0 +1,353 @@
+"""Flash-attention backward pass: dQ and dK/dV Pallas kernels + custom_vjp.
+
+The reference is forward-only (SURVEY.md section 0: "no backward pass");
+training support is part of generalizing it into a framework.  Standard
+flash backward from the saved softmax statistics (l, m) — the same residuals
+the forward already exports for ring attention:
+
+With LSE_i = m_i + log l_i and P_ij = exp(scale * q_i . k_j - LSE_i):
+  dV_j = sum_i P_ij dO_i
+  dP_ij = dO_i . V_j
+  dS_ij = P_ij * (dP_ij - D_i) * scale,   D_i = dO_i . O_i
+  dQ_i = sum_j dS_ij K_j
+  dK_j = sum_i dS_ij Q_i
+
+Two kernels with opposite iteration orders (dQ accumulates over KV blocks per
+Q block; dK/dV accumulate over Q blocks per KV block), mirroring the
+structure of JAX's reference implementation but built on this repo's forward
+conventions (q_offset decode alignment, reference-parity scale semantics).
+
+``attention_vjp`` is the differentiable entry: forward = the fused forward
+kernel saving (o, lse); backward = these kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flashattention_tpu.ops.flash import (
+    BlockSizes,
+    _mm_precision,
+    flash_attention,
+)
+from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
+
+__all__ = ["flash_attention_bwd", "attention_vjp"]
+
+NUM_LANES = 128
+
+
+def _masks(s_shape, q_start, kv_start, causal, kv_len, q_offset):
+    mask = None
+    if causal:
+        row_ids = q_offset + q_start + jax.lax.broadcasted_iota(jnp.int32, s_shape, 0)
+        col_ids = kv_start + jax.lax.broadcasted_iota(jnp.int32, s_shape, 1)
+        mask = col_ids <= row_ids
+    if kv_len is not None:
+        col_ids = kv_start + jax.lax.broadcasted_iota(jnp.int32, s_shape, 1)
+        len_mask = col_ids < kv_len
+        mask = len_mask if mask is None else (mask & len_mask)
+    return mask
+
+
+def _dq_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    do_ref,
+    lse_ref,
+    di_ref,
+    dq_ref,
+    dq_scratch,
+    *,
+    causal,
+    scale,
+    kv_len,
+    q_offset,
+    num_kv_blocks,
+):
+    q_idx, kv_idx = pl.program_id(1), pl.program_id(2)
+    block_q = q_ref.shape[1]
+    block_kv = k_ref.shape[1]
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scratch[...] = jnp.zeros_like(dq_scratch)
+
+    if causal:
+        should_run = (q_offset + (q_idx + 1) * block_q - 1) >= (kv_idx * block_kv)
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, None]  # (bq, 1)
+        di = di_ref[0, 0][:, None]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mm_precision(q.dtype),
+        )
+        if scale != 1.0:
+            s = s * scale
+        mask = _masks(s.shape, q_idx * block_q, kv_idx * block_kv, causal, kv_len, q_offset)
+        if mask is not None:
+            s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+        p = jnp.exp(s - lse)  # (bq, bkv)
+
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mm_precision(v.dtype),
+        )
+        ds = p * (dp - di) * scale
+        dq_scratch[...] += jax.lax.dot(
+            ds.astype(k.dtype), k,
+            preferred_element_type=jnp.float32,
+            precision=_mm_precision(k.dtype),
+        )
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _epilogue():
+        dq_ref[0] = dq_scratch[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    do_ref,
+    lse_ref,
+    di_ref,
+    dk_ref,
+    dv_ref,
+    dk_scratch,
+    dv_scratch,
+    *,
+    causal,
+    scale,
+    kv_len,
+    q_offset,
+    num_q_blocks,
+):
+    kv_idx, q_idx = pl.program_id(1), pl.program_id(2)
+    block_q = q_ref.shape[1]
+    block_kv = k_ref.shape[1]
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scratch[...] = jnp.zeros_like(dk_scratch)
+        dv_scratch[...] = jnp.zeros_like(dv_scratch)
+
+    if causal:
+        # Q blocks entirely above the diagonal contribute nothing to this KV
+        # block (their masked P is zero).
+        should_run = (q_offset + (q_idx + 1) * block_q - 1) >= (kv_idx * block_kv)
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, None]
+        di = di_ref[0, 0][:, None]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mm_precision(q.dtype),
+        )
+        if scale != 1.0:
+            s = s * scale
+        mask = _masks(s.shape, q_idx * block_q, kv_idx * block_kv, causal, kv_len, q_offset)
+        if mask is not None:
+            s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+        p = jnp.exp(s - lse)  # (bq, bkv)
+
+        # dV_j = sum_i P_ij dO_i  -> P^T @ dO
+        dv_scratch[...] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mm_precision(v.dtype),
+        )
+        ds = p * (dp - di) * scale  # (bq, bkv)
+        # dK_j = sum_i dS_ij Q_i  -> dS^T @ Q
+        dk_scratch[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_mm_precision(q.dtype),
+        )
+
+    @pl.when(q_idx == num_q_blocks - 1)
+    def _epilogue():
+        dk_ref[0] = dk_scratch[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[...].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "scale", "block_sizes", "kv_len", "q_offset", "interpret"),
+)
+def flash_attention_bwd(
+    q,
+    k,
+    v,
+    o,
+    lse,
+    do,
+    *,
+    causal=False,
+    scale=1.0,
+    block_sizes: BlockSizes | None = None,
+    kv_len=None,
+    q_offset=0,
+    interpret=None,
+):
+    """dQ, dK, dV from saved output + logsumexp residuals.
+
+    q, do, o: (BH, S_q, d); k, v: (BH, S_kv, d); lse: (BH, S_q) float32 with
+    lse = m + log(l) in the forward's statistics.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bh, s_q, d = q.shape
+    s_kv = k.shape[1]
+    if block_sizes is None:
+        block_sizes = BlockSizes.fit(s_q, s_kv, d)
+    bq, bkv = block_sizes.block_q, block_sizes.block_kv
+    if s_q % bq or s_kv % bkv:
+        raise ValueError(
+            f"sequence lengths ({s_q}, {s_kv}) must be multiples of blocks ({bq}, {bkv})"
+        )
+    num_q, num_kv = s_q // bq, s_kv // bkv
+
+    di = jnp.sum(
+        o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1
+    )  # (BH, S_q), shared by both kernels (~ the reference guide's di)
+    lse3 = lse[:, None, :]  # (BH, 1, S_q) for sublane-legal blocks
+    di3 = di[:, None, :]
+
+    row_specs = [
+        pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),  # q
+        pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),  # k
+        pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),  # v
+        pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),  # do
+        pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),  # lse
+        pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),  # di
+    ]
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel,
+            causal=causal,
+            scale=scale,
+            kv_len=kv_len,
+            q_offset=q_offset,
+            num_kv_blocks=num_kv,
+        ),
+        grid=(bh, num_q, num_kv),
+        in_specs=row_specs,
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse3, di3)
+
+    kv_specs = [
+        pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),  # q
+        pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),  # k
+        pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),  # v
+        pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),  # do
+        pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i)),  # lse
+        pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i)),  # di
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel,
+            causal=causal,
+            scale=scale,
+            kv_len=kv_len,
+            q_offset=q_offset,
+            num_q_blocks=num_q,
+        ),
+        grid=(bh, num_kv, num_q),
+        in_specs=kv_specs,
+        out_specs=[
+            pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s_kv, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, s_kv, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bkv, d), jnp.float32),
+            pltpu.VMEM((bkv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, do, lse3, di3)
+    return dq, dk, dv
+
+
+# ── differentiable public op ─────────────────────────────────────────────────
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def attention_vjp(
+    q,
+    k,
+    v,
+    causal: bool = False,
+    scale: float = 1.0,
+    block_sizes: BlockSizes | None = None,
+    interpret: bool | None = None,
+):
+    """Differentiable fused attention on (BH, S, d) (block-aligned shapes)."""
+    return flash_attention(
+        q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
+        interpret=interpret,
+    )
+
+
+def _vjp_fwd(q, k, v, causal, scale, block_sizes, interpret):
+    o, l, m = flash_attention(
+        q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
+        save_residuals=True, interpret=interpret,
+    )
+    lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+    return o, (q, k, v, o, lse)
+
+
+def _vjp_bwd(causal, scale, block_sizes, interpret, res, do):
+    q, k, v, o, lse = res
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, o, lse, do,
+        causal=causal, scale=scale, block_sizes=block_sizes, interpret=interpret,
+    )
+    return dq, dk, dv
+
+
+attention_vjp.defvjp(_vjp_fwd, _vjp_bwd)

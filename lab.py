@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Kernel lab: the attention-implementation ladder behind one benchmark CLI.
+
+TPU-native equivalent of the vendored llm.c kernel lab
+(``/root/reference/src/llm.c/attention_forward.cu``, versions 1-6 selected by
+argv, validated against a CPU golden then benchmarked per block size,
+``:1247-1304``).  Our ladder (oldest idea -> this repo's kernel):
+
+  1  naive-xla      materialize the (S, S) scores matrix in jnp (~ llm.c v1)
+  2  xla-sdpa       jax.nn.dot_product_attention, XLA's fused path (~ v3 cuBLAS)
+  3  naive-pallas   whole-KV-stripe Pallas kernel (~ v2 flash-minimal)
+  4  flash          the tuned two-level-tiled flash kernel (~ v6, this repo's)
+  5  flash-int8     flash with int8 KV + fused in-kernel dequant (north star)
+
+Usage: python lab.py <kernel_num> [--batch ...]   (like `attention_forward 4`)
+Validates vs the fp32 jnp golden at tol 1e-4 (fp32) across block-size configs,
+then benchmarks each config (~ llm.c main, block sizes {32..512} -> our
+block_q/block_kv sweep).
+"""
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from flashattention_tpu.ops.dispatch import attention
+from flashattention_tpu.ops.flash import BlockSizes, flash_attention, flash_attention_naive
+from flashattention_tpu.ops.quant import attention_quantized, quantize_kv
+from flashattention_tpu.ops.reference import attention_reference
+from flashattention_tpu.utils.benchit import attention_flops, devtime_ms
+from flashattention_tpu.utils.testing import make_random, max_abs_err
+
+BLOCK_CONFIGS = [  # ~ llm.c's block_size sweep {32, 64, 128, 256, 512}
+    BlockSizes(128, 128, 128),
+    BlockSizes(128, 256, 256),
+    BlockSizes(256, 512, 256),
+    BlockSizes(256, 1024, 512),
+    BlockSizes(512, 1024, 512),
+]
+
+
+def naive_xla(q, k, v, causal, scale):
+    # Deliberately materializes the scores matrix (the llm.c v1 baseline).
+    s = jnp.einsum("bqd,bkd->bqk", q, k).astype(jnp.float32) * scale
+    if causal:
+        mask = jnp.tril(jnp.ones(s.shape[-2:], bool))
+        s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", p.astype(q.dtype), v)
+
+
+def xla_sdpa(q, k, v, causal, scale):
+    # jax.nn.dot_product_attention wants (B, S, H, d); fold BH -> (BH, S, 1, d).
+    qe, ke, ve = (x[:, :, None, :] for x in (q, k, v))
+    o = jax.nn.dot_product_attention(qe, ke, ve, scale=scale, is_causal=causal)
+    return o[:, :, 0, :]
+
+
+def build(kernel_num, causal, scale, blocks, kq=None, vq=None):
+    if kernel_num == 1:
+        return lambda q, k, v: naive_xla(q, k, v, causal, scale)
+    if kernel_num == 2:
+        return lambda q, k, v: xla_sdpa(q, k, v, causal, scale)
+    if kernel_num == 3:
+        return lambda q, k, v: flash_attention_naive(q, k, v, causal=causal, scale=scale)
+    if kernel_num == 4:
+        return lambda q, k, v: flash_attention(
+            q, k, v, causal=causal, scale=scale, block_sizes=blocks
+        )
+    if kernel_num == 5:
+        return lambda q, k, v: attention_quantized(
+            q, kq, vq, causal=causal, scale=scale, block_sizes=blocks
+        )
+    raise SystemExit(f"unknown kernel {kernel_num}; choose 1-5")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("kernel_num", type=int, nargs="?", default=4)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--n_head", type=int, default=16)
+    p.add_argument("--seq_len", type=int, default=1024)
+    p.add_argument("--d", type=int, default=64)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("--masking", action="store_true")
+    p.add_argument("--scale", type=float, default=1.0)
+    args = p.parse_args()
+
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
+    bh = args.batch * args.n_head
+    ks = jax.random.split(jax.random.key(0), 3)
+    q, k, v = (make_random(kk, (bh, args.seq_len, args.d), dtype) for kk in ks)
+    kq = vq = None
+    if args.kernel_num == 5:
+        kq, vq = quantize_kv(k, v, "int8")
+
+    golden = attention_reference(q, k, v, causal=args.masking, scale=args.scale)
+    flops = attention_flops(bh, args.seq_len, args.seq_len, args.d, causal=args.masking)
+    # int8 / bf16 paths get the reference's public-gate tolerance; fp32 dense
+    # kernels get the kernel-lab 1e-4 gate (~ attention_forward.cu:1262).
+    tol = 1e-4 if (dtype == jnp.float32 and args.kernel_num not in (5,)) else 5e-2
+
+    sweeps = BLOCK_CONFIGS if args.kernel_num in (4, 5) else [None]
+    sweeps = [
+        b
+        for b in sweeps
+        if b is None
+        or (args.seq_len % b.block_q == 0 and args.seq_len % b.block_kv == 0)
+    ]
+    for blocks in sweeps:
+        fn = build(args.kernel_num, args.masking, args.scale, blocks, kq, vq)
+        out = jax.jit(fn)(q, k, v)
+        err = max_abs_err(out.astype(jnp.float32), golden)
+        status = "OK" if err <= tol else "FAIL"
+        ms = devtime_ms(fn, (q, k, v))
+        print(
+            json.dumps(
+                {
+                    "kernel": args.kernel_num,
+                    "blocks": str(blocks) if blocks else "-",
+                    "max_abs_err": float(err),
+                    "tol": tol,
+                    "valid": status,
+                    "ms": round(ms, 3),
+                    "tflops_per_s": round(flops / ms / 1e9, 2),
+                }
+            )
+        )
+        if status == "FAIL":
+            sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Backward-pass differential tests: Pallas flash backward vs jnp autodiff."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flashattention_tpu.ops.backward import attention_vjp, flash_attention_bwd
+from flashattention_tpu.ops.flash import BlockSizes
+from flashattention_tpu.ops.reference import attention_reference
+from flashattention_tpu.utils.testing import make_random, validate_result
+
+BLOCKS = BlockSizes(128, 128, 128)
+TOL = 5e-4  # grad accumulation tolerance, fp32
+
+
+def qkv(shape, seed=0):
+    ks = jax.random.split(jax.random.key(seed), 4)
+    return tuple(make_random(k, shape) for k in ks)
+
+
+def loss_ref(q, k, v, causal, scale, t):
+    o = attention_reference(q, k, v, causal=causal, scale=scale)
+    return jnp.sum(o * t)
+
+
+def loss_flash(q, k, v, causal, scale, t):
+    o = attention_vjp(q, k, v, causal, scale, BLOCKS)
+    return jnp.sum(o * t)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("scale", [1.0, 0.125])
+def test_grads_match_autodiff(causal, scale):
+    q, k, v, t = qkv((2, 256, 64), seed=1)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v, causal, scale, t)
+    g_fl = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v, causal, scale, t)
+    for name, a, b in zip("qkv", g_fl, g_ref):
+        validate_result(a, b, TOL, name=f"d{name}")
+
+
+def test_grads_head_dim_32():
+    q, k, v, t = qkv((3, 128, 32), seed=2)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v, True, 1.0, t)
+    g_fl = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v, True, 1.0, t)
+    for name, a, b in zip("qkv", g_fl, g_ref):
+        validate_result(a, b, TOL, name=f"d{name}")
+
+
+def test_bwd_kernel_direct():
+    # Exercise flash_attention_bwd directly against autodiff of the oracle.
+    from flashattention_tpu.ops.flash import flash_attention
+
+    q, k, v, t = qkv((2, 128, 64), seed=3)
+    o, l, m = flash_attention(
+        q, k, v, causal=True, save_residuals=True, block_sizes=BLOCKS
+    )
+    lse = m + jnp.log(l)
+    do = t
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, o, lse, do, causal=True, block_sizes=BLOCKS
+    )
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v, True, 1.0, t)
+    validate_result(dq, g_ref[0], TOL, name="dq")
+    validate_result(dk, g_ref[1], TOL, name="dk")
+    validate_result(dv, g_ref[2], TOL, name="dv")
+
+
+def test_value_and_grad_bf16():
+    ks = jax.random.split(jax.random.key(4), 4)
+    q, k, v, t = (make_random(kk, (2, 256, 64), jnp.bfloat16) for kk in ks)
+    val, grads = jax.value_and_grad(loss_flash, argnums=(0, 1, 2))(
+        q, k, v, True, 0.125, t
+    )
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v, True, 0.125, t)
+    for name, a, b in zip("qkv", grads, g_ref):
+        validate_result(
+            a.astype(jnp.float32), b.astype(jnp.float32), 5e-2, name=f"d{name}"
+        )
