@@ -1,0 +1,6 @@
+from flashattention_tpu.models.transformer import (
+    ModelConfig,
+    decode_step,
+    init_params,
+    prefill,
+)

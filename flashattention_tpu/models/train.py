@@ -1,0 +1,159 @@
+"""Sharded training step: DP x TP over a mesh, differentiable flash kernels.
+
+The reference has no training story (forward-only kernels, SURVEY.md
+section 0); this provides the framework's training path: a causal-LM loss
+through the transformer with ``attention_vjp`` (the custom-vjp fused kernel,
+ops/backward.py), sharded with ``jax.shard_map``:
+
+- **DP** (axis "dp"): batch sharded; gradients ``pmean``-ed across the axis.
+- **TP** (axis "tp"): attention heads and MLP intermediate sharded Megatron-
+  style — wq/wk/wv/w_gate/w_up column-sharded, wo/w_down row-sharded, one
+  ``psum`` after each row-sharded matmul.  The attention itself runs on local
+  heads only (zero communication), exactly the head-parallel layout the
+  reference's caller convention folds into batch.
+- **SP** (sequence parallelism / ring attention) lives in the serving path
+  (parallel/ring.py); PP/EP are N/A at this model scope (attention-only
+  reference).
+
+GQA note: TP degree must divide num_kv_heads (each device keeps whole KV
+groups co-located with their Q heads).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flashattention_tpu.models.transformer import (
+    ModelConfig,
+    _mlp,
+    _qkv,
+    _rmsnorm,
+    init_params,
+)
+from flashattention_tpu.ops.backward import attention_vjp
+from flashattention_tpu.ops.flash import BlockSizes
+
+__all__ = ["param_specs", "shard_params", "make_train_step"]
+
+
+def param_specs(cfg: ModelConfig, tp: str = "tp") -> dict:
+    """PartitionSpecs: Megatron column/row sharding over the tp axis."""
+    layer = {
+        "attn_norm": P(),
+        "wq": P(None, tp),
+        "wk": P(None, tp),
+        "wv": P(None, tp),
+        "wo": P(tp, None),
+        "mlp_norm": P(),
+        "w_gate": P(None, tp),
+        "w_up": P(None, tp),
+        "w_down": P(tp, None),
+    }
+    return {
+        "embed": P(),
+        "final_norm": P(),
+        "lm_head": P(),
+        "layers": [dict(layer) for _ in range(cfg.num_layers)],
+    }
+
+
+def shard_params(params, mesh: Mesh, cfg: ModelConfig, tp: str = "tp"):
+    specs = param_specs(cfg, tp)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
+        is_leaf=lambda x: isinstance(x, jax.Array),
+    )
+
+
+def _forward_local(params, tokens, cfg: ModelConfig, tp_size: int, tp_axis: str):
+    """Per-device forward on the local TP shard of heads/intermediate.
+
+    tokens: local (B_local, S). Weights arrive column/row-sharded; attention
+    runs on num_q_heads/tp local heads through the differentiable fused
+    kernel; a single psum finishes each row-sharded projection.
+    """
+    b, s = tokens.shape
+    hq_local = cfg.num_q_heads // tp_size
+    hkv_local = cfg.num_kv_heads // tp_size
+    g = cfg.num_q_heads // cfg.num_kv_heads
+    x = params["embed"][tokens]
+    positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+    local_cfg_heads = (hq_local, hkv_local)
+    for layer in params["layers"]:
+        h = _rmsnorm(x, layer["attn_norm"])
+        q = (h @ layer["wq"]).reshape(b, s, hq_local, cfg.head_dim)
+        k = (h @ layer["wk"]).reshape(b, s, hkv_local, cfg.head_dim)
+        v = (h @ layer["wv"]).reshape(b, s, hkv_local, cfg.head_dim)
+        from flashattention_tpu.models.transformer import _rope
+
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+        if g > 1:
+            k = jnp.repeat(k, g, axis=2)
+            v = jnp.repeat(v, g, axis=2)
+        qf = q.transpose(0, 2, 1, 3).reshape(b * hq_local, s, cfg.head_dim)
+        kf = k.transpose(0, 2, 1, 3).reshape(b * hq_local, s, cfg.head_dim)
+        vf = v.transpose(0, 2, 1, 3).reshape(b * hq_local, s, cfg.head_dim)
+        o = attention_vjp(qf, kf, vf, True, cfg.head_dim**-0.5, None, None)
+        o = (
+            o.reshape(b, hq_local, s, cfg.head_dim)
+            .transpose(0, 2, 1, 3)
+            .reshape(b, s, hq_local * cfg.head_dim)
+        )
+        # Row-sharded output projection: local partial sum + psum over tp.
+        attn_out = jax.lax.psum(o @ layer["wo"], tp_axis)
+        x = x + attn_out
+        mlp_out = jax.lax.psum(
+            _mlp(_rmsnorm(x, layer["mlp_norm"]), layer), tp_axis
+        )
+        x = x + mlp_out
+    x = _rmsnorm(x, params["final_norm"])
+    return x @ params["lm_head"]
+
+
+def make_train_step(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    *,
+    dp: str = "dp",
+    tp: str = "tp",
+    lr: float = 1e-3,
+):
+    """Jitted (params, tokens) -> (loss, new_params) SGD step over the mesh.
+
+    tokens: (B, S) int32 sharded over dp; params sharded per param_specs.
+    Next-token causal-LM cross-entropy; grads pmean-ed over dp.
+    """
+    tp_size = mesh.shape[tp]
+    if cfg.num_kv_heads % tp_size:
+        raise ValueError(
+            f"tp={tp_size} must divide num_kv_heads={cfg.num_kv_heads}"
+        )
+    specs = param_specs(cfg, tp)
+
+    def local_step(params, tokens):
+        def loss_fn(params):
+            logits = _forward_local(params, tokens, cfg, tp_size, tp)
+            targets = tokens[:, 1:]
+            logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+            return jnp.mean(nll)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss = jax.lax.pmean(loss, dp)
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, dp), grads)
+        new_params = jax.tree.map(lambda p, g: p - lr * g.astype(p.dtype), params, grads)
+        return loss, new_params
+
+    step = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(specs, P(dp, None)),
+        out_specs=(P(), specs),
+        check_vma=False,
+    )
+    return jax.jit(step)
