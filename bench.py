@@ -5,6 +5,13 @@ Metric: forward-attention latency at the reference's headline config
 RTX 3060 number is 119 ms).  ``vs_baseline`` is the speedup over that number
 (>1 is better than the reference).
 
+The headline times the framework's *default* fp32 path (precision="bf16_3x",
+max-abs-err ~1.3e-5 vs the fp32 oracle — inside the reference's strict 1e-4
+kernel-lab gate, ``src/llm.c/attention_forward.cu:1262``).  Secondary keys
+report the fast fp32 mode ("bf16", err ~8e-3, inside the reference's public
+allclose gate atol=1e-1, ``bench_flashattention.py:74``) and the native bf16
+path (the production serving dtype).
+
 Timing method: chained fori_loop under a single jit with forced host readback
 and a two-point slope — robust to remote-dispatch per-call overhead (the plain
 per-call wall clock on a tunneled TPU is dominated by network round trips).
@@ -22,16 +29,31 @@ from flashattention_tpu.utils.testing import make_random
 BASELINE_MS = 119.0  # reference "Ours" on RTX 3060, README.md:11
 B, H, D, S = 2, 8, 64, 8192
 DTYPE = jnp.float32  # the reference benchmarks FP32
-BLOCKS = BlockSizes(512, 1024, 512)  # tuned on v5e (scripts/tune_flash.py)
+# Tuned on TPU v5e (scripts/tune_flash.py): 3-pass fp32 fits VMEM at bq=512;
+# 1-pass modes run bq=1024.
+BLOCKS_3X = BlockSizes(512, 2048, 2048)
+BLOCKS_1X = BlockSizes(1024, 2048, 2048)
 
 
 def main():
     ks = jax.random.split(jax.random.key(0), 3)
     q, k, v = (make_random(kk, (B * H, S, D), DTYPE) for kk in ks)
-    ms = devtime_ms(
-        lambda q, k, v: flash_attention(q, k, v, block_sizes=BLOCKS), (q, k, v)
-    )
     flops = attention_flops(B * H, S, S, D)
+
+    ms = devtime_ms(
+        lambda q, k, v: flash_attention(q, k, v, block_sizes=BLOCKS_3X), (q, k, v)
+    )
+    ms_fast = devtime_ms(
+        lambda q, k, v: flash_attention(
+            q, k, v, precision="bf16", block_sizes=BLOCKS_1X
+        ),
+        (q, k, v),
+    )
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    ms_bf16 = devtime_ms(
+        lambda q, k, v: flash_attention(q, k, v, block_sizes=BLOCKS_1X),
+        (qb, kb, vb),
+    )
     print(
         json.dumps(
             {
@@ -40,6 +62,10 @@ def main():
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / ms, 2),
                 "tflops_per_s": round(flops / ms / 1e9, 1),
+                "fp32_fast_ms": round(ms_fast, 3),
+                "fp32_fast_tflops_per_s": round(flops / ms_fast / 1e9, 1),
+                "bf16_ms": round(ms_bf16, 3),
+                "bf16_tflops_per_s": round(flops / ms_bf16 / 1e9, 1),
             }
         )
     )

@@ -32,8 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from flashattention_tpu.ops.flash import (
     BlockSizes,
-    _mm_precision,
+    _dot_g,
     flash_attention,
+    resolve_precision,
 )
 from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
 
@@ -70,6 +71,7 @@ def _dq_kernel(
     kv_len,
     q_offset,
     num_kv_blocks,
+    precision,
 ):
     q_idx, kv_idx = pl.program_id(1), pl.program_id(2)
     block_q = q_ref.shape[1]
@@ -93,11 +95,7 @@ def _dq_kernel(
         lse = lse_ref[0, 0][:, None]  # (bq, 1)
         di = di_ref[0, 0][:, None]
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_mm_precision(q.dtype),
-        )
+        s = _dot_g(q, k, (((1,), (1,)), ((), ())), precision)
         if scale != 1.0:
             s = s * scale
         mask = _masks(s.shape, q_idx * block_q, kv_idx * block_kv, causal, kv_len, q_offset)
@@ -105,17 +103,9 @@ def _dq_kernel(
             s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
         p = jnp.exp(s - lse)  # (bq, bkv)
 
-        dp = jax.lax.dot_general(
-            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_mm_precision(v.dtype),
-        )
+        dp = _dot_g(do, v, (((1,), (1,)), ((), ())), precision)
         ds = p * (dp - di) * scale
-        dq_scratch[...] += jax.lax.dot(
-            ds.astype(k.dtype), k,
-            preferred_element_type=jnp.float32,
-            precision=_mm_precision(k.dtype),
-        )
+        dq_scratch[...] += _dot_g(ds, k, (((1,), (0,)), ((), ())), precision)
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _epilogue():
@@ -139,6 +129,7 @@ def _dkv_kernel(
     kv_len,
     q_offset,
     num_q_blocks,
+    precision,
 ):
     kv_idx, q_idx = pl.program_id(1), pl.program_id(2)
     block_q = q_ref.shape[1]
@@ -165,11 +156,7 @@ def _dkv_kernel(
         lse = lse_ref[0, 0][:, None]
         di = di_ref[0, 0][:, None]
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_mm_precision(q.dtype),
-        )
+        s = _dot_g(q, k, (((1,), (1,)), ((), ())), precision)
         if scale != 1.0:
             s = s * scale
         mask = _masks(s.shape, q_idx * block_q, kv_idx * block_kv, causal, kv_len, q_offset)
@@ -178,22 +165,11 @@ def _dkv_kernel(
         p = jnp.exp(s - lse)  # (bq, bkv)
 
         # dV_j = sum_i P_ij dO_i  -> P^T @ dO
-        dv_scratch[...] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp = jax.lax.dot_general(
-            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_mm_precision(v.dtype),
-        )
+        dv_scratch[...] += _dot_g(p, do, (((0,), (0,)), ((), ())), precision)
+        dp = _dot_g(do, v, (((1,), (1,)), ((), ())), precision)
         ds = p * (dp - di) * scale  # (bq, bkv)
         # dK_j = sum_i dS_ij Q_i  -> dS^T @ Q
-        dk_scratch[...] += jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_mm_precision(q.dtype),
-        )
+        dk_scratch[...] += _dot_g(ds, q, (((0,), (0,)), ((), ())), precision)
 
     @pl.when(q_idx == num_q_blocks - 1)
     def _epilogue():
@@ -203,7 +179,10 @@ def _dkv_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_sizes", "kv_len", "q_offset", "interpret"),
+    static_argnames=(
+        "causal", "scale", "block_sizes", "kv_len", "q_offset", "precision",
+        "interpret",
+    ),
 )
 def flash_attention_bwd(
     q,
@@ -218,6 +197,7 @@ def flash_attention_bwd(
     block_sizes: BlockSizes | None = None,
     kv_len=None,
     q_offset=0,
+    precision: str | None = None,
     interpret=None,
 ):
     """dQ, dK, dV from saved output + logsumexp residuals.
@@ -229,8 +209,9 @@ def flash_attention_bwd(
         interpret = jax.default_backend() != "tpu"
     bh, s_q, d = q.shape
     s_kv = k.shape[1]
+    precision = resolve_precision(precision, q.dtype)
     if block_sizes is None:
-        block_sizes = BlockSizes.fit(s_q, s_kv, d)
+        block_sizes = BlockSizes.fit(s_q, s_kv, d, precision)
     bq, bkv = block_sizes.block_q, block_sizes.block_kv
     if s_q % bq or s_kv % bkv:
         raise ValueError(
@@ -261,6 +242,7 @@ def flash_attention_bwd(
             kv_len=kv_len,
             q_offset=q_offset,
             num_kv_blocks=num_kv,
+            precision=precision,
         ),
         grid=(bh, num_q, num_kv),
         in_specs=row_specs,
@@ -289,6 +271,7 @@ def flash_attention_bwd(
             kv_len=kv_len,
             q_offset=q_offset,
             num_q_blocks=num_q,
+            precision=precision,
         ),
         grid=(bh, num_kv, num_q),
         in_specs=kv_specs,
@@ -315,7 +298,7 @@ def flash_attention_bwd(
 # ── differentiable public op ─────────────────────────────────────────────────
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def attention_vjp(
     q,
     k,
@@ -323,29 +306,31 @@ def attention_vjp(
     causal: bool = False,
     scale: float = 1.0,
     block_sizes: BlockSizes | None = None,
+    precision: str | None = None,
     interpret: bool | None = None,
 ):
     """Differentiable fused attention on (BH, S, d) (block-aligned shapes)."""
     return flash_attention(
         q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
-        interpret=interpret,
+        precision=precision, interpret=interpret,
     )
 
 
-def _vjp_fwd(q, k, v, causal, scale, block_sizes, interpret):
+def _vjp_fwd(q, k, v, causal, scale, block_sizes, precision, interpret):
     o, l, m = flash_attention(
         q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
-        save_residuals=True, interpret=interpret,
+        save_residuals=True, precision=precision, interpret=interpret,
     )
     lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
     return o, (q, k, v, o, lse)
 
 
-def _vjp_bwd(causal, scale, block_sizes, interpret, res, do):
+def _vjp_bwd(causal, scale, block_sizes, precision, interpret, res, do):
     q, k, v, o, lse = res
     dq, dk, dv = flash_attention_bwd(
         q, k, v, o, lse, do,
-        causal=causal, scale=scale, block_sizes=block_sizes, interpret=interpret,
+        causal=causal, scale=scale, block_sizes=block_sizes,
+        precision=precision, interpret=interpret,
     )
     return dq, dk, dv
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from flashattention_tpu.ops import reference
-from flashattention_tpu.ops.flash import BlockSizes, flash_attention
+from flashattention_tpu.ops.flash import BlockSizes, flash_attention, resolve_precision
 
 __all__ = ["attention", "sdpa"]
 
@@ -42,6 +42,7 @@ def _round_up(x: int, m: int) -> int:
         "block_sizes",
         "save_residuals",
         "implementation",
+        "precision",
         "interpret",
     ),
 )
@@ -55,6 +56,7 @@ def attention(
     block_sizes: BlockSizes | None = None,
     save_residuals: bool = False,
     implementation: str = "pallas",
+    precision: str | None = None,
     interpret: bool | None = None,
 ):
     """Fused attention ``O = softmax(scale * Q K^T) V``.
@@ -69,6 +71,8 @@ def attention(
         (``src/flashattention.cu:586,593,600``); use :func:`sdpa` for 1/sqrt(d).
       implementation: "pallas" (tuned kernel), "xla" (jnp oracle, runs
         anywhere, also the autodiff-able fallback).
+      precision: matmul precision mode for fp32 inputs ("bf16" / "bf16_3x" /
+        "float32"); see :func:`ops.flash.flash_attention`.
       save_residuals: also return softmax stats ``(l, m)`` shaped like
         ``q[..., 0]`` — needed by ring attention and the backward pass.
 
@@ -100,7 +104,8 @@ def attention(
     elif implementation == "pallas":
         if block_sizes is None:
             block_sizes = BlockSizes.fit(
-                _round_up(s_q, 128), _round_up(s_kv, 128), d
+                _round_up(s_q, 128), _round_up(s_kv, 128), d,
+                resolve_precision(precision, q3.dtype),
             )
         bq, bkv = block_sizes.block_q, block_sizes.block_kv
         s_q_pad = _round_up(s_q, bq)
@@ -118,6 +123,7 @@ def attention(
             kv_len=s_kv if s_kv_pad != s_kv else None,
             q_offset=q_offset,
             save_residuals=True,
+            precision=precision,
             interpret=interpret,
         )
         o, l, m = out

@@ -20,6 +20,26 @@ TPU-native redesign of the reference's fused CUDA kernels:
   first-class outputs (``save_residuals=True``) because they are the
   cross-device ring-attention combiner state and the backward-pass residuals.
 
+TPU-specific optimizations (tuned on v5e, see scripts/tune_flash.py):
+
+- **MXU-computed softmax denominator**: for head_dim < 128 the PV matmul
+  wastes output lanes (the MXU always produces 128-lane tiles), so V is
+  extended with a ones-column — ``p @ [V | 1]`` yields PV *and* the row sum
+  ``l`` in one matmul, and the online rescale ``acc = alpha * acc + p @ V_ext``
+  updates both with the same recurrence.  This removes the VPU row-sum
+  reduction (~15% end-to-end on the S=8192 headline shape).
+- **Precision ladder** for fp32 inputs (the MXU is a bf16 engine; fp32
+  matmuls are emulated by multi-pass bf16):
+  ``"bf16"``      1 pass,  max-abs-err ~8e-3 on the reference headline shape
+                  (passes the reference's public allclose gate, atol=1e-1,
+                  ``bench_flashattention.py:74``);
+  ``"bf16_3x"``   3 passes via an explicit (hi, lo) bf16 split of each fp32
+                  operand (drops only the lo*lo term), err ~1.3e-5 (passes the
+                  reference's strict kernel-lab gate, 1e-4,
+                  ``src/llm.c/attention_forward.cu:1262``) — the default;
+  ``"float32"``   XLA HIGHEST (6 passes), bit-level fp32 dot, err ~1.6e-6.
+  bf16 inputs always run the MXU natively (1 pass).
+
 Numerics: QK^T and PV accumulate in float32 (``preferred_element_type``) with
 float32 (m, l, acc) state, matching the reference's fp32-throughout behavior
 while allowing bf16 inputs on the MXU.
@@ -38,10 +58,74 @@ from jax.experimental.pallas import tpu as pltpu
 
 from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
 
-__all__ = ["BlockSizes", "flash_attention", "flash_attention_naive"]
+__all__ = [
+    "BlockSizes",
+    "flash_attention",
+    "flash_attention_naive",
+    "PRECISIONS",
+    "resolve_precision",
+]
 
 NUM_LANES = 128
 MIN_BLOCK = 128
+
+PRECISIONS = ("bf16", "bf16_3x", "float32")
+
+
+def resolve_precision(precision: str | None, dtype) -> str:
+    """Resolve the matmul precision mode for the given input dtype.
+
+    ``None``/"auto" -> "bf16_3x" for fp32 inputs (meets the reference's 1e-4
+    kernel-lab tolerance at ~2x the speed of exact fp32), "bf16" for sub-fp32
+    inputs (native MXU rate).  Sub-fp32 inputs always resolve to "bf16": the
+    multi-pass emulations only exist to recover fp32 operand precision.
+    """
+    if precision in (None, "auto"):
+        return "bf16_3x" if dtype == jnp.float32 else "bf16"
+    if precision not in PRECISIONS:
+        raise ValueError(f"precision must be one of {PRECISIONS}, got {precision!r}")
+    if dtype != jnp.float32:
+        return "bf16"
+    return precision
+
+
+def _split_bf16(x):
+    """fp32 -> (hi, lo) bf16 pair with x ~= hi + lo (error ~2^-16 relative)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_g(a, b, dims, mode, a_split=None, b_split=None):
+    """dot_general with the precision-mode ladder; fp32 accumulation always.
+
+    ``a_split``/``b_split`` let the caller hoist the (hi, lo) bf16 split of a
+    loop-invariant operand out of the hot loop (e.g. Q across KV tiles).
+    """
+    f = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    if mode == "float32":
+        return f(a, b, precision=jax.lax.Precision.HIGHEST)
+    if mode == "bf16":
+        return f(a, b, precision=jax.lax.Precision.DEFAULT)
+    # bf16_3x: split each fp32 operand; keep hi*hi + hi*lo + lo*hi.
+    if a.dtype == jnp.float32:
+        ah, al = a_split if a_split is not None else _split_bf16(a)
+    else:
+        ah, al = a, None
+    if b.dtype == jnp.float32:
+        bh, bl = b_split if b_split is not None else _split_bf16(b)
+    else:
+        bh, bl = b.astype(jnp.bfloat16), None
+    out = f(ah, bh)
+    if bl is not None:
+        out += f(ah, bl)
+    if al is not None:
+        out += f(al, bh)
+    return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,9 +142,9 @@ class BlockSizes:
       tile independently of HBM transfer granularity.
     """
 
-    block_q: int = 256
-    block_kv: int = 512
-    block_kv_compute: int = 256
+    block_q: int = 512
+    block_kv: int = 2048
+    block_kv_compute: int = 2048
 
     def __post_init__(self):
         if self.block_kv % self.block_kv_compute != 0:
@@ -74,37 +158,34 @@ class BlockSizes:
                 raise ValueError(f"{name} ({val}) must be a multiple of {MIN_BLOCK}")
 
     @classmethod
-    def fit(cls, s_q: int, s_kv: int, head_dim: int) -> "BlockSizes":
+    def fit(
+        cls,
+        s_q: int,
+        s_kv: int,
+        head_dim: int,
+        precision: str = "bf16",
+    ) -> "BlockSizes":
         """Pick defaults that divide the (padded) problem and fit VMEM.
 
-        Caps tuned empirically on TPU v5e (scripts/tune_flash.py): large
-        blocks amortize per-grid-step overhead; 512/1024/512 wins at S=8192.
+        Caps tuned empirically on TPU v5e (scripts/tune_flash.py).  Large
+        blocks amortize per-grid-step overhead; the VMEM budget for the fp32
+        scores tile (block_q x block_kv_compute) plus the multi-pass split
+        buffers bounds block_q: 1024 for 1-pass matmuls, 512 for 3/6-pass.
         """
         del head_dim
-        block_q = min(512, max(MIN_BLOCK, _round_up(s_q, MIN_BLOCK)))
+        max_bq = 1024 if precision == "bf16" else 512
+        block_q = min(max_bq, max(MIN_BLOCK, _round_up(s_q, MIN_BLOCK)))
         while s_q % block_q and block_q > MIN_BLOCK:
             block_q //= 2
-        block_kv = min(1024, max(MIN_BLOCK, _round_up(s_kv, MIN_BLOCK)))
+        block_kv = min(2048, max(MIN_BLOCK, _round_up(s_kv, MIN_BLOCK)))
         while s_kv % block_kv and block_kv > MIN_BLOCK:
             block_kv //= 2
-        block_kv_compute = min(block_kv, 512)
-        while block_kv % block_kv_compute and block_kv_compute > MIN_BLOCK:
-            block_kv_compute //= 2
+        block_kv_compute = block_kv
         return cls(block_q, block_kv, block_kv_compute)
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
-
-
-def _mm_precision(dtype) -> jax.lax.Precision:
-    # fp32 inputs need HIGHEST (multi-pass MXU) to hit the reference's 1e-4
-    # fp32 tolerance; bf16 inputs run the MXU natively at full rate.
-    return (
-        jax.lax.Precision.HIGHEST
-        if dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
 
 
 def _kernel(
@@ -120,7 +201,23 @@ def _kernel(
     num_kv_blocks: int,
     save_residuals: bool,
     quantized: bool,
+    lsum_mxu: bool,
+    head_dim: int,
+    precision: str,
 ):
+    """Grid = (batch*heads, num_q_blocks, num_kv_blocks); kv dim is sequential.
+
+    Per grid step: one (block_q, d) Q tile against one (block_kv, d) K/V tile,
+    with the online-softmax state (m, l, acc) carried in VMEM scratch across
+    the kv dimension — the same loop body as the reference's per-KV-block
+    iteration (``src/flashattention.cu:214-342``), with the MXU playing the
+    role of the TM x TN register tiles.
+
+    When ``lsum_mxu`` (head_dim < 128, unquantized), v_ref holds V extended to
+    128 lanes with a ones-column at ``head_dim``: the PV matmul then computes
+    the row-sum l in an otherwise-idle output lane and there is no l scratch —
+    acc[:, head_dim] IS l, updated by the same alpha-rescale recurrence.
+    """
     rest = list(rest)
     if quantized:
         # Per-token dequant scales for the int8/fp8 KV payloads; folded into
@@ -130,15 +227,12 @@ def _kernel(
     o_ref = rest.pop(0)
     if save_residuals:
         l_ref, m_ref = rest.pop(0), rest.pop(0)
-    m_scratch, l_scratch, acc_scratch = rest
-    """Grid = (batch*heads, num_q_blocks, num_kv_blocks); kv dim is sequential.
+    if lsum_mxu:
+        m_scratch, acc_scratch = rest
+        l_scratch = None
+    else:
+        m_scratch, l_scratch, acc_scratch = rest
 
-    Per grid step: one (block_q, d) Q tile against one (block_kv, d) K/V tile,
-    with the online-softmax state (m, l, acc) carried in VMEM scratch across
-    the kv dimension — the same loop body as the reference's per-KV-block
-    iteration (``src/flashattention.cu:214-342``), with the MXU playing the
-    role of the TM x TN register tiles.
-    """
     q_idx = pl.program_id(1)
     kv_idx = pl.program_id(2)
     block_q = q_ref.shape[1]
@@ -147,8 +241,9 @@ def _kernel(
     @pl.when(kv_idx == 0)
     def _init():
         m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
-        l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
+        if l_scratch is not None:
+            l_scratch[...] = jnp.zeros_like(l_scratch)
 
     if causal:
         # Run only if some element of this tile is at/below the diagonal:
@@ -161,6 +256,14 @@ def _kernel(
     @pl.when(should_run)
     def _run():
         q = q_ref[0]  # (block_q, d)
+        # Q's (hi, lo) split is KV-loop-invariant: hoist it (bf16_3x only).
+        q_split = (
+            _split_bf16(q)
+            if precision == "bf16_3x" and q.dtype == jnp.float32
+            else None
+        )
+        dims_nt = (((1,), (1,)), ((), ()))  # contract last dims (q . k^T)
+        dims_nn = (((1,), (0,)), ((), ()))  # plain matmul (p @ v)
         for start in range(0, block_kv, block_kv_compute):
             k = k_ref[0, start : start + block_kv_compute, :]
             if quantized:
@@ -169,15 +272,10 @@ def _kernel(
                 # the per-token scale into the score *columns* afterwards:
                 # s_ij = (q_i . k_j_payload) * k_scale_j.
                 k = k.astype(jnp.bfloat16)
-            s = jax.lax.dot_general(
-                q.astype(k.dtype) if quantized else q,
-                k,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_mm_precision(q.dtype),
-            )  # (block_q, block_kv_compute)
-            if quantized:
+                s = _dot_g(q.astype(jnp.bfloat16), k, dims_nt, "bf16")
                 s = s * k_scales_ref[0, :, start : start + block_kv_compute]
+            else:
+                s = _dot_g(q, k, dims_nt, precision, a_split=q_split)
             if scale != 1.0:
                 s = s * scale
 
@@ -203,39 +301,40 @@ def _kernel(
                 s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
 
             m_prev = m_scratch[:, 0:1]  # (block_q, 1) replicated state
-            l_prev = l_scratch[:, 0:1]
             m_curr = jnp.max(s, axis=1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp(m_prev - m_next)  # rescale of old state
             p = jnp.exp(s - m_next)
-            l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
-
             m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
-            l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
 
             v = v_ref[0, start : start + block_kv_compute, :]
             if quantized:
                 # Fold the V dequant scale into p (o_d = sum_j p_j*s_j*v_jd):
                 # one VPU row-scale instead of dequantizing the whole V tile.
                 v = v.astype(jnp.bfloat16)
-                p = p * v_scales_ref[0, :, start : start + block_kv_compute]
-            pv = jax.lax.dot(
-                p.astype(v.dtype),
-                v,
-                preferred_element_type=jnp.float32,
-                precision=_mm_precision(v.dtype),
-            )
+                p_scaled = p * v_scales_ref[0, :, start : start + block_kv_compute]
+                pv = _dot_g(p_scaled.astype(jnp.bfloat16), v, dims_nn, "bf16")
+            else:
+                pv = _dot_g(p, v, dims_nn, precision)
+            if l_scratch is not None:
+                l_next = alpha * l_scratch[:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
+                l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
             # Unnormalized accumulator; rescale old contribution by alpha and
             # divide by l once in the epilogue (~ src/flashattention.cu:346-354).
+            # Under lsum_mxu, column head_dim of pv is sum(p): l shares the
+            # recurrence.
             acc_scratch[...] = acc_scratch[...] * alpha + pv
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _epilogue():
-        l = l_scratch[:, 0:1]
+        if lsum_mxu:
+            l = acc_scratch[:, head_dim : head_dim + 1]
+        else:
+            l = l_scratch[:, 0:1]
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        o_ref[0] = (acc_scratch[:, :head_dim] * l_inv).astype(o_ref.dtype)
         if save_residuals:
-            l_ref[0] = l_scratch[...].astype(l_ref.dtype)
+            l_ref[0] = jnp.broadcast_to(l, l_ref.shape[1:]).astype(l_ref.dtype)
             m_ref[0] = m_scratch[...].astype(m_ref.dtype)
 
 
@@ -248,6 +347,7 @@ def _kernel(
         "kv_len",
         "q_offset",
         "save_residuals",
+        "precision",
         "interpret",
     ),
 )
@@ -264,6 +364,7 @@ def flash_attention(
     kv_len: int | None = None,
     q_offset: int = 0,
     save_residuals: bool = False,
+    precision: str | None = None,
     interpret: bool | None = None,
 ) -> Any:
     """Fused flash attention forward on (BH, S, d) tensors.
@@ -284,6 +385,9 @@ def flash_attention(
         pass ``d**-0.5`` for standard SDPA.
       kv_len: mask KV columns >= kv_len (ragged-tail support).
       save_residuals: also return (l, m) in float32, each (BH, S_q).
+      precision: matmul precision mode for fp32 inputs — "bf16" (1 MXU pass),
+        "bf16_3x" (default; 3-pass split, ~1e-5 error), "float32" (exact).
+        Ignored (native 1-pass) for bf16 inputs.  See the module docstring.
       interpret: run the Pallas interpreter (auto-on when not on TPU, so the
         same code path is testable on CPU meshes).
     """
@@ -305,9 +409,10 @@ def flash_attention(
                 f"scales must be (BH, S_kv)=({bh}, {s_kv}), got "
                 f"{k_scales.shape} / {v_scales.shape}"
             )
+    precision = resolve_precision(precision, q.dtype)
 
     if block_sizes is None:
-        block_sizes = BlockSizes.fit(s_q, s_kv, d)
+        block_sizes = BlockSizes.fit(s_q, s_kv, d, precision)
     bq, bkv = block_sizes.block_q, block_sizes.block_kv
     if s_q % bq or s_kv % bkv:
         raise ValueError(
@@ -319,6 +424,22 @@ def flash_attention(
     num_kv_blocks = s_kv // bkv
     grid = (bh, num_q_blocks, num_kv_blocks)
 
+    # MXU-computed l: extend V with a ones-column in an otherwise-idle output
+    # lane (see module docstring).  Disabled for quantized KV (the folded
+    # v_scales would pollute the ones-column sum) and for d >= 128 (no idle
+    # lanes — the extension would cost a second output tile).
+    lsum_mxu = (not quantized) and d < NUM_LANES
+    if lsum_mxu:
+        pad = jnp.zeros((bh, s_kv, NUM_LANES - d), v.dtype)
+        pad = pad.at[:, :, 0].set(jnp.ones((), v.dtype))
+        v_in = jnp.concatenate([v, pad], axis=-1)
+        v_width = NUM_LANES
+        acc_width = NUM_LANES
+    else:
+        v_in = v
+        v_width = d
+        acc_width = d
+
     kernel = functools.partial(
         _kernel,
         causal=causal,
@@ -329,6 +450,9 @@ def flash_attention(
         num_kv_blocks=num_kv_blocks,
         save_residuals=save_residuals,
         quantized=quantized,
+        lsum_mxu=lsum_mxu,
+        head_dim=d,
+        precision=precision,
     )
 
     out_shape = [jax.ShapeDtypeStruct((bh, s_q, d), q.dtype)]  # o
@@ -347,9 +471,9 @@ def flash_attention(
     in_specs = [
         pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),  # q: kv-invariant
         pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),  # k
-        pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),  # v
+        pl.BlockSpec((1, bkv, v_width), lambda b, i, j: (b, j, 0)),  # v (ext)
     ]
-    inputs = [q, k, v]
+    inputs = [q, k, v_in]
     if quantized:
         # (BH, 1, S) layout: TPU block sublane dim must divide 8 or equal the
         # array dim, so a middle singleton axis carries the "row" of scales.
@@ -359,6 +483,11 @@ def flash_attention(
         ]
         inputs += [k_scales[:, None, :], v_scales[:, None, :]]
 
+    scratch_shapes = [pltpu.VMEM((bq, NUM_LANES), jnp.float32)]  # m
+    if not lsum_mxu:
+        scratch_shapes.append(pltpu.VMEM((bq, NUM_LANES), jnp.float32))  # l
+    scratch_shapes.append(pltpu.VMEM((bq, acc_width), jnp.float32))  # acc
+
     # FLOPs: 2*S_q*S_kv*d for QK^T + 2*S_q*S_kv*d for PV, per batch*head.
     flops = 4 * bh * s_q * s_kv * d
     if causal:
@@ -366,7 +495,7 @@ def flash_attention(
     bytes_accessed = (
         q.size * q.dtype.itemsize
         + k.size * k.dtype.itemsize
-        + v.size * v.dtype.itemsize
+        + v_in.size * v_in.dtype.itemsize
         + q.size * q.dtype.itemsize
     )
 
@@ -376,11 +505,7 @@ def flash_attention(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((bq, NUM_LANES), jnp.float32),  # m
-            pltpu.VMEM((bq, NUM_LANES), jnp.float32),  # l
-            pltpu.VMEM((bq, d), jnp.float32),  # acc
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

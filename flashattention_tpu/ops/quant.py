@@ -118,6 +118,7 @@ def attention_quantized(
     kv_len: int | None = None,
     q_offset: int = 0,
     save_residuals: bool = False,
+    precision: str | None = None,
     interpret: bool | None = None,
 ) -> Any:
     """Flash attention over a quantized KV pair (fused in-kernel dequant)."""
@@ -133,5 +134,6 @@ def attention_quantized(
         kv_len=kv_len,
         q_offset=q_offset,
         save_residuals=save_residuals,
+        precision=precision,
         interpret=interpret,
     )
