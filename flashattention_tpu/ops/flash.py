@@ -468,18 +468,38 @@ def flash_attention(
             pl.BlockSpec((1, bq, NUM_LANES), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bq, NUM_LANES), lambda b, i, j: (b, i, 0)),
         ]
+    if causal:
+        # Above-diagonal KV blocks are skipped by ``pl.when`` in the kernel,
+        # but the BlockSpec pipeline would still DMA them from HBM.  Clamping
+        # the KV block index to the last needed block repeats the previous
+        # index for skipped steps, and Pallas elides the DMA for an unchanged
+        # block — the memory-system analog of the reference's whole-block
+        # skip (``src/flashattention.cu:434``).
+        def kv_block_index(i, j):
+            last = jnp.minimum(
+                num_kv_blocks - 1, (q_offset + (i + 1) * bq - 1) // bkv
+            )
+            return jnp.minimum(j, last)
+
+    else:
+
+        def kv_block_index(i, j):
+            return j
+
     in_specs = [
         pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),  # q: kv-invariant
-        pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),  # k
-        pl.BlockSpec((1, bkv, v_width), lambda b, i, j: (b, j, 0)),  # v (ext)
+        pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, kv_block_index(i, j), 0)),
+        pl.BlockSpec(
+            (1, bkv, v_width), lambda b, i, j: (b, kv_block_index(i, j), 0)
+        ),  # v (ext)
     ]
     inputs = [q, k, v_in]
     if quantized:
         # (BH, 1, S) layout: TPU block sublane dim must divide 8 or equal the
         # array dim, so a middle singleton axis carries the "row" of scales.
         in_specs += [
-            pl.BlockSpec((1, 1, bkv), lambda b, i, j: (b, 0, j)),  # k_scales
-            pl.BlockSpec((1, 1, bkv), lambda b, i, j: (b, 0, j)),  # v_scales
+            pl.BlockSpec((1, 1, bkv), lambda b, i, j: (b, 0, kv_block_index(i, j))),
+            pl.BlockSpec((1, 1, bkv), lambda b, i, j: (b, 0, kv_block_index(i, j))),
         ]
         inputs += [k_scales[:, None, :], v_scales[:, None, :]]
 
