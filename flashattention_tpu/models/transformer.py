@@ -207,14 +207,14 @@ def decode_step(
     params,
     tokens: jax.Array,  # (B,) int32 current tokens
     positions: jax.Array,  # (B,) int32 positions (= old length) of those tokens
-    k_pages: jax.Array,  # (L, KVH, P, ps, d), donated
+    k_pages: jax.Array,  # (L, P, KVH, ps, d) head-major, donated
     v_pages: jax.Array,  # donated
     lengths: jax.Array,  # (B,) int32 *including* the current token
     page_indices: jax.Array,  # (B, pages_per_seq)
     write_pages: jax.Array,  # (B,) physical page receiving this token's K/V
     write_slots: jax.Array,  # (B,) slot within that page
     cfg: ModelConfig,
-    k_scales: jax.Array | None = None,  # (L, KVH, P, ps) when quantized
+    k_scales: jax.Array | None = None,  # (L, P, KVH, ps) when quantized
     v_scales: jax.Array | None = None,
     pages_per_compute_block: int = 4,
     interpret=None,
@@ -245,19 +245,19 @@ def decode_step(
             # page/slot arrays are separated by a slice, so the broadcast
             # axes land at the *front*: target shape (B, KVH, ...) — exactly
             # the row layout, no transpose needed.
-            k_scales = k_scales.at[li, :, write_pages, write_slots].set(
+            k_scales = k_scales.at[li, write_pages, :, write_slots].set(
                 k_sc, mode="drop"
             )
-            v_scales = v_scales.at[li, :, write_pages, write_slots].set(
+            v_scales = v_scales.at[li, write_pages, :, write_slots].set(
                 v_sc, mode="drop"
             )
         else:
             k_pay = k_row.astype(k_pages.dtype)
             v_pay = v_row.astype(v_pages.dtype)
-        k_pages = k_pages.at[li, :, write_pages, write_slots, :].set(
+        k_pages = k_pages.at[li, write_pages, :, write_slots, :].set(
             k_pay, mode="drop"
         )
-        v_pages = v_pages.at[li, :, write_pages, write_slots, :].set(
+        v_pages = v_pages.at[li, write_pages, :, write_slots, :].set(
             v_pay, mode="drop"
         )
         # (B, 1, Hq, d) -> (B, KVH, G, d) grouped layout for the paged kernel.

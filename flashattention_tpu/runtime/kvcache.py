@@ -2,8 +2,10 @@
 
 The reference is stateless (SURVEY.md section 5: "Checkpoint/resume: none
 (stateless kernels)"); the KV cache is the state the north star adds.  Layout
-follows the decode kernel (``ops/decode.py``): a physical page pool per layer
-``(L, KVH, num_pages, page_size, d)`` in HBM, with one *logical page table
+follows the decode kernel (``ops/decode.py``): a *head-major* physical page
+pool per layer ``(L, num_pages, KVH, page_size, d)`` in HBM — one page spans
+all KV heads, which is what lets the decode kernel fetch a whole page per
+pipeline step and run at HBM speed of light — with one *logical page table
 shared by all layers* (vLLM-style), so a request's page list indexes every
 layer's pool identically.
 
@@ -31,7 +33,7 @@ class CacheConfig:
     num_layers: int
     num_kv_heads: int
     head_dim: int
-    page_size: int = 64
+    page_size: int = 128  # TPU sweet spot: a (KVH, 128, d) page per DMA
     num_pages: int = 1024
     dtype: str = "bfloat16"  # payload dtype: bfloat16 | float32 | int8 | fp8
 
@@ -65,17 +67,21 @@ def _bucket(n: int) -> int:
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _write_rows(pages, rows, page_ids, slot_ids):
-    """pages: (L, KVH, P, ps, d); rows: (L, T, KVH, d) -> scatter at
-    [:, :, page_ids[t], slot_ids[t], :]; OOB page_ids are dropped (padding)."""
-    rows = jnp.moveaxis(rows, 2, 1).astype(pages.dtype)  # (L, KVH, T, d)
-    return pages.at[:, :, page_ids, slot_ids, :].set(rows, mode="drop")
+    """pages: (L, P, KVH, ps, d); rows: (L, T, KVH, d) -> scatter at
+    [:, page_ids[t], :, slot_ids[t], :]; OOB page_ids are dropped (padding).
+
+    Advanced-indexing note: the (T,) page/slot index arrays are separated by
+    the KVH slice, so the broadcast axis lands at the *front*: values must be
+    (T, L, KVH, d)."""
+    rows = jnp.moveaxis(rows, 1, 0).astype(pages.dtype)  # (T, L, KVH, d)
+    return pages.at[:, page_ids, :, slot_ids, :].set(rows, mode="drop")
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _write_scales(scales, rows, page_ids, slot_ids):
-    """scales: (L, KVH, P, ps); rows: (L, T, KVH)."""
-    rows = jnp.moveaxis(rows, 2, 1)  # (L, KVH, T)
-    return scales.at[:, :, page_ids, slot_ids].set(rows, mode="drop")
+    """scales: (L, P, KVH, ps); rows: (L, T, KVH) -> values (T, L, KVH)."""
+    rows = jnp.moveaxis(rows, 1, 0)  # (T, L, KVH)
+    return scales.at[:, page_ids, :, slot_ids].set(rows, mode="drop")
 
 
 @functools.partial(jax.jit, static_argnames=("qmax", "qdtype"))
@@ -103,7 +109,8 @@ class PagedKVCache:
     def __init__(self, config: CacheConfig):
         self.config = config
         c = config
-        shape = (c.num_layers, c.num_kv_heads, c.num_pages, c.page_size, c.head_dim)
+        # Head-major pages: one page spans all KV heads (see module docstring).
+        shape = (c.num_layers, c.num_pages, c.num_kv_heads, c.page_size, c.head_dim)
         self.k_pages = jnp.zeros(shape, c.payload_dtype)
         self.v_pages = jnp.zeros(shape, c.payload_dtype)
         if c.quantized:

@@ -12,8 +12,9 @@ from flashattention_tpu.utils.testing import TOL_FP32, make_random, validate_res
 def make_paged(seed, b, kvh, g, d, page_size, pages_per_seq, total_pages):
     ks = jax.random.split(jax.random.key(seed), 4)
     q = make_random(ks[0], (b, kvh, g, d))
-    k_pages = make_random(ks[1], (kvh, total_pages, page_size, d))
-    v_pages = make_random(ks[2], (kvh, total_pages, page_size, d))
+    # Head-major page pool: (P, KVH, page_size, d).
+    k_pages = make_random(ks[1], (total_pages, kvh, page_size, d))
+    v_pages = make_random(ks[2], (total_pages, kvh, page_size, d))
     # Random non-overlapping page assignment per request.
     rng = np.random.default_rng(seed)
     perm = rng.permutation(total_pages)[: b * pages_per_seq]
@@ -29,8 +30,16 @@ def test_reference_matches_dense_gather():
     # Manual: gather rows for request 0, dense attention over first 13.
     from flashattention_tpu.ops.reference import attention_reference
 
-    rows = np.asarray(kp)[:, np.asarray(pi)[0]].reshape(kvh, pps * ps, d)[:, :13]
-    vrows = np.asarray(vp)[:, np.asarray(pi)[0]].reshape(kvh, pps * ps, d)[:, :13]
+    rows = (
+        np.asarray(kp)[np.asarray(pi)[0]]
+        .transpose(1, 0, 2, 3)
+        .reshape(kvh, pps * ps, d)[:, :13]
+    )
+    vrows = (
+        np.asarray(vp)[np.asarray(pi)[0]]
+        .transpose(1, 0, 2, 3)
+        .reshape(kvh, pps * ps, d)[:, :13]
+    )
     want = attention_reference(
         np.asarray(q)[0], jnp.asarray(rows), jnp.asarray(vrows)
     )
@@ -85,16 +94,19 @@ def test_paged_attention_quantized():
     q, kp, vp, pi = make_paged(5, b, kvh, g, d, ps, pps, 16)
     lengths = jnp.array([25, 60], jnp.int32)
     # Quantize the page pools per token (flatten pages to rows).
-    kq = quantize(kp.reshape(kvh, -1, d), "int8")
-    vq = quantize(vp.reshape(kvh, -1, d), "int8")
+    total = kp.shape[0]
+    kq = quantize(kp.reshape(total * kvh, ps, d).transpose(1, 0, 2), "int8")
+    vq = quantize(vp.reshape(total * kvh, ps, d).transpose(1, 0, 2), "int8")
+    kpay = kq.payload.transpose(1, 0, 2).reshape(kp.shape)
+    vpay = vq.payload.transpose(1, 0, 2).reshape(vp.shape)
     o = paged_attention(
         q,
-        kq.payload.reshape(kp.shape),
-        vq.payload.reshape(vp.shape),
+        kpay,
+        vpay,
         lengths,
         pi,
-        k_scales_pages=kq.scales.reshape(kvh, -1, ps),
-        v_scales_pages=vq.scales.reshape(kvh, -1, ps),
+        k_scales_pages=kq.scales.T.reshape(total, kvh, ps),
+        v_scales_pages=vq.scales.T.reshape(total, kvh, ps),
         pages_per_compute_block=2,
     )
     want = paged_attention_reference(q, kp, vp, lengths, pi)

@@ -91,7 +91,7 @@ def test_cache_append_and_view_roundtrip():
     assert int(lengths[0]) == 6
     pages = np.asarray(table[0])
     # Row 3 of the gathered pages == token 3 of the appended K.
-    got = cache.k_pages[:, :, pages[0], 3, :]  # (L, KVH, d)
+    got = cache.k_pages[:, pages[0], :, 3, :]  # (L, KVH, d) head-major pool
     validate_result(got, jnp.moveaxis(k, 2, 1)[:, :, 3], 1e-6)
 
 
@@ -131,9 +131,9 @@ def test_cache_quantized_roundtrip():
     lengths, table = cache.batch_view([3], pages_per_seq=2)
     page = int(table[0, 0])
     deq = (
-        cache.k_pages[:, :, page].astype(jnp.float32)
-        * cache.k_scales[:, :, page][..., None]
-    )  # (L, KVH, ps, d)
+        cache.k_pages[:, page].astype(jnp.float32)
+        * cache.k_scales[:, page][..., None]
+    )  # (L, KVH, ps, d) head-major pool
     validate_result(deq, jnp.moveaxis(k, 2, 1), 2e-2)
 
 
