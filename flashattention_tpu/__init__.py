@@ -7,8 +7,17 @@ quantized paged KV-cache, continuous batching, and mesh-parallel / ring
 attention.
 """
 
+from flashattention_tpu.ops.backward import attention_vjp, flash_attention_bwd
+from flashattention_tpu.ops.decode import paged_attention
 from flashattention_tpu.ops.dispatch import attention, sdpa
 from flashattention_tpu.ops.flash import BlockSizes, flash_attention, flash_attention_naive
+from flashattention_tpu.ops.quant import (
+    QuantizedTensor,
+    attention_quantized,
+    dequantize,
+    quantize,
+    quantize_kv,
+)
 from flashattention_tpu.ops.reference import (
     attention_reference,
     attention_reference_with_stats,
@@ -22,6 +31,14 @@ __all__ = [
     "BlockSizes",
     "flash_attention",
     "flash_attention_naive",
+    "attention_vjp",
+    "flash_attention_bwd",
+    "paged_attention",
+    "QuantizedTensor",
+    "attention_quantized",
+    "quantize",
+    "dequantize",
+    "quantize_kv",
     "attention_reference",
     "attention_reference_with_stats",
 ]

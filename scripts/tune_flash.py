@@ -26,7 +26,9 @@ def main():
         print(f"== B={b} H={h} d={d} S={s} {dtype.__name__} ==")
         best = None
         for bq, bkv, bkc in itertools.product(
-            (128, 256, 512), (128, 256, 512, 1024, 2048), (128, 256, 512, 1024, 2048)
+            (128, 256, 512, 1024),
+            (128, 256, 512, 1024, 2048),
+            (128, 256, 512, 1024, 2048),
         ):
             if bkc > bkv or bkv % bkc or bq > s or bkv > s:
                 continue
