@@ -157,27 +157,28 @@ def prefill(params, tokens: jax.Array, cfg: ModelConfig, interpret=None):
     b, s = tokens.shape
     x = params["embed"][tokens]
     positions = jnp.broadcast_to(jnp.arange(s), (b, s))
-    g = cfg.group_size
     k_rows, v_rows = [], []
     for layer in params["layers"]:
         h = _rmsnorm(x, layer["attn_norm"])
         q, k, v = _qkv(h, layer, cfg, positions)
         k_rows.append(k)
         v_rows.append(v)
-        # GQA prefill on the MHA flash kernel: repeat KV heads to G groups.
-        kr = jnp.repeat(k, g, axis=2) if g > 1 else k
-        vr = jnp.repeat(v, g, axis=2) if g > 1 else v
-        # (B, S, H, d) -> (B*H, S, d) folded layout (the reference's caller
-        # convention) for the kernel.
-        qf = q.transpose(0, 2, 1, 3).reshape(b * cfg.num_q_heads, s, cfg.head_dim)
-        kf = kr.transpose(0, 2, 1, 3).reshape(b * cfg.num_q_heads, s, cfg.head_dim)
-        vf = vr.transpose(0, 2, 1, 3).reshape(b * cfg.num_q_heads, s, cfg.head_dim)
+        # Native GQA prefill: q heads grouped by KV head via the kernel's row
+        # folding (ops.dispatch handles H != KVH) — no repeated KV heads are
+        # materialized or streamed from HBM.
         from flashattention_tpu.ops.dispatch import attention
 
+        # (B, S, H, d) -> (B, H, S, d); q's H axis is (KVH, G) g-major, which
+        # is exactly the grouping dispatch folds.
+        qf = q.transpose(0, 2, 1, 3)
+        kf = k.transpose(0, 2, 1, 3)
+        vf = v.transpose(0, 2, 1, 3)
+        # q projection orders heads h = kvh * G + g already (contiguous
+        # reshape of (B, S, KVH*G*d)), matching dispatch's (KVH, G) split.
         o = attention(
             qf, kf, vf, causal=True, scale=cfg.head_dim**-0.5, interpret=interpret
         )
-        o = o.reshape(b, cfg.num_q_heads, s, cfg.head_dim).transpose(0, 2, 1, 3)
+        o = o.transpose(0, 2, 1, 3)
         x = x + o.reshape(b, s, -1) @ layer["wo"]
         x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer)
     x = _rmsnorm(x, params["final_norm"])

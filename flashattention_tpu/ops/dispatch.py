@@ -80,27 +80,60 @@ def attention(
       ``o`` with q's shape (and dtype), or ``(o, l, m)``.
     """
     q_shape = q.shape
+    groups = 1
     if q.ndim == 4:
         b, h, s_q, d = q.shape
-        q3 = q.reshape(b * h, s_q, d)
+        hkv = k.shape[1]
+        if h != hkv:
+            # Grouped-query attention: fold the G = H // KVH query groups into
+            # the row dim of each KV head's Q — the kernel attends them to one
+            # un-repeated KV head (``q_seq_len`` row folding in ops.flash), so
+            # no repeated KV is materialized or streamed from HBM.
+            if h % hkv:
+                raise ValueError(f"q heads ({h}) not a multiple of kv heads ({hkv})")
+            groups = h // hkv
+            # (B, H, S, d) -> (B, KVH, G, S, d) -> (B*KVH, G*S, d), g-major
+            # rows so each length-S segment is position-contiguous.
+            q3 = q.reshape(b, hkv, groups, s_q, d).reshape(b * hkv, groups * s_q, d)
+        else:
+            q3 = q.reshape(b * h, s_q, d)
         k3 = k.reshape(k.shape[0] * k.shape[1], *k.shape[2:])
         v3 = v.reshape(v.shape[0] * v.shape[1], *v.shape[2:])
     elif q.ndim == 3:
         q3, k3, v3 = q, k, v
+        if k3.shape[0] != q3.shape[0]:
+            raise ValueError(
+                f"3D GQA not supported; fold groups yourself or pass 4D "
+                f"(got q {q3.shape}, k {k3.shape})"
+            )
     else:
         raise ValueError(f"expected 3D or 4D q, got shape {q_shape}")
 
-    bh, s_q, d = q3.shape
+    bh, s_q_rows, d = q3.shape
+    s_q = s_q_rows // groups  # per-segment (true) query length
     s_kv = k3.shape[1]
     q_offset = s_kv - s_q if causal else 0
     if causal and s_kv < s_q:
         raise ValueError(f"causal attention requires S_kv >= S_q, got {s_kv} < {s_q}")
 
     if implementation == "xla":
+        if groups > 1:  # the oracle wants equal heads: repeat KV (it's the
+            # correctness reference, not the fast path)
+            k3 = jnp.repeat(k3.reshape(bh, 1, s_kv, d), groups, 1).reshape(
+                bh * groups, s_kv, d
+            )
+            v3 = jnp.repeat(v3.reshape(bh, 1, s_kv, d), groups, 1).reshape(
+                bh * groups, s_kv, d
+            )
+            q3 = q3.reshape(bh * groups, s_q, d)
         out = reference.attention_reference_with_stats(
             q3, k3, v3, causal=causal, scale=scale, q_offset=q_offset
         )
         o, l, m = out
+        if groups > 1:
+            o = o.reshape(bh, groups * s_q, d)
+            l = l.reshape(bh, groups * s_q)
+            m = m.reshape(bh, groups * s_q)
     elif implementation == "pallas":
         if block_sizes is None:
             block_sizes = BlockSizes.fit(
@@ -110,11 +143,18 @@ def attention(
         bq, bkv = block_sizes.block_q, block_sizes.block_kv
         s_q_pad = _round_up(s_q, bq)
         s_kv_pad = _round_up(s_kv, bkv)
-        qp = _pad_seq(q3, s_q_pad)
+        if groups > 1:
+            if s_q_pad != s_q:
+                # Pad each group segment independently, keeping g-major rows.
+                q3 = _pad_seq(q3.reshape(bh * groups, s_q, d), s_q_pad).reshape(
+                    bh, groups * s_q_pad, d
+                )
+        else:
+            q3 = _pad_seq(q3, s_q_pad)
         kp = _pad_seq(k3, s_kv_pad)
         vp = _pad_seq(v3, s_kv_pad)
         out = flash_attention(
-            qp,
+            q3,
             kp,
             vp,
             causal=causal,
@@ -124,12 +164,20 @@ def attention(
             q_offset=q_offset,
             save_residuals=True,
             precision=precision,
+            q_seq_len=s_q_pad if groups > 1 else None,
             interpret=interpret,
         )
         o, l, m = out
-        o = o[:, :s_q]
-        l = l[:, :s_q]
-        m = m[:, :s_q]
+        if groups > 1 and s_q_pad != s_q:
+            o = o.reshape(bh * groups, s_q_pad, d)[:, :s_q].reshape(
+                bh, groups * s_q, d
+            )
+            l = l.reshape(bh * groups, s_q_pad)[:, :s_q].reshape(bh, groups * s_q)
+            m = m.reshape(bh * groups, s_q_pad)[:, :s_q].reshape(bh, groups * s_q)
+        else:
+            o = o[:, : groups * s_q]
+            l = l[:, : groups * s_q]
+            m = m[:, : groups * s_q]
     else:
         raise ValueError(f"unknown implementation: {implementation!r}")
 

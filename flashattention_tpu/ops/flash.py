@@ -204,6 +204,7 @@ def _kernel(
     lsum_mxu: bool,
     head_dim: int,
     precision: str,
+    q_seq_blocks: int | None,
 ):
     """Grid = (batch*heads, num_q_blocks, num_kv_blocks); kv dim is sequential.
 
@@ -234,6 +235,11 @@ def _kernel(
         m_scratch, l_scratch, acc_scratch = rest
 
     q_idx = pl.program_id(1)
+    if q_seq_blocks is not None:
+        # GQA row folding: Q carries G query-head groups stacked along rows,
+        # each a q_seq_blocks-block segment; causal position depends on the
+        # block index *within* the segment.
+        q_idx = jax.lax.rem(q_idx, q_seq_blocks)
     kv_idx = pl.program_id(2)
     block_q = q_ref.shape[1]
     block_kv = k_ref.shape[1]
@@ -348,6 +354,7 @@ def _kernel(
         "q_offset",
         "save_residuals",
         "precision",
+        "q_seq_len",
         "interpret",
     ),
 )
@@ -365,6 +372,7 @@ def flash_attention(
     q_offset: int = 0,
     save_residuals: bool = False,
     precision: str | None = None,
+    q_seq_len: int | None = None,
     interpret: bool | None = None,
 ) -> Any:
     """Fused flash attention forward on (BH, S, d) tensors.
@@ -388,6 +396,12 @@ def flash_attention(
       precision: matmul precision mode for fp32 inputs — "bf16" (1 MXU pass),
         "bf16_3x" (default; 3-pass split, ~1e-5 error), "float32" (exact).
         Ignored (native 1-pass) for bf16 inputs.  See the module docstring.
+      q_seq_len: GQA row folding — q holds G = S_q // q_seq_len query-head
+        groups stacked along the row dim, all attending to the *same* K/V
+        (position of row r is ``r % q_seq_len``).  This is how grouped-query
+        attention runs without materializing repeated KV heads: fold
+        (B, KVH, G, S, d) -> (B*KVH, G*S, d) and pass q_seq_len=S.  Requires
+        q_seq_len % block_q == 0.
       interpret: run the Pallas interpreter (auto-on when not on TPU, so the
         same code path is testable on CPU meshes).
     """
@@ -424,6 +438,16 @@ def flash_attention(
     num_kv_blocks = s_kv // bkv
     grid = (bh, num_q_blocks, num_kv_blocks)
 
+    q_seq_blocks = None
+    if q_seq_len is not None:
+        if s_q % q_seq_len or q_seq_len % bq:
+            raise ValueError(
+                f"q_seq_len ({q_seq_len}) must divide s_q ({s_q}) and be a "
+                f"multiple of block_q ({bq})"
+            )
+        if q_seq_len != s_q:
+            q_seq_blocks = q_seq_len // bq
+
     # MXU-computed l: extend V with a ones-column in an otherwise-idle output
     # lane (see module docstring).  Disabled for quantized KV (the folded
     # v_scales would pollute the ones-column sum) and for d >= 128 (no idle
@@ -453,6 +477,7 @@ def flash_attention(
         lsum_mxu=lsum_mxu,
         head_dim=d,
         precision=precision,
+        q_seq_blocks=q_seq_blocks,
     )
 
     out_shape = [jax.ShapeDtypeStruct((bh, s_q, d), q.dtype)]  # o
@@ -476,6 +501,8 @@ def flash_attention(
         # block — the memory-system analog of the reference's whole-block
         # skip (``src/flashattention.cu:434``).
         def kv_block_index(i, j):
+            if q_seq_blocks is not None:
+                i = jax.lax.rem(i, q_seq_blocks)
             last = jnp.minimum(
                 num_kv_blocks - 1, (q_offset + (i + 1) * bq - 1) // bkv
             )

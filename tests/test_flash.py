@@ -181,3 +181,49 @@ def test_attention_save_residuals_shape():
         causal=True,
     )
     validate_result(m, want_m.reshape(b, h, s), TOL_FP32, name="m")
+
+
+# ── grouped-query attention (GQA row folding) ───────────────────────────────
+
+
+@pytest.mark.parametrize(
+    "b,hq,hkv,s,skv,causal",
+    [
+        (2, 8, 2, 256, 256, True),
+        (2, 8, 2, 256, 256, False),
+        (2, 6, 2, 200, 200, True),  # ragged segments
+        (1, 4, 2, 64, 192, True),  # decode-suffix alignment
+    ],
+)
+def test_gqa_matches_repeated_kv(b, hq, hkv, s, skv, causal):
+    """GQA folding == materialized repeated-KV run at identical precision."""
+    d = 64
+    ks = jax.random.split(jax.random.key(b * 100 + hq), 3)
+    q = make_random(ks[0], (b, hq, s, d))
+    k = make_random(ks[1], (b, hkv, skv, d))
+    v = make_random(ks[2], (b, hkv, skv, d))
+    o = attention(q, k, v, causal=causal)
+    g = hq // hkv
+    kr = jnp.repeat(k, g, axis=1)
+    vr = jnp.repeat(v, g, axis=1)
+    want = attention(q, kr, vr, causal=causal)
+    validate_result(o, want, 1e-6)
+
+
+def test_gqa_matches_oracle_exact():
+    """GQA vs the jnp oracle at exact fp32 precision (logic, not rounding)."""
+    b, hq, hkv, s, d = 2, 8, 2, 256, 64
+    ks = jax.random.split(jax.random.key(7), 3)
+    q = make_random(ks[0], (b, hq, s, d))
+    k = make_random(ks[1], (b, hkv, s, d))
+    v = make_random(ks[2], (b, hkv, s, d))
+    o = attention(q, k, v, causal=True, precision="float32")
+    g = hq // hkv
+    want = attention(
+        q,
+        jnp.repeat(k, g, axis=1),
+        jnp.repeat(v, g, axis=1),
+        causal=True,
+        implementation="xla",
+    )
+    validate_result(o, want, 1e-5)
