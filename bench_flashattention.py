@@ -39,6 +39,12 @@ def main():
     p.add_argument("--scale", type=float, default=1.0,
                    help="score scale; reference parity is 1.0 (no 1/sqrt(d))")
     p.add_argument("--repeats", type=int, default=9)
+    p.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax.profiler trace (xprof/TensorBoard) of the kernel "
+        "into DIR (~ the reference's torch.autograd.profiler tables, "
+        "bench_flashattention.py:61-72)",
+    )
     args = p.parse_args()
 
     dtype = jnp.float32 if args.dtype == "float32" else jnp.bfloat16
@@ -65,6 +71,10 @@ def main():
     )
 
     flops = attention_flops(bh, args.seq_len, args.seq_len, args.d, causal=args.masking)
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            jax.block_until_ready(jax.jit(ours)(q, k, v))
+        print(json.dumps({"profile_dir": args.profile}))
     ms_ours = devtime_ms(ours, (q, k, v), n_hi=args.repeats, trials=3)
     ms_ref = devtime_ms(ref, (q, k, v), n_hi=args.repeats, trials=3)
     peak = chip_peak(16 if dtype == jnp.bfloat16 else 32)
