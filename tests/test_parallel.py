@@ -121,3 +121,91 @@ def test_ring_2d_mesh_dp_x_sp():
     o = fn(q, k, v)
     want = attention_reference(q, k, v, causal=True)
     validate_result(o, want, TOL_FP32)
+
+
+# ── sharded decode serving (DP x TP) ─────────────────────────────────────────
+
+
+def test_sharded_decode_step_matches_single_device():
+    """DP x TP sharded decode step == unsharded decode_step on the same state."""
+    import numpy as np
+    from flashattention_tpu.models import transformer
+    from flashattention_tpu.models.train import shard_params
+    from flashattention_tpu.parallel.serving import make_sharded_decode_step
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    dp, tp = 2, 2
+    devs = np.array(jax.devices()[: dp * tp]).reshape(dp, tp)
+    mesh = Mesh(devs, ("dp", "tp"))
+    cfg = transformer.ModelConfig(
+        vocab_size=64,
+        num_layers=2,
+        d_model=32,
+        num_q_heads=4,
+        num_kv_heads=2,
+        head_dim=16,
+        intermediate=32,
+        dtype="float32",
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+
+    b_global, ps, p_local, pps = 4, 8, 6, 2
+    p_global = dp * p_local
+    l = cfg.num_layers
+    kp = jnp.zeros((l, p_global, cfg.num_kv_heads, ps, cfg.head_dim))
+    vp = jnp.zeros_like(kp)
+    # Two requests per dp group; group i uses pages in slice [i*p_local, ...).
+    # Local page ids (for the sharded run) and global ids (for the oracle).
+    local_pi = np.array([[0, 1], [2, 3], [0, 1], [2, 3]], np.int32)
+    global_pi = local_pi + np.repeat([0, p_local], 2)[:, None]
+    lengths = jnp.asarray([5, 9, 12, 3], jnp.int32)  # incl. current token
+    positions = lengths - 1
+    write_global = jnp.asarray(
+        [global_pi[i][int(p) // ps] for i, p in enumerate(positions)], jnp.int32
+    )
+    write_local = jnp.asarray(
+        [local_pi[i][int(p) // ps] for i, p in enumerate(positions)], jnp.int32
+    )
+    write_slots = positions % ps
+    tokens = jnp.asarray([3, 14, 15, 9], jnp.int32)
+
+    # Pre-populate history rows (positions 0..len-2) identically in both runs.
+    key = jax.random.key(1)
+    hist = jax.random.normal(
+        key, (l, p_global, cfg.num_kv_heads, ps, cfg.head_dim)
+    )
+    kp = hist * 0.1
+    vp = hist * 0.2
+
+    sharded = make_sharded_decode_step(mesh, cfg)
+    sp = shard_params(params, mesh, cfg)
+    pool_sharding = NamedSharding(mesh, P(None, "dp", "tp", None, None))
+    # device_put copies first: both decode steps donate their pool args.
+    kp_s = jax.device_put(kp, pool_sharding)
+    vp_s = jax.device_put(vp, pool_sharding)
+
+    want_logits, want_kp, want_vp, _, _ = transformer.decode_step(
+        params,
+        tokens,
+        positions,
+        kp,
+        vp,
+        lengths,
+        jnp.asarray(global_pi),
+        write_global,
+        write_slots,
+        cfg=cfg,
+    )
+    got_logits, got_kp, got_vp = sharded(
+        sp,
+        jax.device_put(tokens, NamedSharding(mesh, P("dp"))),
+        jax.device_put(positions, NamedSharding(mesh, P("dp"))),
+        kp_s,
+        vp_s,
+        jax.device_put(lengths, NamedSharding(mesh, P("dp"))),
+        jax.device_put(jnp.asarray(local_pi), NamedSharding(mesh, P("dp", None))),
+        jax.device_put(write_local, NamedSharding(mesh, P("dp"))),
+        jax.device_put(write_slots, NamedSharding(mesh, P("dp"))),
+    )
+    validate_result(got_logits, want_logits, 1e-3)
+    validate_result(got_kp, want_kp, 1e-5)
