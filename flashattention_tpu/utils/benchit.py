@@ -44,7 +44,15 @@ class BenchResult:
         return self.flops / (self.ms * 1e-3) / 1e12 if self.flops else 0.0
 
 
-def devtime_ms(fn, args, *, n_lo: int = 1, n_hi: int = 17, trials: int = 5) -> float:
+def devtime_ms(
+    fn,
+    args,
+    *,
+    n_lo: int = 1,
+    n_hi: int = 17,
+    trials: int = 5,
+    min_window_ms: float = 8.0,
+) -> float:
     """Per-iteration device time of ``fn(*args)`` via a chained-loop slope.
 
     Robust on tunneled TPU setups where per-call wall clock is dominated by
@@ -52,6 +60,11 @@ def devtime_ms(fn, args, *, n_lo: int = 1, n_hi: int = 17, trials: int = 5) -> f
     ``fn`` chained n times under ONE jit (each iteration's output feeds the
     next, preventing dedup/overlap), forces a scalar host readback, and takes
     the min-over-trials slope between two loop lengths.
+
+    Sub-millisecond kernels need a wider measurement window than round-trip
+    jitter: if the measured (t_hi - t_lo) window is below ``min_window_ms``,
+    the loop length escalates (at the cost of one extra compile) until the
+    slope is taken over a window the tunnel noise cannot dominate.
 
     ``fn(*args)`` must return something with the shape/dtype of ``args[0]``
     (or castable to it) so the chain can feed back.
@@ -67,18 +80,27 @@ def devtime_ms(fn, args, *, n_lo: int = 1, n_hi: int = 17, trials: int = 5) -> f
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, args[0]))
 
-    # Compile both variants before timing.
-    float(loop(args, n_lo))
-    float(loop(args, n_hi))
-    t_lo, t_hi = [], []
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        float(loop(args, n_lo))
-        t_lo.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
+    def measure(n_hi):
+        float(loop(args, n_lo))  # compile both variants before timing
         float(loop(args, n_hi))
-        t_hi.append(time.perf_counter() - t0)
-    return (min(t_hi) - min(t_lo)) / (n_hi - n_lo) * 1e3
+        t_lo, t_hi = [], []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(loop(args, n_lo))
+            t_lo.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(loop(args, n_hi))
+            t_hi.append(time.perf_counter() - t0)
+        return min(t_hi) - min(t_lo)
+
+    for _ in range(3):  # escalate loop length until the window beats jitter
+        window = measure(n_hi)
+        if window * 1e3 >= min_window_ms or n_hi >= 4097:
+            break
+        per_iter = max(window / (n_hi - n_lo), 1e-7)
+        need = int(min_window_ms * 1.5e-3 / per_iter)
+        n_hi = min(4097, max(2 * n_hi, n_lo + need))
+    return window / (n_hi - n_lo) * 1e3
 
 
 def benchmark(fn, *args, repeats: int = 20, warmup: int = 3, flops: float = 0.0) -> BenchResult:
