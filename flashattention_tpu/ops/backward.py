@@ -211,7 +211,16 @@ def flash_attention_bwd(
     s_kv = k.shape[1]
     precision = resolve_precision(precision, q.dtype)
     if block_sizes is None:
+        # The backward kernels live with ~4 score-sized (bq x bkv) fp32 tiles
+        # (s, p, dp, ds) at once plus (bkv, d) dk/dv scratch, so the forward's
+        # tuned 2048-wide KV blocks blow the 16 MB VMEM budget; 512x512 fits
+        # with the multi-pass split buffers at every precision.
         block_sizes = BlockSizes.fit(s_q, s_kv, d, precision)
+        block_sizes = BlockSizes(
+            min(block_sizes.block_q, 512),
+            min(block_sizes.block_kv, 512),
+            min(block_sizes.block_kv_compute, 512),
+        )
     bq, bkv = block_sizes.block_q, block_sizes.block_kv
     if s_q % bq or s_kv % bkv:
         raise ValueError(
