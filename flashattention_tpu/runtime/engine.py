@@ -102,6 +102,57 @@ class Engine:
             self.step()
         return {rid: r.output for rid, r in self.requests.items()}
 
+    # ── checkpoint / resume ───────────────────────────────────────────────
+
+    def state_dict(self) -> dict:
+        """Snapshot of serving state for checkpoint/resume.
+
+        Recompute-style (the only state the reference-scope stack truly owns
+        is the token ids; KV pages are derived): each request's prompt,
+        generated output, and budget.  On restore, unfinished requests
+        re-queue and their context re-prefills on admission — the same
+        recovery path preemption uses — so pools/allocator/scheduler internals
+        never need serializing.  (SURVEY.md section 5: KV cache is the only
+        state; metadata snapshot, orbax optional.)
+        """
+        return {
+            "next_id": next(self._next_id),  # consumes one id; harmless
+            "requests": [
+                {
+                    "req_id": r.req_id,
+                    "prompt": list(r.prompt),
+                    "max_new_tokens": r.max_new_tokens,
+                    "output": list(r.output),
+                    "state": r.state,
+                }
+                for r in self.requests.values()
+            ],
+        }
+
+    @classmethod
+    def from_state(
+        cls, state: dict, params, model_cfg, cache_cfg, engine_cfg=None, **kw
+    ) -> "Engine":
+        """Rebuild an engine from :meth:`state_dict` (fresh pools; unfinished
+        requests re-queue with their full generated context re-prefilled)."""
+        eng = cls(params, model_cfg, cache_cfg, engine_cfg or EngineConfig(), **kw)
+        eng._next_id = itertools.count(state["next_id"])
+        for r in state["requests"]:
+            req = Request(
+                r["req_id"], list(r["prompt"]), r["max_new_tokens"],
+                output=list(r["output"]), state=r["state"],
+            )
+            eng.requests[req.req_id] = req
+            if req.state == "finished":
+                continue
+            # waiting OR running: re-queue; prefill recomputes the KV context
+            # (prompt + generated so far) when the scheduler re-admits it.
+            req.state = "waiting"
+            eng.scheduler.add_request(
+                req.req_id, req.length, req.max_new_tokens - len(req.output)
+            )
+        return eng
+
     # ── engine step ───────────────────────────────────────────────────────
 
     def step(self) -> None:

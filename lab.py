@@ -11,6 +11,7 @@ argv, validated against a CPU golden then benchmarked per block size,
   3  naive-pallas   whole-KV-stripe Pallas kernel (~ v2 flash-minimal)
   4  flash          the tuned two-level-tiled flash kernel (~ v6, this repo's)
   5  flash-int8     flash with int8 KV + fused in-kernel dequant (north star)
+  6  flash-fp8      flash with fp8 (e4m3) KV payloads
 
 Usage: python lab.py <kernel_num> [--batch ...]   (like `attention_forward 4`)
 Validates vs the fp32 jnp golden at tol 1e-4 (fp32) across block-size configs,
@@ -69,11 +70,11 @@ def build(kernel_num, causal, scale, blocks, kq=None, vq=None):
         return lambda q, k, v: flash_attention(
             q, k, v, causal=causal, scale=scale, block_sizes=blocks
         )
-    if kernel_num == 5:
+    if kernel_num in (5, 6):
         return lambda q, k, v: attention_quantized(
             q, kq, vq, causal=causal, scale=scale, block_sizes=blocks
         )
-    raise SystemExit(f"unknown kernel {kernel_num}; choose 1-5")
+    raise SystemExit(f"unknown kernel {kernel_num}; choose 1-6")
 
 
 def main():
@@ -93,16 +94,21 @@ def main():
     ks = jax.random.split(jax.random.key(0), 3)
     q, k, v = (make_random(kk, (bh, args.seq_len, args.d), dtype) for kk in ks)
     kq = vq = None
-    if args.kernel_num == 5:
-        kq, vq = quantize_kv(k, v, "int8")
+    if args.kernel_num in (5, 6):
+        kq, vq = quantize_kv(k, v, "int8" if args.kernel_num == 5 else "fp8")
 
     golden = attention_reference(q, k, v, causal=args.masking, scale=args.scale)
     flops = attention_flops(bh, args.seq_len, args.seq_len, args.d, causal=args.masking)
     # int8 / bf16 paths get the reference's public-gate tolerance; fp32 dense
     # kernels get the kernel-lab 1e-4 gate (~ attention_forward.cu:1262).
-    tol = 1e-4 if (dtype == jnp.float32 and args.kernel_num not in (5,)) else 5e-2
+    if args.kernel_num == 6:
+        tol = 2e-1  # e4m3: 3 mantissa bits ~6% relative
+    elif dtype == jnp.float32 and args.kernel_num != 5:
+        tol = 1e-4
+    else:
+        tol = 5e-2
 
-    sweeps = BLOCK_CONFIGS if args.kernel_num in (4, 5) else [None]
+    sweeps = BLOCK_CONFIGS if args.kernel_num in (4, 5, 6) else [None]
     sweeps = [
         b
         for b in sweeps

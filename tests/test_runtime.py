@@ -226,3 +226,34 @@ def test_engine_admission_waits_for_pages(tiny_model):
     r2 = eng.add_request([5, 5, 5, 5, 5, 5, 5, 5], 4)
     outs = eng.run(max_steps=100)
     assert len(outs[r1]) == 4 and len(outs[r2]) == 4
+
+
+def test_engine_checkpoint_resume():
+    """Snapshot mid-generation, restore into a fresh engine, outputs match."""
+    cfg = transformer.ModelConfig.tiny()
+    params = transformer.init_params(jax.random.key(0), cfg)
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        page_size=8,
+        num_pages=64,
+    )
+    ecfg = EngineConfig(max_batch=4, pages_per_seq=8)
+    prompts = [[1, 2, 3], [9, 8, 7, 6], [5, 5]]
+
+    full = Engine(params, cfg, ccfg, ecfg)
+    for p in prompts:
+        full.add_request(p, max_new_tokens=10)
+    want = full.run()
+
+    half = Engine(params, cfg, ccfg, ecfg)
+    for p in prompts:
+        half.add_request(p, max_new_tokens=10)
+    for _ in range(4):  # generate a few tokens, then snapshot mid-flight
+        half.step()
+    state = half.state_dict()
+
+    resumed = Engine.from_state(state, params, cfg, ccfg, ecfg)
+    got = resumed.run()
+    assert got == want, (got, want)
