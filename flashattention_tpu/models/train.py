@@ -92,13 +92,17 @@ def _forward_local(params, tokens, cfg: ModelConfig, tp_size: int, tp_axis: str)
 
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
-        if g > 1:
-            k = jnp.repeat(k, g, axis=2)
-            v = jnp.repeat(v, g, axis=2)
-        qf = q.transpose(0, 2, 1, 3).reshape(b * hq_local, s, cfg.head_dim)
-        kf = k.transpose(0, 2, 1, 3).reshape(b * hq_local, s, cfg.head_dim)
-        vf = v.transpose(0, 2, 1, 3).reshape(b * hq_local, s, cfg.head_dim)
-        o = attention_vjp(qf, kf, vf, True, cfg.head_dim**-0.5, None, None)
+        # Native GQA: fold the G query groups of each local KV head into the
+        # row dim (ops.flash q_seq_len folding) — no repeated KV heads.  The
+        # local head order is (kvh_local, g) g-major (contiguous column shard
+        # of the h = kvh*G + g global order), exactly the fold's layout.
+        qf = q.transpose(0, 2, 1, 3).reshape(b * hkv_local, g * s, cfg.head_dim)
+        kf = k.transpose(0, 2, 1, 3).reshape(b * hkv_local, s, cfg.head_dim)
+        vf = v.transpose(0, 2, 1, 3).reshape(b * hkv_local, s, cfg.head_dim)
+        o = attention_vjp(
+            qf, kf, vf, True, cfg.head_dim**-0.5, None, None,
+            s if g > 1 else None, None,
+        )
         o = (
             o.reshape(b, hq_local, s, cfg.head_dim)
             .transpose(0, 2, 1, 3)

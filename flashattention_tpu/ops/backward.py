@@ -72,8 +72,12 @@ def _dq_kernel(
     q_offset,
     num_kv_blocks,
     precision,
+    q_seq_blocks,
 ):
     q_idx, kv_idx = pl.program_id(1), pl.program_id(2)
+    # GQA row folding (see ops.flash): the causal *position* of a block is its
+    # index within the group segment; init/epilogue keep the raw grid index.
+    q_pos = jax.lax.rem(q_idx, q_seq_blocks) if q_seq_blocks is not None else q_idx
     block_q = q_ref.shape[1]
     block_kv = k_ref.shape[1]
 
@@ -82,7 +86,7 @@ def _dq_kernel(
         dq_scratch[...] = jnp.zeros_like(dq_scratch)
 
     if causal:
-        should_run = (q_offset + (q_idx + 1) * block_q - 1) >= (kv_idx * block_kv)
+        should_run = (q_offset + (q_pos + 1) * block_q - 1) >= (kv_idx * block_kv)
     else:
         should_run = True
 
@@ -98,7 +102,7 @@ def _dq_kernel(
         s = _dot_g(q, k, (((1,), (1,)), ((), ())), precision)
         if scale != 1.0:
             s = s * scale
-        mask = _masks(s.shape, q_idx * block_q, kv_idx * block_kv, causal, kv_len, q_offset)
+        mask = _masks(s.shape, q_pos * block_q, kv_idx * block_kv, causal, kv_len, q_offset)
         if mask is not None:
             s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
         p = jnp.exp(s - lse)  # (bq, bkv)
@@ -130,8 +134,10 @@ def _dkv_kernel(
     q_offset,
     num_q_blocks,
     precision,
+    q_seq_blocks,
 ):
     kv_idx, q_idx = pl.program_id(1), pl.program_id(2)
+    q_pos = jax.lax.rem(q_idx, q_seq_blocks) if q_seq_blocks is not None else q_idx
     block_q = q_ref.shape[1]
     block_kv = k_ref.shape[1]
 
@@ -143,7 +149,7 @@ def _dkv_kernel(
     if causal:
         # Q blocks entirely above the diagonal contribute nothing to this KV
         # block (their masked P is zero).
-        should_run = (q_offset + (q_idx + 1) * block_q - 1) >= (kv_idx * block_kv)
+        should_run = (q_offset + (q_pos + 1) * block_q - 1) >= (kv_idx * block_kv)
     else:
         should_run = True
 
@@ -159,7 +165,7 @@ def _dkv_kernel(
         s = _dot_g(q, k, (((1,), (1,)), ((), ())), precision)
         if scale != 1.0:
             s = s * scale
-        mask = _masks(s.shape, q_idx * block_q, kv_idx * block_kv, causal, kv_len, q_offset)
+        mask = _masks(s.shape, q_pos * block_q, kv_idx * block_kv, causal, kv_len, q_offset)
         if mask is not None:
             s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
         p = jnp.exp(s - lse)  # (bq, bkv)
@@ -181,7 +187,7 @@ def _dkv_kernel(
     jax.jit,
     static_argnames=(
         "causal", "scale", "block_sizes", "kv_len", "q_offset", "precision",
-        "interpret",
+        "q_seq_len", "interpret",
     ),
 )
 def flash_attention_bwd(
@@ -198,6 +204,7 @@ def flash_attention_bwd(
     kv_len=None,
     q_offset=0,
     precision: str | None = None,
+    q_seq_len: int | None = None,
     interpret=None,
 ):
     """dQ, dK, dV from saved output + logsumexp residuals.
@@ -215,7 +222,7 @@ def flash_attention_bwd(
         # (s, p, dp, ds) at once plus (bkv, d) dk/dv scratch, so the forward's
         # tuned 2048-wide KV blocks blow the 16 MB VMEM budget; 512x512 fits
         # with the multi-pass split buffers at every precision.
-        block_sizes = BlockSizes.fit(s_q, s_kv, d, precision)
+        block_sizes = BlockSizes.fit(q_seq_len or s_q, s_kv, d, precision)
         block_sizes = BlockSizes(
             min(block_sizes.block_q, 512),
             min(block_sizes.block_kv, 512),
@@ -227,6 +234,15 @@ def flash_attention_bwd(
             f"sequence lengths ({s_q}, {s_kv}) must be multiples of blocks ({bq}, {bkv})"
         )
     num_q, num_kv = s_q // bq, s_kv // bkv
+    q_seq_blocks = None
+    if q_seq_len is not None:
+        if s_q % q_seq_len or q_seq_len % bq:
+            raise ValueError(
+                f"q_seq_len ({q_seq_len}) must divide s_q ({s_q}) and be a "
+                f"multiple of block_q ({bq})"
+            )
+        if q_seq_len != s_q:
+            q_seq_blocks = q_seq_len // bq
 
     di = jnp.sum(
         o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1
@@ -252,6 +268,7 @@ def flash_attention_bwd(
             q_offset=q_offset,
             num_kv_blocks=num_kv,
             precision=precision,
+            q_seq_blocks=q_seq_blocks,
         ),
         grid=(bh, num_q, num_kv),
         in_specs=row_specs,
@@ -281,6 +298,7 @@ def flash_attention_bwd(
             q_offset=q_offset,
             num_q_blocks=num_q,
             precision=precision,
+            q_seq_blocks=q_seq_blocks,
         ),
         grid=(bh, num_kv, num_q),
         in_specs=kv_specs,
@@ -307,7 +325,7 @@ def flash_attention_bwd(
 # ── differentiable public op ─────────────────────────────────────────────────
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def attention_vjp(
     q,
     k,
@@ -316,30 +334,37 @@ def attention_vjp(
     scale: float = 1.0,
     block_sizes: BlockSizes | None = None,
     precision: str | None = None,
+    q_seq_len: int | None = None,
     interpret: bool | None = None,
 ):
-    """Differentiable fused attention on (BH, S, d) (block-aligned shapes)."""
+    """Differentiable fused attention on (BH, S, d) (block-aligned shapes).
+
+    ``q_seq_len`` enables GQA row folding (see ops.flash.flash_attention):
+    q is (B*KVH, G*q_seq_len, d) against k/v (B*KVH, S_kv, d) — the backward
+    kernels accumulate dK/dV over all G groups' rows automatically.
+    """
     return flash_attention(
         q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
-        precision=precision, interpret=interpret,
+        precision=precision, q_seq_len=q_seq_len, interpret=interpret,
     )
 
 
-def _vjp_fwd(q, k, v, causal, scale, block_sizes, precision, interpret):
+def _vjp_fwd(q, k, v, causal, scale, block_sizes, precision, q_seq_len, interpret):
     o, l, m = flash_attention(
         q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
-        save_residuals=True, precision=precision, interpret=interpret,
+        save_residuals=True, precision=precision, q_seq_len=q_seq_len,
+        interpret=interpret,
     )
     lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
     return o, (q, k, v, o, lse)
 
 
-def _vjp_bwd(causal, scale, block_sizes, precision, interpret, res, do):
+def _vjp_bwd(causal, scale, block_sizes, precision, q_seq_len, interpret, res, do):
     q, k, v, o, lse = res
     dq, dk, dv = flash_attention_bwd(
         q, k, v, o, lse, do,
         causal=causal, scale=scale, block_sizes=block_sizes,
-        precision=precision, interpret=interpret,
+        precision=precision, q_seq_len=q_seq_len, interpret=interpret,
     )
     return dq, dk, dv
 

@@ -426,7 +426,8 @@ def flash_attention(
     precision = resolve_precision(precision, q.dtype)
 
     if block_sizes is None:
-        block_sizes = BlockSizes.fit(s_q, s_kv, d, precision)
+        # GQA row folding: block_q must divide the per-group segment length.
+        block_sizes = BlockSizes.fit(q_seq_len or s_q, s_kv, d, precision)
     bq, bkv = block_sizes.block_q, block_sizes.block_kv
     if s_q % bq or s_kv % bkv:
         raise ValueError(

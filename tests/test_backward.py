@@ -76,3 +76,31 @@ def test_value_and_grad_bf16():
         validate_result(
             a.astype(jnp.float32), b.astype(jnp.float32), 5e-2, name=f"d{name}"
         )
+
+
+def test_vjp_gqa_fold_matches_repeated_kv():
+    """Grads through the GQA row fold == grads through repeated-KV heads."""
+    bhkv, g, s, d = 2, 4, 128, 32
+    ks = jax.random.split(jax.random.key(11), 3)
+    q = make_random(ks[0], (bhkv, g * s, d))
+    k = make_random(ks[1], (bhkv, s, d))
+    v = make_random(ks[2], (bhkv, s, d))
+
+    def loss_fold(q, k, v):
+        o = attention_vjp(q, k, v, True, d**-0.5, BLOCKS, None, s, None)
+        return jnp.sum(o * o)
+
+    def loss_rep(q, k, v):
+        # Expand each KV head g times; q rows regroup to (bhkv*g, s, d).
+        qr = q.reshape(bhkv, g, s, d).reshape(bhkv * g, s, d)
+        kr = jnp.repeat(k[:, None], g, 1).reshape(bhkv * g, s, d)
+        vr = jnp.repeat(v[:, None], g, 1).reshape(bhkv * g, s, d)
+        o = attention_vjp(qr, kr, vr, True, d**-0.5, BLOCKS, None, None, None)
+        return jnp.sum(o * o)
+
+    g1 = jax.grad(loss_fold, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_rep, argnums=(0, 1, 2))(q, k, v)
+    # dq reshapes; dk/dv of the repeated run sum over the g copies.
+    validate_result(g1[0], g2[0].reshape(bhkv, g * s, d), TOL)
+    validate_result(g1[1], g2[1], TOL)
+    validate_result(g1[2], g2[2], TOL)
