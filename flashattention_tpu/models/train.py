@@ -30,9 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from flashattention_tpu.models.transformer import (
     ModelConfig,
     _mlp,
-    _qkv,
     _rmsnorm,
-    init_params,
+    _rope,
 )
 from flashattention_tpu.ops.backward import attention_vjp
 from flashattention_tpu.ops.flash import BlockSizes
@@ -79,17 +78,14 @@ def _forward_local(params, tokens, cfg: ModelConfig, tp_size: int, tp_axis: str)
     b, s = tokens.shape
     hq_local = cfg.num_q_heads // tp_size
     hkv_local = cfg.num_kv_heads // tp_size
-    g = cfg.num_q_heads // cfg.num_kv_heads
+    g = cfg.group_size  # validates num_q_heads % num_kv_heads == 0
     x = params["embed"][tokens]
     positions = jnp.broadcast_to(jnp.arange(s), (b, s))
-    local_cfg_heads = (hq_local, hkv_local)
     for layer in params["layers"]:
         h = _rmsnorm(x, layer["attn_norm"])
         q = (h @ layer["wq"]).reshape(b, s, hq_local, cfg.head_dim)
         k = (h @ layer["wk"]).reshape(b, s, hkv_local, cfg.head_dim)
         v = (h @ layer["wv"]).reshape(b, s, hkv_local, cfg.head_dim)
-        from flashattention_tpu.models.transformer import _rope
-
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
         # Native GQA: fold the G query groups of each local KV head into the
@@ -100,8 +96,8 @@ def _forward_local(params, tokens, cfg: ModelConfig, tp_size: int, tp_axis: str)
         kf = k.transpose(0, 2, 1, 3).reshape(b * hkv_local, s, cfg.head_dim)
         vf = v.transpose(0, 2, 1, 3).reshape(b * hkv_local, s, cfg.head_dim)
         o = attention_vjp(
-            qf, kf, vf, True, cfg.head_dim**-0.5, None, None,
-            s if g > 1 else None, None,
+            qf, kf, vf, True, cfg.head_dim**-0.5, None, None, None,
+            s if g > 1 else None,
         )
         o = (
             o.reshape(b, hq_local, s, cfg.head_dim)

@@ -35,6 +35,7 @@ from flashattention_tpu.ops.flash import (
     _dot_g,
     flash_attention,
     resolve_precision,
+    resolve_q_seq_blocks,
 )
 from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
 
@@ -234,15 +235,7 @@ def flash_attention_bwd(
             f"sequence lengths ({s_q}, {s_kv}) must be multiples of blocks ({bq}, {bkv})"
         )
     num_q, num_kv = s_q // bq, s_kv // bkv
-    q_seq_blocks = None
-    if q_seq_len is not None:
-        if s_q % q_seq_len or q_seq_len % bq:
-            raise ValueError(
-                f"q_seq_len ({q_seq_len}) must divide s_q ({s_q}) and be a "
-                f"multiple of block_q ({bq})"
-            )
-        if q_seq_len != s_q:
-            q_seq_blocks = q_seq_len // bq
+    q_seq_blocks = resolve_q_seq_blocks(s_q, bq, q_seq_len)
 
     di = jnp.sum(
         o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1
@@ -250,10 +243,35 @@ def flash_attention_bwd(
     lse3 = lse[:, None, :]  # (BH, 1, S_q) for sublane-legal blocks
     di3 = di[:, None, :]
 
+    if causal:
+        # Clamp block indices of causally-skipped steps to the last/first
+        # needed block: an unchanged index makes the Pallas pipeline elide
+        # the DMA (the forward's trick, ops.flash), halving causal backward
+        # HBM traffic.
+        def dq_kv_index(i, j):
+            if q_seq_blocks is not None:
+                i = jax.lax.rem(i, q_seq_blocks)
+            last = jnp.minimum(num_kv - 1, (q_offset + (i + 1) * bq - 1) // bkv)
+            return jnp.minimum(j, last)
+
+        def dkv_q_index(j, i):
+            # For KV block j, q blocks at segment position < first_pos are
+            # skipped; clamp the *within-segment* position up to first_pos.
+            first_pos = jnp.maximum(0, (j * bkv - q_offset) // bq)
+            if q_seq_blocks is None:
+                return jnp.minimum(jnp.maximum(i, first_pos), num_q - 1)
+            seg = jax.lax.div(i, q_seq_blocks)
+            pos = jnp.maximum(jax.lax.rem(i, q_seq_blocks), first_pos)
+            return seg * q_seq_blocks + jnp.minimum(pos, q_seq_blocks - 1)
+
+    else:
+        dq_kv_index = lambda i, j: j
+        dkv_q_index = lambda j, i: i
+
     row_specs = [
         pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),  # q
-        pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),  # k
-        pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, j, 0)),  # v
+        pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, dq_kv_index(i, j), 0)),  # k
+        pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, dq_kv_index(i, j), 0)),  # v
         pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),  # do
         pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),  # lse
         pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),  # di
@@ -282,12 +300,12 @@ def flash_attention_bwd(
     )(q, k, v, do, lse3, di3)
 
     kv_specs = [
-        pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),  # q
+        pl.BlockSpec((1, bq, d), lambda b, j, i: (b, dkv_q_index(j, i), 0)),  # q
         pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),  # k
         pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),  # v
-        pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),  # do
-        pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i)),  # lse
-        pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i)),  # di
+        pl.BlockSpec((1, bq, d), lambda b, j, i: (b, dkv_q_index(j, i), 0)),  # do
+        pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, dkv_q_index(j, i))),  # lse
+        pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, dkv_q_index(j, i))),  # di
     ]
     dk, dv = pl.pallas_call(
         functools.partial(
@@ -334,8 +352,8 @@ def attention_vjp(
     scale: float = 1.0,
     block_sizes: BlockSizes | None = None,
     precision: str | None = None,
-    q_seq_len: int | None = None,
     interpret: bool | None = None,
+    q_seq_len: int | None = None,
 ):
     """Differentiable fused attention on (BH, S, d) (block-aligned shapes).
 
@@ -349,7 +367,7 @@ def attention_vjp(
     )
 
 
-def _vjp_fwd(q, k, v, causal, scale, block_sizes, precision, q_seq_len, interpret):
+def _vjp_fwd(q, k, v, causal, scale, block_sizes, precision, interpret, q_seq_len):
     o, l, m = flash_attention(
         q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
         save_residuals=True, precision=precision, q_seq_len=q_seq_len,
@@ -359,7 +377,7 @@ def _vjp_fwd(q, k, v, causal, scale, block_sizes, precision, q_seq_len, interpre
     return o, (q, k, v, o, lse)
 
 
-def _vjp_bwd(causal, scale, block_sizes, precision, q_seq_len, interpret, res, do):
+def _vjp_bwd(causal, scale, block_sizes, precision, interpret, q_seq_len, res, do):
     q, k, v, o, lse = res
     dq, dk, dv = flash_attention_bwd(
         q, k, v, o, lse, do,

@@ -64,6 +64,7 @@ __all__ = [
     "flash_attention_naive",
     "PRECISIONS",
     "resolve_precision",
+    "resolve_q_seq_blocks",
 ]
 
 NUM_LANES = 128
@@ -186,6 +187,18 @@ class BlockSizes:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def resolve_q_seq_blocks(s_q: int, block_q: int, q_seq_len: int | None) -> int | None:
+    """Blocks per GQA group segment (None = no folding); validates the fold."""
+    if q_seq_len is None:
+        return None
+    if s_q % q_seq_len or q_seq_len % block_q:
+        raise ValueError(
+            f"q_seq_len ({q_seq_len}) must divide s_q ({s_q}) and be a "
+            f"multiple of block_q ({block_q})"
+        )
+    return q_seq_len // block_q if q_seq_len != s_q else None
 
 
 def _kernel(
@@ -439,15 +452,7 @@ def flash_attention(
     num_kv_blocks = s_kv // bkv
     grid = (bh, num_q_blocks, num_kv_blocks)
 
-    q_seq_blocks = None
-    if q_seq_len is not None:
-        if s_q % q_seq_len or q_seq_len % bq:
-            raise ValueError(
-                f"q_seq_len ({q_seq_len}) must divide s_q ({s_q}) and be a "
-                f"multiple of block_q ({bq})"
-            )
-        if q_seq_len != s_q:
-            q_seq_blocks = q_seq_len // bq
+    q_seq_blocks = resolve_q_seq_blocks(s_q, bq, q_seq_len)
 
     # MXU-computed l: extend V with a ones-column in an otherwise-idle output
     # lane (see module docstring).  Disabled for quantized KV (the folded

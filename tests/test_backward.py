@@ -79,15 +79,20 @@ def test_value_and_grad_bf16():
 
 
 def test_vjp_gqa_fold_matches_repeated_kv():
-    """Grads through the GQA row fold == grads through repeated-KV heads."""
-    bhkv, g, s, d = 2, 4, 128, 32
+    """Grads through the GQA row fold == grads through repeated-KV heads.
+
+    s=256 with 128-wide blocks gives q_seq_blocks=2 and 2 KV blocks, so the
+    rem-based causal block skip and intra-segment q_pos masking both
+    exercise their non-degenerate paths.
+    """
+    bhkv, g, s, d = 2, 4, 256, 32
     ks = jax.random.split(jax.random.key(11), 3)
     q = make_random(ks[0], (bhkv, g * s, d))
     k = make_random(ks[1], (bhkv, s, d))
     v = make_random(ks[2], (bhkv, s, d))
 
     def loss_fold(q, k, v):
-        o = attention_vjp(q, k, v, True, d**-0.5, BLOCKS, None, s, None)
+        o = attention_vjp(q, k, v, True, d**-0.5, BLOCKS, None, None, s)
         return jnp.sum(o * o)
 
     def loss_rep(q, k, v):
