@@ -27,7 +27,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flashattention_tpu.ops.flash import BlockSizes, flash_attention
 
-__all__ = ["ring_attention_local", "make_ring_attention", "merge_partials"]
+__all__ = [
+    "ring_attention_local",
+    "make_ring_attention",
+    "make_zigzag_ring_attention",
+    "merge_partials",
+    "zigzag_shard",
+    "zigzag_unshard",
+]
 
 
 def merge_partials(o1, l1, m1, o2, l2, m2):
@@ -165,6 +172,170 @@ def make_ring_attention(
         interpret=interpret,
     )
 
+    fn = jax.shard_map(
+        lambda q, k, v: local(q, k, v),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+# ── zigzag (load-balanced) ring attention ─────────────────────────────────────
+#
+# Causal ring attention over contiguous chunks is load-imbalanced: the device
+# holding the last chunk does N times the work of the first (SURVEY.md "hard
+# parts" (c)).  The zigzag layout fixes it: view the sequence as 2N half-
+# chunks; device i holds [half i ; half 2N-1-i].  Under causal masking each
+# device then computes exactly (i+1) + (2N-i) = 2N+1 half-chunk-pairs of
+# work — constant across the ring.  Per rotation step with the KV pair that
+# originated at ring position src:
+#   src == i : q_lo/kv_lo diagonal  +  q_hi/(kv_lo + kv_hi-diagonal)
+#   src <  i : both q halves attend kv_lo fully; kv_hi is entirely future
+#   src >  i : q_hi attends both kv halves fully; q_lo sees only future
+# Every step is ~2 half-chunk attentions on every device.
+
+
+def zigzag_shard(x: jax.Array, axis_size: int, axis: int = 1) -> jax.Array:
+    """Reorder a contiguous sequence axis into the zigzag ring layout.
+
+    Chunk order becomes [0, 2N-1, 1, 2N-2, ...]: slicing the result into N
+    equal shards gives shard i = [half i ; half 2N-1-i].
+    """
+    n2 = 2 * axis_size
+    s = x.shape[axis]
+    if s % n2:
+        raise ValueError(f"sequence ({s}) must divide into {n2} half-chunks")
+    parts = jnp.split(x, n2, axis=axis)
+    order = []
+    for i in range(axis_size):
+        order += [i, n2 - 1 - i]
+    return jnp.concatenate([parts[j] for j in order], axis=axis)
+
+
+def zigzag_unshard(x: jax.Array, axis_size: int, axis: int = 1) -> jax.Array:
+    """Inverse of :func:`zigzag_shard`."""
+    n2 = 2 * axis_size
+    parts = jnp.split(x, n2, axis=axis)
+    order = []
+    for i in range(axis_size):
+        order += [i, n2 - 1 - i]
+    inv = [0] * n2
+    for pos, j in enumerate(order):
+        inv[j] = pos
+    return jnp.concatenate([parts[inv[j]] for j in range(n2)], axis=axis)
+
+
+def zigzag_ring_attention_local(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis_name: str,
+    axis_size: int,
+    scale: float = 1.0,
+    block_sizes: BlockSizes | None = None,
+    interpret: bool | None = None,
+):
+    """Per-shard zigzag causal ring attention (call inside shard_map).
+
+    q, k, v: local shards (BH, S_local, d) in zigzag layout — rows
+    [0, c) are global half-chunk ``i``, rows [c, 2c) are half-chunk
+    ``2N-1-i`` (c = S_local // 2).  Returns the local O shard, same layout.
+    """
+    bh, s_local, d = q.shape
+    if s_local % 2:
+        raise ValueError(f"zigzag shards need even local length, got {s_local}")
+    c = s_local // 2
+    my_idx = jax.lax.axis_index(axis_name)
+    n2 = 2 * axis_size
+
+    def flash(qq, kk, vv, causal, q_offset=0):
+        return flash_attention(
+            qq, kk, vv, causal=causal, scale=scale, q_offset=q_offset,
+            block_sizes=block_sizes, save_residuals=True, interpret=interpret,
+        )
+
+    def skip(rows):
+        return (
+            jnp.zeros((bh, rows, d), q.dtype),
+            jnp.zeros((bh, rows), jnp.float32),
+            jnp.full((bh, rows), -jnp.inf, jnp.float32),
+        )
+
+    q_lo, q_hi = q[:, :c], q[:, c:]
+
+    def case_diag(kb, vb):
+        # src == i: lo attends its own diagonal; hi attends kv_lo fully plus
+        # its own diagonal — causal over the concatenated pair with offset c.
+        o1, l1, m1 = flash(q_lo, kb[:, :c], vb[:, :c], True)
+        o2, l2, m2 = flash(q_hi, kb, vb, True, q_offset=c)
+        return (
+            jnp.concatenate([o1, o2], 1),
+            jnp.concatenate([l1, l2], 1),
+            jnp.concatenate([m1, m2], 1),
+        )
+
+    def case_past(kb, vb):
+        # src < i: kv_lo is entirely in both halves' past; kv_hi all future.
+        o, l, m = flash(q, kb[:, :c], vb[:, :c], False)
+        return o, l, m
+
+    def case_future_lo(kb, vb):
+        # src > i: q_lo sees only future keys; q_hi attends the whole pair.
+        o2, l2, m2 = flash(q_hi, kb, vb, False)
+        o1, l1, m1 = skip(c)
+        return (
+            jnp.concatenate([o1, o2], 1),
+            jnp.concatenate([l1, l2], 1),
+            jnp.concatenate([m1, m2], 1),
+        )
+
+    o = jnp.zeros((bh, s_local, d), q.dtype)
+    l = jnp.zeros((bh, s_local), jnp.float32)
+    m = jnp.full((bh, s_local), -jnp.inf, jnp.float32)
+
+    kb, vb = k, v
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    for step in range(axis_size):
+        src = jax.lax.rem(my_idx - step + axis_size, axis_size)
+        case = jnp.where(src == my_idx, 0, jnp.where(src < my_idx, 1, 2))
+        po, pl_, pm = jax.lax.switch(
+            case, [case_diag, case_past, case_future_lo], kb, vb
+        )
+        o, l, m = merge_partials(o, l, m, po, pl_, pm)
+        if step != axis_size - 1:
+            kb = jax.lax.ppermute(kb, axis_name, perm)
+            vb = jax.lax.ppermute(vb, axis_name, perm)
+    return o
+
+
+def make_zigzag_ring_attention(
+    mesh: Mesh,
+    *,
+    axis_name: str = "sp",
+    scale: float = 1.0,
+    batch_axis: str | None = None,
+    block_sizes: BlockSizes | None = None,
+    interpret: bool | None = None,
+):
+    """Jitted causal zigzag ring attention over ``mesh`` (zigzag layout I/O).
+
+    Inputs (BH, S, d) must already be in zigzag chunk order (use
+    :func:`zigzag_shard`); S shards over ``axis_name``.  Always causal — for
+    non-causal use the plain ring (no imbalance to fix).
+    """
+    axis_size = mesh.shape[axis_name]
+    spec = P(batch_axis if batch_axis else None, axis_name, None)
+    local = functools.partial(
+        zigzag_ring_attention_local,
+        axis_name=axis_name,
+        axis_size=axis_size,
+        scale=scale,
+        block_sizes=block_sizes,
+        interpret=interpret,
+    )
     fn = jax.shard_map(
         lambda q, k, v: local(q, k, v),
         mesh=mesh,

@@ -209,3 +209,40 @@ def test_sharded_decode_step_matches_single_device():
     )
     validate_result(got_logits, want_logits, 1e-3)
     validate_result(got_kp, want_kp, 1e-5)
+
+
+def test_zigzag_ring_attention_matches_dense():
+    """Zigzag (load-balanced) causal ring == single-device causal attention."""
+    from flashattention_tpu.parallel.ring import (
+        make_zigzag_ring_attention,
+        zigzag_shard,
+        zigzag_unshard,
+    )
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    import numpy as np
+
+    n = 4
+    mesh = Mesh(np.array(jax.devices()[:n]), ("sp",))
+    bh, s, d = 4, 8 * 128, 64  # 2N=8 half-chunks of 128 rows
+    ks = jax.random.split(jax.random.key(5), 3)
+    q, k, v = (make_random(kk, (bh, s, d)) for kk in ks)
+
+    want = attention_reference(q, k, v, causal=True)
+
+    qz, kz, vz = (zigzag_shard(x, n) for x in (q, k, v))
+    spec = NamedSharding(mesh, P(None, "sp", None))
+    qz, kz, vz = (jax.device_put(x, spec) for x in (qz, kz, vz))
+    ring = make_zigzag_ring_attention(mesh, axis_name="sp")
+    oz = ring(qz, kz, vz)
+    got = zigzag_unshard(oz, n)
+    validate_result(got, want, 1e-4)  # bf16_3x default precision class
+
+
+def test_zigzag_shard_roundtrip():
+    from flashattention_tpu.parallel.ring import zigzag_shard, zigzag_unshard
+
+    x = jnp.arange(2 * 16 * 3, dtype=jnp.float32).reshape(2, 16, 3)
+    z = zigzag_shard(x, 4)
+    assert not jnp.array_equal(z, x)
+    back = zigzag_unshard(z, 4)
+    assert jnp.array_equal(back, x)
