@@ -223,7 +223,7 @@ def flash_attention_bwd(
         # (s, p, dp, ds) at once plus (bkv, d) dk/dv scratch, so the forward's
         # tuned 2048-wide KV blocks blow the 16 MB VMEM budget; 512x512 fits
         # with the multi-pass split buffers at every precision.
-        block_sizes = BlockSizes.fit(q_seq_len or s_q, s_kv, d, precision)
+        block_sizes = BlockSizes.fit(q_seq_len or s_q, s_kv, d, precision, causal)
         block_sizes = BlockSizes(
             min(block_sizes.block_q, 512),
             min(block_sizes.block_kv, 512),

@@ -138,7 +138,7 @@ def attention(
         if block_sizes is None:
             block_sizes = BlockSizes.fit(
                 _round_up(s_q, 128), _round_up(s_kv, 128), d,
-                resolve_precision(precision, q3.dtype),
+                resolve_precision(precision, q3.dtype), causal,
             )
         bq, bkv = block_sizes.block_q, block_sizes.block_kv
         s_q_pad = _round_up(s_q, bq)
