@@ -54,6 +54,9 @@ def main():
         lambda q, k, v: flash_attention(q, k, v, block_sizes=BLOCKS_1X),
         (qb, kb, vb),
     )
+    ms_causal_bf16 = devtime_ms(
+        lambda q, k, v: flash_attention(q, k, v, causal=True), (qb, kb, vb)
+    )
     print(
         json.dumps(
             {
@@ -66,6 +69,7 @@ def main():
                 "fp32_fast_tflops_per_s": round(flops / ms_fast / 1e9, 1),
                 "bf16_ms": round(ms_bf16, 3),
                 "bf16_tflops_per_s": round(flops / ms_bf16 / 1e9, 1),
+                "causal_bf16_ms": round(ms_causal_bf16, 3),
             }
         )
     )
