@@ -22,17 +22,13 @@ import json
 import jax
 import jax.numpy as jnp
 
-from flashattention_tpu.ops.flash import BlockSizes, flash_attention
+from flashattention_tpu.ops.flash import flash_attention
 from flashattention_tpu.utils.benchit import attention_flops, devtime_ms
 from flashattention_tpu.utils.testing import make_random
 
 BASELINE_MS = 119.0  # reference "Ours" on RTX 3060, README.md:11
 B, H, D, S = 2, 8, 64, 8192
 DTYPE = jnp.float32  # the reference benchmarks FP32
-# Tuned on TPU v5e (scripts/tune_flash.py): 3-pass fp32 fits VMEM at bq=512;
-# 1-pass modes run bq=1024.
-BLOCKS_3X = BlockSizes(512, 2048, 2048)
-BLOCKS_1X = BlockSizes(1024, 2048, 2048)
 
 
 def main():
@@ -40,19 +36,15 @@ def main():
     q, k, v = (make_random(kk, (B * H, S, D), DTYPE) for kk in ks)
     flops = attention_flops(B * H, S, S, D)
 
-    ms = devtime_ms(
-        lambda q, k, v: flash_attention(q, k, v, block_sizes=BLOCKS_3X), (q, k, v)
-    )
+    # All rows run the library's auto-fit block configs — what a caller gets
+    # with no tuning (scripts/tune_flash.py confirms these are the winners).
+    ms = devtime_ms(lambda q, k, v: flash_attention(q, k, v), (q, k, v))
     ms_fast = devtime_ms(
-        lambda q, k, v: flash_attention(
-            q, k, v, precision="bf16", block_sizes=BLOCKS_1X
-        ),
-        (q, k, v),
+        lambda q, k, v: flash_attention(q, k, v, precision="bf16"), (q, k, v)
     )
     qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
     ms_bf16 = devtime_ms(
-        lambda q, k, v: flash_attention(q, k, v, block_sizes=BLOCKS_1X),
-        (qb, kb, vb),
+        lambda q, k, v: flash_attention(q, k, v), (qb, kb, vb)
     )
     ms_causal_bf16 = devtime_ms(
         lambda q, k, v: flash_attention(q, k, v, causal=True), (qb, kb, vb)

@@ -295,6 +295,9 @@ def flash_attention_bwd(
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # v5e has 128 MB VMEM; the default 16 MB scoped limit rejects
+            # valid large-block configs with an opaque compile error.
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
     )(q, k, v, do, lse3, di3)
@@ -334,6 +337,9 @@ def flash_attention_bwd(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # v5e has 128 MB VMEM; the default 16 MB scoped limit rejects
+            # valid large-block configs with an opaque compile error.
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
     )(q, k, v, do, lse3, di3)

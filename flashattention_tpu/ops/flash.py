@@ -170,15 +170,14 @@ class BlockSizes:
         """Pick defaults that divide the (padded) problem and fit VMEM.
 
         Caps tuned empirically on TPU v5e (scripts/tune_flash.py).  Large
-        blocks amortize per-grid-step overhead; the VMEM budget for the fp32
-        scores tile (block_q x block_kv_compute) plus the multi-pass split
-        buffers bounds block_q: 1024 for 1-pass matmuls, 512 for 3/6-pass.
-        Causal caps block_kv at 1024: the diagonal block's wasted
-        above-the-diagonal compute scales with block_kv (S=8192 bf16 causal:
-        2.9 -> 2.2 ms vs the non-causal 2048 cap).
+        blocks amortize per-grid-step overhead; block_q=1024 needs the raised
+        scoped-VMEM limit the kernels request (vmem_limit_bytes) for the
+        multi-pass precisions.  Causal caps block_kv at 1024: the diagonal
+        block's wasted above-the-diagonal compute scales with block_kv
+        (S=8192 bf16 causal: 2.9 -> 2.2 ms vs the non-causal 2048 cap).
         """
-        del head_dim
-        max_bq = 1024 if precision == "bf16" else 512
+        del head_dim, precision
+        max_bq = 1024
         block_q = min(max_bq, max(MIN_BLOCK, _round_up(s_q, MIN_BLOCK)))
         while s_q % block_q and block_q > MIN_BLOCK:
             block_q //= 2
@@ -566,6 +565,9 @@ def flash_attention(
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # v5e has 128 MB VMEM; the default 16 MB scoped limit rejects
+            # valid large-block configs with an opaque compile error.
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
