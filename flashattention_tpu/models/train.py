@@ -39,6 +39,41 @@ from flashattention_tpu.ops.flash import BlockSizes
 __all__ = ["param_specs", "shard_params", "make_train_step"]
 
 
+# ── Megatron collective pair ─────────────────────────────────────────────────
+# With shard_map(check_vma=False) the transpose of a bare psum is another
+# psum, which scales cotangents by the axis size and leaves replicated
+# parameters (norms, embeddings) with per-device partial gradients (their tp
+# replicas silently diverge).  The textbook fix is the f/g pair: ``g`` is
+# all-reduce forward / identity backward (after row-parallel matmuls), ``f``
+# is identity forward / all-reduce backward (before column-parallel matmuls).
+# With both in place every gradient is exact with no post-hoc rescaling.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _g_allreduce(x, axis):
+    """Forward all-reduce, backward identity (output treated as replicated)."""
+    return jax.lax.psum(x, axis)
+
+
+_g_allreduce.defvjp(
+    lambda x, axis: (jax.lax.psum(x, axis), None),
+    lambda axis, _, dy: (dy,),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _f_identity(x, axis):
+    """Forward identity, backward all-reduce (input is replicated; its
+    cotangent arrives as per-device shard contributions)."""
+    return x
+
+
+_f_identity.defvjp(
+    lambda x, axis: (x, None),
+    lambda axis, _, dy: (jax.lax.psum(dy, axis),),
+)
+
+
 def param_specs(cfg: ModelConfig, tp: str = "tp") -> dict:
     """PartitionSpecs: Megatron column/row sharding over the tp axis."""
     layer = {
@@ -82,7 +117,7 @@ def _forward_local(params, tokens, cfg: ModelConfig, tp_size: int, tp_axis: str)
     x = params["embed"][tokens]
     positions = jnp.broadcast_to(jnp.arange(s), (b, s))
     for layer in params["layers"]:
-        h = _rmsnorm(x, layer["attn_norm"])
+        h = _f_identity(_rmsnorm(x, layer["attn_norm"]), tp_axis)
         q = (h @ layer["wq"]).reshape(b, s, hq_local, cfg.head_dim)
         k = (h @ layer["wk"]).reshape(b, s, hkv_local, cfg.head_dim)
         v = (h @ layer["wv"]).reshape(b, s, hkv_local, cfg.head_dim)
@@ -104,11 +139,12 @@ def _forward_local(params, tokens, cfg: ModelConfig, tp_size: int, tp_axis: str)
             .transpose(0, 2, 1, 3)
             .reshape(b, s, hq_local * cfg.head_dim)
         )
-        # Row-sharded output projection: local partial sum + psum over tp.
-        attn_out = jax.lax.psum(o @ layer["wo"], tp_axis)
+        # Row-sharded output projection: local partial sum + all-reduce (g).
+        attn_out = _g_allreduce(o @ layer["wo"], tp_axis)
         x = x + attn_out
-        mlp_out = jax.lax.psum(
-            _mlp(_rmsnorm(x, layer["mlp_norm"]), layer), tp_axis
+        mlp_out = _g_allreduce(
+            _mlp(_f_identity(_rmsnorm(x, layer["mlp_norm"]), tp_axis), layer),
+            tp_axis,
         )
         x = x + mlp_out
     x = _rmsnorm(x, params["final_norm"])

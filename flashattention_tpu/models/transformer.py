@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from flashattention_tpu.ops.decode import paged_attention
+from flashattention_tpu.ops.dispatch import attention
 from flashattention_tpu.ops.flash import BlockSizes, flash_attention
 
 __all__ = ["ModelConfig", "init_params", "prefill", "decode_step"]
@@ -166,8 +167,6 @@ def prefill(params, tokens: jax.Array, cfg: ModelConfig, interpret=None):
         # Native GQA prefill: q heads grouped by KV head via the kernel's row
         # folding (ops.dispatch handles H != KVH) — no repeated KV heads are
         # materialized or streamed from HBM.
-        from flashattention_tpu.ops.dispatch import attention
-
         # (B, S, H, d) -> (B, H, S, d); q's H axis is (KVH, G) g-major, which
         # is exactly the grouping dispatch folds.
         qf = q.transpose(0, 2, 1, 3)
@@ -201,8 +200,9 @@ def _quantize_row(x, dtype):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "pages_per_compute_block", "interpret"),
+    static_argnames=("cfg", "interpret"),
     donate_argnums=(3, 4),
+    donate_argnames=("k_scales", "v_scales"),
 )
 def decode_step(
     params,
@@ -217,7 +217,6 @@ def decode_step(
     cfg: ModelConfig,
     k_scales: jax.Array | None = None,  # (L, P, KVH, ps) when quantized
     v_scales: jax.Array | None = None,
-    pages_per_compute_block: int = 4,
     interpret=None,
 ):
     """One decode token for a whole continuous batch over the paged cache.
@@ -272,7 +271,6 @@ def decode_step(
             k_scales_pages=None if k_scales is None else k_scales[li],
             v_scales_pages=None if v_scales is None else v_scales[li],
             scale=cfg.head_dim**-0.5,
-            pages_per_compute_block=pages_per_compute_block,
             interpret=interpret,
         )  # (B, KVH, G, d)
         o = o.reshape(b, 1, cfg.num_q_heads * cfg.head_dim)

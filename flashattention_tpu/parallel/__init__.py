@@ -1,7 +1,14 @@
 from flashattention_tpu.parallel.ring import (
     make_ring_attention,
+    make_zigzag_ring_attention,
     merge_partials,
     ring_attention_local,
+    zigzag_shard,
+    zigzag_unshard,
+)
+from flashattention_tpu.parallel.serving import (
+    make_sharded_decode_step,
+    make_sharded_paged_attention,
 )
 from flashattention_tpu.parallel.sharded import (
     make_allgather_cp_attention,

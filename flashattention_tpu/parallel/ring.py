@@ -113,7 +113,10 @@ def ring_attention_local(
             jnp.full((bh, s_local), -jnp.inf, jnp.float32),
         )
 
-    o = jnp.zeros((bh, s_local, d), q.dtype)
+    # fp32 accumulator across merges: casting back to a narrow input dtype at
+    # every ring step would re-quantize early chunks' contributions up to
+    # axis_size times.
+    o = jnp.zeros((bh, s_local, d), jnp.float32)
     l = jnp.zeros((bh, s_local), jnp.float32)
     m = jnp.full((bh, s_local), -jnp.inf, jnp.float32)
 
@@ -140,7 +143,7 @@ def ring_attention_local(
             kb = jax.lax.ppermute(kb, axis_name, perm)
             vb = jax.lax.ppermute(vb, axis_name, perm)
 
-    return o
+    return o.astype(q.dtype)
 
 
 def make_ring_attention(
@@ -292,7 +295,7 @@ def zigzag_ring_attention_local(
             jnp.concatenate([m1, m2], 1),
         )
 
-    o = jnp.zeros((bh, s_local, d), q.dtype)
+    o = jnp.zeros((bh, s_local, d), jnp.float32)  # fp32 accumulator (see above)
     l = jnp.zeros((bh, s_local), jnp.float32)
     m = jnp.full((bh, s_local), -jnp.inf, jnp.float32)
 
@@ -308,7 +311,7 @@ def zigzag_ring_attention_local(
         if step != axis_size - 1:
             kb = jax.lax.ppermute(kb, axis_name, perm)
             vb = jax.lax.ppermute(vb, axis_name, perm)
-    return o
+    return o.astype(q.dtype)
 
 
 def make_zigzag_ring_attention(

@@ -24,6 +24,7 @@ import numpy as np
 
 from flashattention_tpu.models import transformer
 from flashattention_tpu.runtime.kvcache import CacheConfig, PagedKVCache
+from flashattention_tpu.runtime.kvcache import _bucket as kv_bucket
 from flashattention_tpu.runtime.native import Scheduler
 
 __all__ = ["EngineConfig", "Request", "Engine"]
@@ -33,8 +34,8 @@ __all__ = ["EngineConfig", "Request", "Engine"]
 class EngineConfig:
     max_batch: int = 8
     pages_per_seq: int = 16  # max pages (=> max length) per request
-    pages_per_compute_block: int = 4
-    greedy: bool = True
+    greedy: bool = True  # False: temperature sampling (see Engine.sample_key)
+    temperature: float = 1.0
     eos_token: int | None = None
 
 
@@ -52,10 +53,7 @@ class Request:
 
 
 def _bucket(n: int) -> int:
-    b = 8
-    while b < n:
-        b *= 2
-    return b
+    return kv_bucket(n, lo=8)
 
 
 class Engine:
@@ -77,15 +75,26 @@ class Engine:
         self.running: list[int] = []  # req ids in batch-slot order
         self._next_id = itertools.count()
         self._interpret = interpret
-        # Largest divisor of pages_per_seq not exceeding the configured block.
-        ppcb = min(engine_cfg.pages_per_compute_block, engine_cfg.pages_per_seq)
-        while engine_cfg.pages_per_seq % ppcb:
-            ppcb -= 1
-        self._ppcb = ppcb
+        self.sample_key = jax.random.key(0)  # used when not cfg.greedy
 
     # ── public API ────────────────────────────────────────────────────────
 
     def add_request(self, prompt, max_new_tokens: int) -> int:
+        # Fail fast on requests that could never complete: the total span must
+        # fit both the per-request page-table view and the physical pool
+        # (otherwise batch_view / the allocator would blow up mid-serve and
+        # take every in-flight request down with them).
+        span = len(prompt) + max_new_tokens
+        ps = self.cache.config.page_size
+        need = -(-span // ps)
+        cap = min(self.cfg.pages_per_seq, self.cache.config.num_pages)
+        if need > cap:
+            raise ValueError(
+                f"request needs {need} pages ({span} tokens @ page_size {ps}) "
+                f"but the engine caps at {cap} "
+                f"(pages_per_seq={self.cfg.pages_per_seq}, "
+                f"num_pages={self.cache.config.num_pages})"
+            )
         req_id = next(self._next_id)
         self.requests[req_id] = Request(req_id, list(prompt), max_new_tokens)
         self.scheduler.add_request(req_id, len(prompt), max_new_tokens)
@@ -99,7 +108,17 @@ class Engine:
         for _ in range(max_steps):
             if not self.has_work():
                 break
+            was_empty = not self.running
             self.step()
+            if was_empty and not self.running and self.scheduler.num_waiting() > 0:
+                # A step that began with an empty batch admitted nothing: the
+                # waiting requests can never fit (admission deadlock) — bail
+                # instead of spinning max_steps no-op iterations.
+                raise RuntimeError(
+                    f"{self.scheduler.num_waiting()} waiting request(s) "
+                    "cannot be admitted (insufficient free pages even with "
+                    "an empty batch)"
+                )
         return {rid: r.output for rid, r in self.requests.items()}
 
     # ── checkpoint / resume ───────────────────────────────────────────────
@@ -233,7 +252,6 @@ class Engine:
             cfg=self.model_cfg,
             k_scales=self.cache.k_scales if quant else None,
             v_scales=self.cache.v_scales if quant else None,
-            pages_per_compute_block=self._ppcb,
             interpret=self._interpret,
         )
         self.cache.set_pools(kp, vp, ks, vs)
@@ -260,8 +278,13 @@ class Engine:
         return False
 
     def _sample(self, logits):
-        # Greedy decoding; logits (V,) or (B, V).
-        return jnp.argmax(logits, axis=-1)
+        # logits (V,) or (B, V).
+        if self.cfg.greedy:
+            return jnp.argmax(logits, axis=-1)
+        self.sample_key, sub = jax.random.split(self.sample_key)
+        return jax.random.categorical(
+            sub, logits.astype(jnp.float32) / self.cfg.temperature, axis=-1
+        )
 
     def _emit(self, req: Request, token: int) -> None:
         req.output.append(token)

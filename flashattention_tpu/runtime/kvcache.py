@@ -57,9 +57,9 @@ class _Seq:
     pages: list
 
 
-def _bucket(n: int) -> int:
-    """Round token counts up to a power of two (bounds jit recompiles)."""
-    b = 1
+def _bucket(n: int, lo: int = 1) -> int:
+    """Round counts up to a power of two >= lo (bounds jit recompiles)."""
+    b = lo
     while b < n:
         b *= 2
     return b

@@ -69,6 +69,37 @@ def test_tp_matches_single_device():
     np.testing.assert_allclose(float(loss1), float(loss4), rtol=2e-4)
 
 
+def test_tp_grads_match_single_device():
+    """Updated params (not just loss) must match TP=1 bit-for-tolerance.
+
+    Regression test for the Megatron f/g collective pair: without it the
+    replicated params' (norms/embed) gradients were per-device partials and
+    the tp replicas silently diverged.
+    """
+    cfg, params = make_model(4)
+    tokens = jax.random.randint(jax.random.key(1), (2, 128), 0, cfg.vocab_size)
+
+    mesh1 = make_mesh(1, 1)
+    p1 = shard_params(params, mesh1, cfg)
+    t1 = jax.device_put(tokens, NamedSharding(mesh1, P("dp", None)))
+    _, new1 = make_train_step(mesh1, cfg)(p1, t1)
+
+    mesh4 = make_mesh(1, 4)
+    p4 = shard_params(params, mesh4, cfg)
+    t4 = jax.device_put(tokens, NamedSharding(mesh4, P("dp", None)))
+    _, new4 = make_train_step(mesh4, cfg)(p4, t4)
+
+    flat1 = jax.tree.leaves(new1)
+    flat4 = jax.tree.leaves(new4)
+    for a, b in zip(flat1, flat4):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # The tp replicas of a replicated param must be identical.
+    an = new4["layers"][0]["attn_norm"]
+    shards = [np.asarray(s.data) for s in an.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
 def test_tp_must_divide_kv_heads():
     mesh = make_mesh(1, 8)
     cfg, _ = make_model(4)  # kv_heads=4, tp=8
