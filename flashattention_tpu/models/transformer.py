@@ -27,7 +27,7 @@ from flashattention_tpu.ops.decode import paged_attention
 from flashattention_tpu.ops.dispatch import attention
 from flashattention_tpu.ops.flash import BlockSizes, flash_attention
 
-__all__ = ["ModelConfig", "init_params", "prefill", "decode_step"]
+__all__ = ["ModelConfig", "init_params", "prefill", "prefill_chunk", "decode_step"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -277,5 +277,122 @@ def decode_step(
         x = x + o @ layer["wo"]
         x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer)
     x = _rmsnorm(x[:, 0], params["final_norm"])
+    logits = x @ params["lm_head"]
+    return logits, k_pages, v_pages, k_scales, v_scales
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "interpret"),
+    donate_argnums=(2, 3),
+    donate_argnames=("k_scales", "v_scales"),
+)
+def prefill_chunk(
+    params,
+    tokens: jax.Array,  # (T,) int32 — one request's next T prompt tokens
+    k_pages: jax.Array,  # (L, P, KVH, ps, d) head-major, donated
+    v_pages: jax.Array,
+    positions: jax.Array,  # (T,) int32 absolute positions of the tokens
+    page_indices: jax.Array,  # (n_ctx_pages,) pages covering [0, ctx) so far
+    write_pages: jax.Array,  # (T,) page receiving each token's K/V
+    write_slots: jax.Array,  # (T,) slot within that page
+    cfg: ModelConfig,
+    k_scales: jax.Array | None = None,  # (L, P, KVH, ps) when quantized
+    v_scales: jax.Array | None = None,
+    interpret=None,
+):
+    """One chunk of a chunked prefill (single request).
+
+    The serving engine processes long prompts in fixed-size chunks: each call
+    scatters the chunk's K/V into the paged pools, then attends the chunk's
+    queries against the *gathered* context pages (prefix + this chunk) with a
+    causal mask offset — activation memory stays O(T * ctx) instead of
+    O(prompt^2), and a chunk boundary is a natural preemption/scheduling
+    point (the continuous-batching norm).
+
+    Contract: the context covered by ``page_indices`` is exactly
+    ``n_ctx_pages * page_size`` tokens = all positions < ctx, every slot
+    written (the engine pads the last chunk to the chunk size; pad rows sit
+    at positions >= the true prompt length, which no valid query can attend
+    under the causal mask).  T must be a multiple of page_size.
+
+    Returns (logits (T, V), k_pages, v_pages, k_scales, v_scales).
+    """
+    (t,) = tokens.shape
+    ps = k_pages.shape[3]
+    ctx = page_indices.shape[0] * ps
+    quantized = k_scales is not None
+    x = params["embed"][tokens][None]  # (1, T, d_model)
+    pos = positions[None]
+    g = cfg.group_size
+    kvh = cfg.num_kv_heads
+    for li, layer in enumerate(params["layers"]):
+        h = _rmsnorm(x, layer["attn_norm"])
+        q, k, v = _qkv(h, layer, cfg, pos)  # (1, T, H, d)
+        k_rows, v_rows = k[0], v[0]  # (T, KVH, d)
+        if quantized:
+            k_pay, k_sc = _quantize_row(k_rows, k_pages.dtype)
+            v_pay, v_sc = _quantize_row(v_rows, v_pages.dtype)
+            k_scales = k_scales.at[li, write_pages, :, write_slots].set(
+                k_sc, mode="drop"
+            )
+            v_scales = v_scales.at[li, write_pages, :, write_slots].set(
+                v_sc, mode="drop"
+            )
+        else:
+            k_pay = k_rows.astype(k_pages.dtype)
+            v_pay = v_rows.astype(v_pages.dtype)
+        k_pages = k_pages.at[li, write_pages, :, write_slots, :].set(
+            k_pay, mode="drop"
+        )
+        v_pages = v_pages.at[li, write_pages, :, write_slots, :].set(
+            v_pay, mode="drop"
+        )
+        # Gather the context (prefix + chunk): (n, KVH, ps, d) -> (KVH, ctx, d)
+        kg = k_pages[li][page_indices].transpose(1, 0, 2, 3).reshape(kvh, ctx, -1)
+        vg = v_pages[li][page_indices].transpose(1, 0, 2, 3).reshape(kvh, ctx, -1)
+        # Kernel blocks are 128-row multiples: pad the chunk rows (per GQA
+        # segment) and the gathered context; pad q rows' outputs are sliced
+        # off, pad KV columns are masked via kv_len.
+        tpad = -(-t // 128) * 128
+        ctx_pad = -(-ctx // 128) * 128
+        qf = q[0].transpose(1, 0, 2).reshape(kvh, g, t, cfg.head_dim)
+        if tpad != t:
+            qf = jnp.pad(qf, ((0, 0), (0, 0), (0, tpad - t), (0, 0)))
+        qf = qf.reshape(kvh, g * tpad, cfg.head_dim)
+        if ctx_pad != ctx:
+            kg = jnp.pad(kg, ((0, 0), (0, ctx_pad - ctx), (0, 0)))
+            vg = jnp.pad(vg, ((0, 0), (0, ctx_pad - ctx), (0, 0)))
+        extra = {}
+        if quantized:
+            ksg = k_scales[li][page_indices].transpose(1, 0, 2).reshape(kvh, ctx)
+            vsg = v_scales[li][page_indices].transpose(1, 0, 2).reshape(kvh, ctx)
+            if ctx_pad != ctx:
+                ksg = jnp.pad(ksg, ((0, 0), (0, ctx_pad - ctx)))
+                vsg = jnp.pad(vsg, ((0, 0), (0, ctx_pad - ctx)))
+            extra = dict(k_scales=ksg, v_scales=vsg)
+        from flashattention_tpu.ops.flash import flash_attention
+
+        o = flash_attention(
+            qf.astype(x.dtype),
+            kg,
+            vg,
+            causal=True,
+            scale=cfg.head_dim**-0.5,
+            q_offset=ctx - t,
+            q_seq_len=tpad if g > 1 else None,
+            kv_len=ctx if ctx_pad != ctx else None,
+            interpret=interpret,
+            **extra,
+        )  # (KVH, G*tpad, d)
+        o = o.reshape(kvh, g, tpad, cfg.head_dim)[:, :, :t]
+        o = (
+            o.reshape(kvh * g, t, cfg.head_dim)
+            .transpose(1, 0, 2)
+            .reshape(1, t, cfg.num_q_heads * cfg.head_dim)
+        )
+        x = x + o @ layer["wo"]
+        x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer)
+    x = _rmsnorm(x[0], params["final_norm"])
     logits = x @ params["lm_head"]
     return logits, k_pages, v_pages, k_scales, v_scales

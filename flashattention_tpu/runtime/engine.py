@@ -34,6 +34,8 @@ __all__ = ["EngineConfig", "Request", "Engine"]
 class EngineConfig:
     max_batch: int = 8
     pages_per_seq: int = 16  # max pages (=> max length) per request
+    prefill_chunk: int = 512  # chunked prefill above this prompt length
+    #   (0 disables; must be a multiple of the cache page_size)
     greedy: bool = True  # False: temperature sampling (see Engine.sample_key)
     temperature: float = 1.0
     eos_token: int | None = None
@@ -194,6 +196,10 @@ class Engine:
         # beyond the token ids survives eviction).
         prompt = np.asarray(req.prompt + req.output, np.int32)
         s = len(prompt)
+        chunk = self.cfg.prefill_chunk
+        if chunk and s > chunk:
+            self._prefill_chunked(req, prompt)
+            return
         sb = _bucket(s)
         tokens = jnp.asarray(
             np.pad(prompt, (0, sb - s))[None, :], jnp.int32
@@ -204,6 +210,60 @@ class Engine:
         # Cache rows for the real prompt only: (L, 1, Sb, KVH, d) -> (L, S, KVH, d)
         self.cache.append(req.req_id, k_rows[:, 0, :s], v_rows[:, 0, :s])
         first = self._sample(logits[0, s - 1])
+        self._emit(req, int(first))
+
+    def _reserve_or_preempt(self, rid: int) -> tuple[int, int]:
+        while True:
+            try:
+                return self.cache.reserve_slot(rid)
+            except MemoryError:
+                if not self._preempt(exclude=rid):
+                    raise
+
+    def _prefill_chunked(self, req: Request, prompt) -> None:
+        """Process a long prompt in prefill_chunk-token chunks against the
+        paged cache (transformer.prefill_chunk): activation memory stays
+        O(chunk * context) and each boundary is a scheduling point.  The last
+        chunk is padded to the chunk size; pad K/V land at positions past the
+        prompt (never attended under the causal mask / length masking) and
+        their pages are trimmed back afterwards."""
+        c = self.cache.config
+        chunk = self.cfg.prefill_chunk
+        if chunk % c.page_size:
+            raise ValueError(
+                f"prefill_chunk ({chunk}) must be a multiple of "
+                f"page_size ({c.page_size})"
+            )
+        rid = req.req_id
+        s = len(prompt)
+        padded = -(-s // chunk) * chunk
+        toks = np.pad(prompt, (0, padded - s))
+        quant = c.quantized
+        logits = None
+        for start in range(0, padded, chunk):
+            pages, slots = [], []
+            for _ in range(chunk):
+                pg, sl = self._reserve_or_preempt(rid)
+                pages.append(pg)
+                slots.append(sl)
+            ctx_pages = (start + chunk) // c.page_size
+            logits, kp, vp, ks, vs = transformer.prefill_chunk(
+                self.params,
+                jnp.asarray(toks[start : start + chunk]),
+                self.cache.k_pages,
+                self.cache.v_pages,
+                jnp.arange(start, start + chunk, dtype=jnp.int32),
+                jnp.asarray(self.cache.pages(rid)[:ctx_pages], jnp.int32),
+                jnp.asarray(pages, jnp.int32),
+                jnp.asarray(slots, jnp.int32),
+                cfg=self.model_cfg,
+                k_scales=self.cache.k_scales if quant else None,
+                v_scales=self.cache.v_scales if quant else None,
+                interpret=self._interpret,
+            )
+            self.cache.set_pools(kp, vp, ks, vs)
+        self.cache.trim(rid, s)
+        first = self._sample(logits[(s - 1) % chunk])
         self._emit(req, int(first))
 
     def _decode_batch(self) -> None:

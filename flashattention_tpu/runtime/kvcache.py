@@ -130,6 +130,9 @@ class PagedKVCache:
     def length(self, seq_id: int) -> int:
         return self._seqs[seq_id].length
 
+    def pages(self, seq_id: int) -> list:
+        return list(self._seqs[seq_id].pages)
+
     def num_free_pages(self) -> int:
         return self.allocator.num_free()
 
@@ -195,6 +198,20 @@ class PagedKVCache:
             self.k_pages = _write_rows(self.k_pages, kb, page_arr, slot_arr)
             self.v_pages = _write_rows(self.v_pages, vb, page_arr, slot_arr)
         seq.length += t
+
+    def trim(self, seq_id: int, new_length: int) -> None:
+        """Shrink a sequence to ``new_length`` tokens, freeing whole pages
+        past the new end (chunked prefill over-reserves to its chunk multiple
+        and trims back to the true prompt length)."""
+        seq = self._seqs[seq_id]
+        if new_length > seq.length:
+            raise ValueError(f"trim to {new_length} > current {seq.length}")
+        ps = self.config.page_size
+        keep = -(-new_length // ps)
+        if len(seq.pages) > keep:
+            self.allocator.free(seq.pages[keep:])
+            seq.pages = seq.pages[:keep]
+        seq.length = new_length
 
     def reserve_slot(self, seq_id: int) -> tuple[int, int]:
         """Reserve the (page, slot) for one new token and bump the length.

@@ -257,3 +257,59 @@ def test_engine_checkpoint_resume():
     resumed = Engine.from_state(state, params, cfg, ccfg, ecfg)
     got = resumed.run()
     assert got == want, (got, want)
+
+
+def test_engine_chunked_prefill_matches_whole_prompt():
+    """Chunked prefill must generate the same tokens as whole-prompt prefill."""
+    cfg = transformer.ModelConfig.tiny()
+    params = transformer.init_params(jax.random.key(0), cfg)
+
+    def make(chunk):
+        ccfg = CacheConfig(
+            num_layers=cfg.num_layers,
+            num_kv_heads=cfg.num_kv_heads,
+            head_dim=cfg.head_dim,
+            page_size=8,
+            num_pages=64,
+        )
+        return Engine(
+            params, cfg, ccfg,
+            EngineConfig(max_batch=2, pages_per_seq=16, prefill_chunk=chunk),
+        )
+
+    rng = np.random.default_rng(0)
+    long_prompt = rng.integers(0, cfg.vocab_size, size=37).tolist()  # ragged
+    short_prompt = [3, 1, 4]
+
+    whole = make(0)  # chunking disabled
+    r1 = whole.add_request(long_prompt, 6)
+    r2 = whole.add_request(short_prompt, 6)
+    want = whole.run()
+
+    chunked = make(16)  # 2 pages per chunk; 37 tokens -> 3 chunks (last padded)
+    c1 = chunked.add_request(long_prompt, 6)
+    c2 = chunked.add_request(short_prompt, 6)
+    got = chunked.run()
+    assert got[c1] == want[r1], (got[c1], want[r1])
+    assert got[c2] == want[r2], (got[c2], want[r2])
+
+
+def test_engine_chunked_prefill_quantized():
+    cfg = transformer.ModelConfig.tiny()
+    params = transformer.init_params(jax.random.key(0), cfg)
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        page_size=8,
+        num_pages=64,
+        dtype="int8",
+    )
+    eng = Engine(
+        params, cfg, ccfg,
+        EngineConfig(max_batch=2, pages_per_seq=16, prefill_chunk=16),
+    )
+    rng = np.random.default_rng(1)
+    rid = eng.add_request(rng.integers(0, cfg.vocab_size, size=40).tolist(), 5)
+    out = eng.run()
+    assert len(out[rid]) == 5
