@@ -41,8 +41,6 @@ from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
 
 __all__ = ["flash_attention_bwd", "attention_vjp"]
 
-NUM_LANES = 128
-
 
 def _masks(s_shape, q_start, kv_start, causal, kv_len, q_offset):
     mask = None
@@ -221,13 +219,12 @@ def flash_attention_bwd(
     if block_sizes is None:
         # The backward kernels live with ~4 score-sized (bq x bkv) fp32 tiles
         # (s, p, dp, ds) at once plus (bkv, d) dk/dv scratch, so the forward's
-        # tuned 2048-wide KV blocks blow the 16 MB VMEM budget; 512x512 fits
-        # with the multi-pass split buffers at every precision.
-        block_sizes = BlockSizes.fit(q_seq_len or s_q, s_kv, d, precision, causal)
-        block_sizes = BlockSizes(
-            min(block_sizes.block_q, 512),
-            min(block_sizes.block_kv, 512),
-            min(block_sizes.block_kv_compute, 512),
+        # tuned 2048-wide KV blocks blow the VMEM budget; cap at 512x512
+        # *inside* the fit (a naive min() after fit breaks divisibility for
+        # shapes like S=768 whose fitted block is a non-power-of-two).
+        block_sizes = BlockSizes.fit(
+            q_seq_len or s_q, s_kv, d, precision, causal,
+            max_block_q=512, max_block_kv=512,
         )
     bq, bkv = block_sizes.block_q, block_sizes.block_kv
     if s_q % bq or s_kv % bkv:

@@ -117,18 +117,22 @@ def _paged_kernel(
         g8 = m_scratch.shape[0] // kvh
         d = q_ref.shape[3]
         ps = page_size
-        if quantized:
-            # MXU payloads run as bf16 (exact for int8, native for fp8); the
-            # per-token dequant scale folds into the score *columns* — a
-            # (KVH, 1, ps) row-scale instead of rescaling the whole K page.
-            q = q_ref[0].astype(jnp.bfloat16)
-            k = k_ref[0].astype(jnp.bfloat16)
-        else:
-            q = q_ref[0].astype(jnp.float32)  # (KVH, G, d)
-            k = k_ref[0].astype(jnp.float32)  # (KVH, ps, d)
+        # fp32 caches get exact (HIGHEST, multi-pass) matmuls; everything
+        # else runs the MXU natively in bf16 with fp32 accumulation.  The
+        # per-token dequant scales of quantized payloads fold into the score
+        # columns — a (KVH, 1, ps) row-scale instead of rescaling the K page.
+        exact = k_ref.dtype == jnp.float32
+        mm_prec = (
+            jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
+        )
+        in_dtype = jnp.float32 if exact else jnp.bfloat16
+        q = q_ref[0].astype(in_dtype)  # (KVH, G, d)
+        k = k_ref[0].astype(in_dtype)  # (KVH, ps, d)
         # KVH-batched (G, d) x (d, ps) on the MXU.
         s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=mm_prec,
         )  # (KVH, G, ps)
         if quantized:
             s = s * ks_ref[0][:, None, :]
@@ -154,15 +158,17 @@ def _paged_kernel(
         l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
 
         p3 = p.reshape(kvh, g8, ps)
+        v = v_ref[0].astype(in_dtype)  # (KVH, ps, d)
         if quantized:
             # Fold the V dequant scale into p: one VPU row-scale instead of
             # dequantizing the whole V page; run the payload matmul in bf16.
-            v = v_ref[0].astype(jnp.bfloat16)
             p3 = (p3 * vs_ref[0][:, None, :]).astype(jnp.bfloat16)
-        else:
-            v = v_ref[0].astype(jnp.float32)  # (KVH, ps, d)
+        elif not exact:
+            p3 = p3.astype(jnp.bfloat16)
         pv = jax.lax.dot_general(
-            p3, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            p3, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=mm_prec,
         )  # (KVH, G8, d)
         acc_scratch[...] = acc_scratch[...] * alpha + pv.reshape(kvh * g8, d)
 

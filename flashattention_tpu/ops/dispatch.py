@@ -162,22 +162,28 @@ def attention(
             block_sizes=block_sizes,
             kv_len=s_kv if s_kv_pad != s_kv else None,
             q_offset=q_offset,
-            save_residuals=True,
+            save_residuals=save_residuals,
             precision=precision,
             q_seq_len=s_q_pad if groups > 1 else None,
             interpret=interpret,
         )
-        o, l, m = out
+        o, l, m = out if save_residuals else (out, None, None)
         if groups > 1 and s_q_pad != s_q:
             o = o.reshape(bh * groups, s_q_pad, d)[:, :s_q].reshape(
                 bh, groups * s_q, d
             )
-            l = l.reshape(bh * groups, s_q_pad)[:, :s_q].reshape(bh, groups * s_q)
-            m = m.reshape(bh * groups, s_q_pad)[:, :s_q].reshape(bh, groups * s_q)
+            if save_residuals:
+                l = l.reshape(bh * groups, s_q_pad)[:, :s_q].reshape(
+                    bh, groups * s_q
+                )
+                m = m.reshape(bh * groups, s_q_pad)[:, :s_q].reshape(
+                    bh, groups * s_q
+                )
         else:
             o = o[:, : groups * s_q]
-            l = l[:, : groups * s_q]
-            m = m[:, : groups * s_q]
+            if save_residuals:
+                l = l[:, : groups * s_q]
+                m = m[:, : groups * s_q]
     else:
         raise ValueError(f"unknown implementation: {implementation!r}")
 

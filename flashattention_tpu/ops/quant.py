@@ -119,9 +119,12 @@ def attention_quantized(
     q_offset: int = 0,
     save_residuals: bool = False,
     precision: str | None = None,
+    q_seq_len: int | None = None,
     interpret: bool | None = None,
 ) -> Any:
-    """Flash attention over a quantized KV pair (fused in-kernel dequant)."""
+    """Flash attention over a quantized KV pair (fused in-kernel dequant).
+
+    ``q_seq_len`` enables GQA row folding (see ops.flash.flash_attention)."""
     return flash_attention(
         q,
         k.payload,
@@ -135,5 +138,6 @@ def attention_quantized(
         q_offset=q_offset,
         save_residuals=save_residuals,
         precision=precision,
+        q_seq_len=q_seq_len,
         interpret=interpret,
     )

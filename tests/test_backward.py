@@ -109,3 +109,13 @@ def test_vjp_gqa_fold_matches_repeated_kv():
     validate_result(g1[0], g2[0].reshape(bhkv, g * s, d), TOL)
     validate_result(g1[1], g2[1], TOL)
     validate_result(g1[2], g2[2], TOL)
+
+
+def test_bwd_default_blocks_non_power_of_two_seq():
+    """S=768 fits a 768-wide forward block; the backward's 512 cap must
+    re-fit (not naively clamp) or the divisibility check explodes."""
+    q, k, v, t = qkv((2, 768, 32), seed=3)
+    o = attention_vjp(q, k, v, True, 1.0, None)  # default blocks end-to-end
+    assert o.shape == q.shape
+    g = jax.grad(lambda q: jnp.sum(attention_vjp(q, k, v, True, 1.0, None) * t))(q)
+    assert g.shape == q.shape
