@@ -14,4 +14,5 @@ from flashattention_tpu.parallel.sharded import (
     make_allgather_cp_attention,
     make_data_parallel_attention,
     make_reduce_cp_attention,
+    make_ulysses_attention,
 )

@@ -24,6 +24,7 @@ __all__ = [
     "make_data_parallel_attention",
     "make_allgather_cp_attention",
     "make_reduce_cp_attention",
+    "make_ulysses_attention",
 ]
 
 
@@ -142,6 +143,63 @@ def make_reduce_cp_attention(
 
     fn = jax.shard_map(
         local, mesh=mesh, in_specs=(q_spec, kv_spec, kv_spec), out_specs=q_spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def make_ulysses_attention(
+    mesh: Mesh,
+    *,
+    axis_name: str = "sp",
+    causal: bool = False,
+    scale: float = 1.0,
+    block_sizes: BlockSizes | None = None,
+    interpret: bool | None = None,
+):
+    """Ulysses-style sequence parallelism: all-to-all head scatter.
+
+    The SURVEY.md section 5 alternative to ring attention: inputs arrive
+    sequence-sharded as (B, H, S, d) with S over ``axis_name``; an all-to-all
+    trades the sequence sharding for a head sharding (each device gets H/N
+    heads x the FULL sequence), the local fused kernel runs with ordinary
+    causal masking (no cross-device softmax merge needed at all), and a
+    second all-to-all restores the sequence sharding.
+
+    vs ring attention: two all-to-alls of O(S*d/N) per device instead of N-1
+    ppermutes, no partial-merge numerics, but requires H % axis_size == 0 and
+    peak memory holds the full sequence for the local heads.
+    """
+    axis_size = mesh.shape[axis_name]
+    spec = P(None, None, axis_name, None)
+
+    def local(q, k, v):
+        b, h, s_local, d = q.shape
+        if h % axis_size:
+            raise ValueError(f"heads ({h}) must divide over {axis_name}={axis_size}")
+        # (B, H, S/N, d) -> (B, H/N, S, d): scatter heads, gather sequence.
+        qh, kh, vh = (
+            jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)
+            for x in (q, k, v)
+        )
+        h_local = h // axis_size
+        s = s_local * axis_size
+        o = flash_attention(
+            qh.reshape(b * h_local, s, d),
+            kh.reshape(b * h_local, s, d),
+            vh.reshape(b * h_local, s, d),
+            causal=causal,
+            scale=scale,
+            block_sizes=block_sizes,
+            interpret=interpret,
+        ).reshape(b, h_local, s, d)
+        # (B, H/N, S, d) -> (B, H, S/N, d): scatter sequence, gather heads.
+        return jax.lax.all_to_all(
+            o, axis_name, split_axis=2, concat_axis=1, tiled=True
+        )
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False,
     )
     return jax.jit(fn)

@@ -246,3 +246,25 @@ def test_zigzag_shard_roundtrip():
     assert not jnp.array_equal(z, x)
     back = zigzag_unshard(z, 4)
     assert jnp.array_equal(back, x)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ulysses_attention_matches_dense(causal):
+    """All-to-all head-scatter SP == single-device attention."""
+    from flashattention_tpu.parallel import make_ulysses_attention
+
+    n = 4
+    mesh = Mesh(np.array(jax.devices()[:n]), ("sp",))
+    b, h, s, d = 2, 8, 512, 64
+    ks = jax.random.split(jax.random.key(9), 3)
+    q, k, v = (make_random(kk, (b, h, s, d)) for kk in ks)
+    want = attention_reference(
+        q.reshape(b * h, s, d), k.reshape(b * h, s, d), v.reshape(b * h, s, d),
+        causal=causal,
+    ).reshape(b, h, s, d)
+
+    spec = NamedSharding(mesh, P(None, None, "sp", None))
+    qs, ks_, vs = (jax.device_put(x, spec) for x in (q, k, v))
+    uly = make_ulysses_attention(mesh, causal=causal)
+    got = uly(qs, ks_, vs)
+    validate_result(got, want, 1e-4)
