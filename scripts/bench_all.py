@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Run the full benchmark suite on the local TPU; write benchmarks.json.
+
+One-command reproduction of every performance claim in README.md:
+prefill (reference headline shapes + production bf16/causal/d=128 rows),
+paged decode per KV dtype, and the training step. Prints a markdown table
+and writes machine-readable rows to benchmarks.json.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flashattention_tpu.ops.backward import attention_vjp
+from flashattention_tpu.ops.decode import paged_attention
+from flashattention_tpu.ops.dispatch import attention
+from flashattention_tpu.ops.flash import flash_attention
+from flashattention_tpu.utils.benchit import attention_flops, chip_peak, devtime_ms
+from flashattention_tpu.utils.testing import make_random
+
+ROWS = []
+
+
+def row(name, ms, *, flops=0, kv_bytes=0, note=""):
+    r = {"name": name, "ms": round(ms, 4)}
+    if flops:
+        r["tflops_per_s"] = round(flops / ms / 1e9, 1)
+        peak = chip_peak(16)
+        if peak:
+            r["peak_frac"] = round(flops / ms / 1e9 / peak[0], 3)
+    if kv_bytes:
+        r["gb_per_s"] = round(kv_bytes / ms / 1e6, 1)
+        peak = chip_peak(16)
+        if peak:
+            r["hbm_frac"] = round(kv_bytes / ms / 1e6 / peak[1], 3)
+    if note:
+        r["note"] = note
+    ROWS.append(r)
+    print(json.dumps(r), flush=True)
+
+
+def qkv(bh, s, d, dtype, seed=0):
+    ks = jax.random.split(jax.random.key(seed), 3)
+    return tuple(make_random(k, (bh, s, d), dtype) for k in ks)
+
+
+def prefill_suite():
+    # Reference headline shapes (BASELINE.md), fp32 default precision, via
+    # the public dispatch API (reference numbers: 119 / 62 / 22 / 15 ms).
+    for b, h, d, s, ref_ms in [
+        (2, 8, 64, 8192, 119.0),
+        (2, 8, 32, 8192, 62.0),
+        (8, 16, 64, 1024, 22.0),
+        (8, 16, 32, 1024, 15.0),
+    ]:
+        q, k, v = qkv(b * h, s, d, jnp.float32)
+        fl = attention_flops(b * h, s, s, d)
+        ms = devtime_ms(lambda q, k, v: attention(q, k, v), (q, k, v))
+        row(
+            f"prefill fp32 B={b} H={h} d={d} S={s}", ms, flops=fl,
+            note=f"reference {ref_ms} ms -> {ref_ms/ms:.1f}x",
+        )
+    # Production rows.
+    q, k, v = qkv(16, 8192, 64, jnp.bfloat16)
+    fl = attention_flops(16, 8192, 8192, 64)
+    ms = devtime_ms(lambda q, k, v: flash_attention(q, k, v), (q, k, v))
+    row("prefill bf16 B=2 H=8 d=64 S=8192", ms, flops=fl)
+    ms = devtime_ms(lambda q, k, v: flash_attention(q, k, v, causal=True), (q, k, v))
+    row("prefill bf16 causal S=8192", ms, flops=fl // 2)
+    q, k, v = qkv(128, 2048, 128, jnp.bfloat16)
+    fl = attention_flops(128, 2048, 2048, 128)
+    ms = devtime_ms(lambda q, k, v: flash_attention(q, k, v), (q, k, v))
+    row("prefill bf16 Llama-7B-shape (BH=128 d=128 S=2048)", ms, flops=fl)
+
+
+def decode_suite():
+    import functools
+    import time
+
+    b, kvh, g, d, s, ps = 8, 8, 4, 128, 2048, 128
+    pps = s // ps
+    total = b * pps + 8
+    ks = jax.random.split(jax.random.key(0), 3)
+    q = make_random(ks[0], (b, kvh, g, d), jnp.float32)
+    kf = make_random(ks[1], (total, kvh, ps, d), jnp.float32)
+    vf = make_random(ks[2], (total, kvh, ps, d), jnp.float32)
+    lengths = jnp.full((b,), s, jnp.int32)
+    pi = jnp.asarray(np.arange(b * pps, dtype=np.int32).reshape(b, pps))
+
+    def step_ms(fn, n_hi=257, trials=5):
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def loop(q, n):
+            return jnp.sum(
+                jax.lax.fori_loop(0, n, lambda _, x: fn(x).astype(q.dtype), q)
+            )
+
+        float(loop(q, 1)); float(loop(q, n_hi))
+        tl, th = [], []
+        for _ in range(trials):
+            t0 = time.perf_counter(); float(loop(q, 1)); tl.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); float(loop(q, n_hi)); th.append(time.perf_counter() - t0)
+        return (min(th) - min(tl)) / (n_hi - 1) * 1e3
+
+    for name in ("bfloat16", "int8"):
+        if name == "bfloat16":
+            kp, vp = kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16)
+            extra = {}
+            kv_bytes = 2 * b * kvh * s * d * 2
+        else:
+            def quant(x):
+                am = jnp.max(jnp.abs(x), axis=-1)
+                sc = jnp.where(am == 0, 1.0, am / 127.0)
+                return jnp.clip(jnp.round(x / sc[..., None]), -127, 127).astype(jnp.int8), sc
+            kp, ksc = quant(kf); vp, vsc = quant(vf)
+            extra = dict(k_scales_pages=ksc, v_scales_pages=vsc)
+            kv_bytes = 2 * b * kvh * s * (d + 4)
+        ms = step_ms(lambda q: paged_attention(q, kp, vp, lengths, pi, **extra))
+        r = {"name": f"decode {name} B={b} 32q/8kv d={d} S={s}", "ms": round(ms, 4),
+             "decode_tokens_per_s": round(b / ms * 1e3)}
+        kv_gbps = kv_bytes / ms / 1e6
+        r["kv_gb_per_s"] = round(kv_gbps, 1)
+        peak = chip_peak(16)
+        if peak:
+            r["hbm_frac"] = round(kv_gbps / peak[1], 3)
+        ROWS.append(r)
+        print(json.dumps(r), flush=True)
+
+
+def train_suite():
+    bh, s, d = 16, 4096, 64
+    q, k, v = qkv(bh, s, d, jnp.float32)
+
+    def fwd_bwd(q, k, v):
+        loss = lambda q, k, v: attention_vjp(q, k, v, True).astype(jnp.float32).sum()
+        return jax.grad(loss, argnums=0)(q, k, v)
+
+    ms = devtime_ms(fwd_bwd, (q, k, v))
+    row("train fwd+bwd causal fp32 S=4096", ms, note="grad wrt q/k/v via custom VJP")
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    ms = devtime_ms(fwd_bwd, (qb, kb, vb))
+    row("train fwd+bwd causal bf16 S=4096", ms)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    print(f"# device: {jax.devices()[0].device_kind}", flush=True)
+    if which in ("all", "prefill"):
+        prefill_suite()
+    if which in ("all", "decode"):
+        decode_suite()
+    if which in ("all", "train"):
+        train_suite()
+    with open("benchmarks.json", "w") as f:
+        json.dump(ROWS, f, indent=1)
+    print(f"# wrote benchmarks.json ({len(ROWS)} rows)")
+
+
+if __name__ == "__main__":
+    main()
