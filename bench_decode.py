@@ -53,7 +53,7 @@ def main():
     p.add_argument("--group", type=int, default=4, help="q heads per KV head (GQA)")
     p.add_argument("--d", type=int, default=128)
     p.add_argument("--seq_len", type=int, default=2048, help="context length")
-    p.add_argument("--page_size", type=int, default=128)
+    p.add_argument("--page_size", type=int, default=256)
     p.add_argument(
         "--kv_dtypes", default="bfloat16,int8,fp8", help="comma list to sweep"
     )

@@ -83,7 +83,7 @@ def decode_suite():
     import functools
     import time
 
-    b, kvh, g, d, s, ps = 8, 8, 4, 128, 2048, 128
+    b, kvh, g, d, s, ps = 8, 8, 4, 128, 2048, 256
     pps = s // ps
     total = b * pps + 8
     ks = jax.random.split(jax.random.key(0), 3)
