@@ -17,8 +17,10 @@ Design (TPU-native):
 - Quantized payloads (int8/fp8) run bf16 MXU matmuls with the per-token
   scales folded into score columns / p rows.  int8 decode beats bf16 latency
   (less HBM traffic); fp8 is functional everywhere but only fast on chips
-  with native fp8 conversions (v6e+) — on v5e the e4m3->bf16 cast is
-  emulated and dominates.
+  with native fp8 conversions (v6e+) — on v5e Mosaic scalarizes every
+  e4m3 conversion route inside pipelined kernels (measured ~8x: direct
+  astype, via fp32, and bitcast-from-int8 all ~55us/page-set vs 7us for
+  int8), so int8 is the production 8-bit path on this generation.
 - The page gather rides the Pallas pipeline itself: page indices arrive via
   scalar prefetch (``PrefetchScalarGridSpec``) and feed the K/V ``BlockSpec``
   index_maps, so Mosaic's automatic pipelining double-buffers the
