@@ -17,11 +17,15 @@ and a two-point slope — robust to remote-dispatch per-call overhead (the plain
 per-call wall clock on a tunneled TPU is dominated by network round trips).
 """
 
+import functools
 import json
+import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from flashattention_tpu.ops.decode import paged_attention
 from flashattention_tpu.ops.flash import flash_attention
 from flashattention_tpu.utils.benchit import attention_flops, devtime_ms
 from flashattention_tpu.utils.testing import make_random
@@ -29,6 +33,33 @@ from flashattention_tpu.utils.testing import make_random
 BASELINE_MS = 119.0  # reference "Ours" on RTX 3060, README.md:11
 B, H, D, S = 2, 8, 64, 8192
 DTYPE = jnp.float32  # the reference benchmarks FP32
+
+
+def _decode_tokens_per_s(b=8, kvh=8, g=4, d=128, s=2048, ps=256):
+    """Paged-decode tokens/s (bf16 KV, the serving north-star metric)."""
+    pps = s // ps
+    ks = jax.random.split(jax.random.key(0), 3)
+    q = make_random(ks[0], (b, kvh, g, d), jnp.float32)
+    kp = make_random(ks[1], (b * pps + 8, kvh, ps, d), jnp.bfloat16)
+    vp = make_random(ks[2], (b * pps + 8, kvh, ps, d), jnp.bfloat16)
+    lengths = jnp.full((b,), s, jnp.int32)
+    pi = jnp.asarray(np.arange(b * pps, dtype=np.int32).reshape(b, pps))
+    fn = lambda q: paged_attention(q, kp, vp, lengths, pi)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(q, n):
+        return jnp.sum(
+            jax.lax.fori_loop(0, n, lambda _, x: fn(x).astype(q.dtype), q)
+        )
+
+    n_hi = 257
+    float(loop(q, 1)); float(loop(q, n_hi))
+    tl, th = [], []
+    for _ in range(5):
+        t0 = time.perf_counter(); float(loop(q, 1)); tl.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); float(loop(q, n_hi)); th.append(time.perf_counter() - t0)
+    ms = (min(th) - min(tl)) / (n_hi - 1) * 1e3
+    return round(b / ms * 1e3)
 
 
 def main():
@@ -49,6 +80,7 @@ def main():
     ms_causal_bf16 = devtime_ms(
         lambda q, k, v: flash_attention(q, k, v, causal=True), (qb, kb, vb)
     )
+    decode_tps = _decode_tokens_per_s()
     print(
         json.dumps(
             {
@@ -62,6 +94,7 @@ def main():
                 "bf16_ms": round(ms_bf16, 3),
                 "bf16_tflops_per_s": round(flops / ms_bf16 / 1e9, 1),
                 "causal_bf16_ms": round(ms_causal_bf16, 3),
+                "decode_tokens_per_s_bf16": decode_tps,
             }
         )
     )
