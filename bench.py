@@ -17,9 +17,7 @@ and a two-point slope — robust to remote-dispatch per-call overhead (the plain
 per-call wall clock on a tunneled TPU is dominated by network round trips).
 """
 
-import functools
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -44,21 +42,9 @@ def _decode_tokens_per_s(b=8, kvh=8, g=4, d=128, s=2048, ps=256):
     vp = make_random(ks[2], (b * pps + 8, kvh, ps, d), jnp.bfloat16)
     lengths = jnp.full((b,), s, jnp.int32)
     pi = jnp.asarray(np.arange(b * pps, dtype=np.int32).reshape(b, pps))
-    fn = lambda q: paged_attention(q, kp, vp, lengths, pi)
-
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def loop(q, n):
-        return jnp.sum(
-            jax.lax.fori_loop(0, n, lambda _, x: fn(x).astype(q.dtype), q)
-        )
-
-    n_hi = 257
-    float(loop(q, 1)); float(loop(q, n_hi))
-    tl, th = [], []
-    for _ in range(5):
-        t0 = time.perf_counter(); float(loop(q, 1)); tl.append(time.perf_counter() - t0)
-        t0 = time.perf_counter(); float(loop(q, n_hi)); th.append(time.perf_counter() - t0)
-    ms = (min(th) - min(tl)) / (n_hi - 1) * 1e3
+    ms = devtime_ms(
+        lambda q: paged_attention(q, kp, vp, lengths, pi), (q,), n_hi=257
+    )
     return round(b / ms * 1e3)
 
 

@@ -13,37 +13,18 @@ batch, KV bytes moved, and HBM bandwidth utilization.
 """
 
 import argparse
-import functools
 import json
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from flashattention_tpu.ops.decode import paged_attention, paged_attention_reference
-from flashattention_tpu.utils.benchit import chip_peak
+from flashattention_tpu.ops.quant import quantize
+from flashattention_tpu.utils.benchit import chip_peak, devtime_ms
 from flashattention_tpu.utils.testing import make_random
 
-
-def step_ms(fn, q, trials=5, n_hi=257):
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def loop(q, n):
-        return jnp.sum(
-            jax.lax.fori_loop(0, n, lambda _, x: fn(x).astype(q.dtype), q)
-        )
-
-    float(loop(q, 1))
-    float(loop(q, n_hi))
-    tl, th = [], []
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        float(loop(q, 1))
-        tl.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(loop(q, n_hi))
-        th.append(time.perf_counter() - t0)
-    return (min(th) - min(tl)) / (n_hi - 1) * 1e3
+KV_DTYPES = ("bfloat16", "float32", "int8", "fp8")
 
 
 def main():
@@ -76,6 +57,8 @@ def main():
     peak = chip_peak(16)
 
     for name in args.kv_dtypes.split(","):
+        if name not in KV_DTYPES:
+            raise SystemExit(f"unknown kv dtype {name!r}; choose from {KV_DTYPES}")
         if name in ("bfloat16", "float32"):
             dt = jnp.bfloat16 if name == "bfloat16" else jnp.float32
             kp, vp = kf.astype(dt), vf.astype(dt)
@@ -83,20 +66,9 @@ def main():
             kv_bytes = 2 * b * kvh * s * d * kp.dtype.itemsize
             tol = 2e-2 if name == "bfloat16" else 1e-4
         else:
-            qmax = 127.0 if name == "int8" else 448.0
-            qdt = jnp.int8 if name == "int8" else jnp.float8_e4m3fn
-
-            def quant(x):
-                absmax = jnp.max(jnp.abs(x), axis=-1)
-                scales = jnp.where(absmax == 0.0, 1.0, absmax / qmax)
-                pay = x / scales[..., None]
-                if qdt == jnp.int8:
-                    pay = jnp.clip(jnp.round(pay), -qmax, qmax)
-                return pay.astype(qdt), scales
-
-            kp, kscale = quant(kf)
-            vp, vscale = quant(vf)
-            extra = dict(k_scales_pages=kscale, v_scales_pages=vscale)
+            kq, vq = quantize(kf, name), quantize(vf, name)
+            kp, vp = kq.payload, vq.payload
+            extra = dict(k_scales_pages=kq.scales, v_scales_pages=vq.scales)
             kv_bytes = 2 * b * kvh * s * (d * 1 + 4)  # payload + f32 scale
             tol = 5e-2 if name == "int8" else 2e-1  # e4m3: 3 mantissa bits
 
@@ -106,7 +78,7 @@ def main():
         err = float(
             jnp.max(jnp.abs(jax.jit(fn)(q).astype(jnp.float32) - want))
         )
-        ms = step_ms(fn, q)
+        ms = devtime_ms(fn, (q,), n_hi=257)
         gbps = kv_bytes / (ms * 1e-3) / 1e9
         row = {
             "kv_dtype": name,

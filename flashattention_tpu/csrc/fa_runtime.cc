@@ -135,6 +135,16 @@ int32_t fa_sched_admit(void* h, int32_t free_pages, int64_t* out_ids,
   std::lock_guard<std::mutex> lock(s->mu);
   int32_t admitted = 0;
   int32_t budget = free_pages;
+  if (s->reserve_worst_case) {
+    // Reservations must survive across admit() calls: subtract the decode
+    // headroom (worst-case span minus the already-allocated prompt pages) of
+    // every running request, or a later admit() would hand pages reserved
+    // for their generation to a new request (breaking the no-preemption
+    // guarantee this mode exists for).
+    for (const auto& kv : s->running) {
+      budget -= kv.second.pages_max() - kv.second.pages_now();
+    }
+  }
   while (!s->waiting.empty() && admitted < max_out &&
          static_cast<int32_t>(s->running.size()) < s->max_batch) {
     const Request& r = s->waiting.front();

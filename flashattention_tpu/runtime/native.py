@@ -177,6 +177,15 @@ class Scheduler:
             return list(out[:n])
         admitted = []
         budget = free_pages
+        if self.reserve_worst_case:
+            # Reservations must survive across admit() calls: subtract the
+            # decode headroom (worst-case span minus the prompt pages the
+            # caller has already allocated) of every running request, else a
+            # later admit() hands their reserved pages to a new request.
+            for prompt_len, max_new in self._running.values():
+                span_pages = -(-(prompt_len + max_new) // self.page_size)
+                prompt_pages = -(-prompt_len // self.page_size)
+                budget -= span_pages - prompt_pages
         while (
             self._waiting
             and len(admitted) < max_out

@@ -80,6 +80,8 @@ def devtime_ms(
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, args[0]))
 
+    n_hi = max(n_hi, n_lo + 1)
+
     def measure(n_hi):
         float(loop(args, n_lo))  # compile both variants before timing
         float(loop(args, n_hi))
@@ -94,13 +96,14 @@ def devtime_ms(
         return min(t_hi) - min(t_lo)
 
     for _ in range(3):  # escalate loop length until the window beats jitter
-        window = measure(n_hi)
-        if window * 1e3 >= min_window_ms or n_hi >= 4097:
+        n_used = n_hi  # the loop length this window was measured at
+        window = measure(n_used)
+        if window * 1e3 >= min_window_ms or n_used >= 4097:
             break
-        per_iter = max(window / (n_hi - n_lo), 1e-7)
+        per_iter = max(window / (n_used - n_lo), 1e-7)
         need = int(min_window_ms * 1.5e-3 / per_iter)
-        n_hi = min(4097, max(2 * n_hi, n_lo + need))
-    return window / (n_hi - n_lo) * 1e3
+        n_hi = min(4097, max(2 * n_used, n_lo + need))
+    return window / (n_used - n_lo) * 1e3
 
 
 def benchmark(fn, *args, repeats: int = 20, warmup: int = 3, flops: float = 0.0) -> BenchResult:

@@ -142,6 +142,11 @@ def main():
         if b is None
         or (args.seq_len % b.block_q == 0 and args.seq_len % b.block_kv == 0)
     ]
+    if not sweeps:
+        raise SystemExit(
+            f"no block config divides seq_len={args.seq_len}; "
+            "use a multiple of 128"
+        )
     for blocks in sweeps:
         fn = build(args.kernel_num, args.masking, args.scale, blocks, kq, vq)
         out = jax.jit(fn)(q, k, v)

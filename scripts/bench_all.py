@@ -80,8 +80,7 @@ def prefill_suite():
 
 
 def decode_suite():
-    import functools
-    import time
+    from flashattention_tpu.ops.quant import quantize
 
     b, kvh, g, d, s, ps = 8, 8, 4, 128, 2048, 256
     pps = s // ps
@@ -93,34 +92,21 @@ def decode_suite():
     lengths = jnp.full((b,), s, jnp.int32)
     pi = jnp.asarray(np.arange(b * pps, dtype=np.int32).reshape(b, pps))
 
-    def step_ms(fn, n_hi=257, trials=5):
-        @functools.partial(jax.jit, static_argnames=("n",))
-        def loop(q, n):
-            return jnp.sum(
-                jax.lax.fori_loop(0, n, lambda _, x: fn(x).astype(q.dtype), q)
-            )
-
-        float(loop(q, 1)); float(loop(q, n_hi))
-        tl, th = [], []
-        for _ in range(trials):
-            t0 = time.perf_counter(); float(loop(q, 1)); tl.append(time.perf_counter() - t0)
-            t0 = time.perf_counter(); float(loop(q, n_hi)); th.append(time.perf_counter() - t0)
-        return (min(th) - min(tl)) / (n_hi - 1) * 1e3
-
     for name in ("bfloat16", "int8"):
         if name == "bfloat16":
             kp, vp = kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16)
             extra = {}
             kv_bytes = 2 * b * kvh * s * d * 2
         else:
-            def quant(x):
-                am = jnp.max(jnp.abs(x), axis=-1)
-                sc = jnp.where(am == 0, 1.0, am / 127.0)
-                return jnp.clip(jnp.round(x / sc[..., None]), -127, 127).astype(jnp.int8), sc
-            kp, ksc = quant(kf); vp, vsc = quant(vf)
-            extra = dict(k_scales_pages=ksc, v_scales_pages=vsc)
+            kq, vq = quantize(kf, name), quantize(vf, name)
+            kp, vp = kq.payload, vq.payload
+            extra = dict(k_scales_pages=kq.scales, v_scales_pages=vq.scales)
             kv_bytes = 2 * b * kvh * s * (d + 4)
-        ms = step_ms(lambda q: paged_attention(q, kp, vp, lengths, pi, **extra))
+        ms = devtime_ms(
+            lambda q: paged_attention(q, kp, vp, lengths, pi, **extra),
+            (q,),
+            n_hi=257,
+        )
         r = {"name": f"decode {name} B={b} 32q/8kv d={d} S={s}", "ms": round(ms, 4),
              "decode_tokens_per_s": round(b / ms * 1e3)}
         kv_gbps = kv_bytes / ms / 1e6
@@ -138,7 +124,8 @@ def train_suite():
 
     def fwd_bwd(q, k, v):
         loss = lambda q, k, v: attention_vjp(q, k, v, True).astype(jnp.float32).sum()
-        return jax.grad(loss, argnums=0)(q, k, v)
+        dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        return dq + 0.0 * (dk.sum() + dv.sum())  # keep all three grads live
 
     ms = devtime_ms(fwd_bwd, (q, k, v))
     row("train fwd+bwd causal fp32 S=4096", ms, note="grad wrt q/k/v via custom VJP")
@@ -149,6 +136,8 @@ def train_suite():
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which not in ("all", "prefill", "decode", "train"):
+        raise SystemExit(f"unknown suite {which!r}; choose all|prefill|decode|train")
     print(f"# device: {jax.devices()[0].device_kind}", flush=True)
     if which in ("all", "prefill"):
         prefill_suite()
@@ -156,9 +145,11 @@ def main():
         decode_suite()
     if which in ("all", "train"):
         train_suite()
-    with open("benchmarks.json", "w") as f:
+    # Partial runs must not clobber the recorded full-suite results.
+    out = "benchmarks.json" if which == "all" else f"benchmarks.{which}.json"
+    with open(out, "w") as f:
         json.dump(ROWS, f, indent=1)
-    print(f"# wrote benchmarks.json ({len(ROWS)} rows)")
+    print(f"# wrote {out} ({len(ROWS)} rows)")
 
 
 if __name__ == "__main__":

@@ -46,7 +46,10 @@ def main():
                 best = (ms, bs)
                 tag = "  <-- best"
             print(f"  {bq:4}/{bkv:5}/{bkc:5}: {ms:7.3f} ms  {fl/ms/1e9:6.1f} TF/s{tag}")
-        print(f"  BEST: {best[1]} -> {best[0]:.3f} ms")
+        if best is None:
+            print("  (no config compiled)")
+        else:
+            print(f"  BEST: {best[1]} -> {best[0]:.3f} ms")
 
 
 if __name__ == "__main__":

@@ -313,3 +313,45 @@ def test_engine_chunked_prefill_quantized():
     rid = eng.add_request(rng.integers(0, cfg.vocab_size, size=40).tolist(), 5)
     out = eng.run()
     assert len(out[rid]) == 5
+
+
+def test_scheduler_worst_case_reservations_survive_admit_calls():
+    """reserve_worst_case must hold back running requests' decode headroom
+    on every admit() call, not just the one that admitted them."""
+    from flashattention_tpu.runtime.native import Scheduler
+
+    s = Scheduler(max_batch=4, page_size=1, reserve_worst_case=True)
+    s.add_request(1, 1, 99)  # worst case 100 pages
+    assert s.admit(free_pages=100) == [1]
+    # Caller allocated only the 1 prompt page; 99 are physically free but
+    # reserved for request 1's decode. Request 2 (needs 99) must NOT admit.
+    s.add_request(2, 99, 0)
+    assert s.admit(free_pages=99) == []
+    # Once request 1 finishes, its reservation releases.
+    s.finish(1)
+    assert s.admit(free_pages=99) == [2]
+
+
+def test_scheduler_worst_case_python_fallback_matches():
+    """The pure-Python scheduler fallback enforces the same reservations."""
+    from flashattention_tpu.runtime import native
+
+    class PyScheduler(native.Scheduler):
+        def __init__(self, *a, **kw):
+            # Force the fallback path regardless of the native library.
+            import collections
+            self.max_batch = a[0]
+            self.page_size = a[1]
+            self.reserve_worst_case = kw.get("reserve_worst_case", False)
+            self._lib = None
+            self._h = None
+            self._waiting = collections.deque()
+            self._running = {}
+
+    s = PyScheduler(4, 1, reserve_worst_case=True)
+    s.add_request(1, 1, 99)
+    assert s.admit(free_pages=100) == [1]
+    s.add_request(2, 99, 0)
+    assert s.admit(free_pages=99) == []
+    s.finish(1)
+    assert s.admit(free_pages=99) == [2]
