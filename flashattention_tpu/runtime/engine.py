@@ -184,11 +184,22 @@ class Engine:
 
     def _admit_and_prefill(self) -> None:
         admitted = self.scheduler.admit(self.cache.num_free_pages())
+        chunk = self.cfg.prefill_chunk
+        short: dict[int, list[Request]] = {}  # bucketed-length -> requests
         for req_id in admitted:
             req = self.requests[req_id]
             req.state = "running"
             self.running.append(req_id)
-            self._prefill(req)
+            if chunk and req.length > chunk:
+                self._prefill_chunked(
+                    req, np.asarray(req.prompt + req.output, np.int32)
+                )
+            else:
+                short.setdefault(_bucket(req.length), []).append(req)
+        # Short prompts batch by padded-length bucket: one jitted prefill per
+        # group instead of one dispatch per request.
+        for sb, group in sorted(short.items()):
+            self._prefill_batch(group, sb)
 
     def _prefill(self, req: Request) -> None:
         # Re-prefills after preemption include already-generated tokens
@@ -200,17 +211,33 @@ class Engine:
         if chunk and s > chunk:
             self._prefill_chunked(req, prompt)
             return
-        sb = _bucket(s)
-        tokens = jnp.asarray(
-            np.pad(prompt, (0, sb - s))[None, :], jnp.int32
-        )  # (1, Sb)
+        self._prefill_batch([req], _bucket(s))
+
+    def _prefill_batch(self, reqs: list, sb: int) -> None:
+        """Prefill a group of requests together, padded to the (sb) bucket.
+
+        Pad tokens sit at each row's tail: valid rows never attend them under
+        the causal mask, their K/V rows are never cached, and the batch dim
+        pads to a power of two to bound jit recompiles."""
+        n = len(reqs)
+        nb = _bucket(n) if n > 1 else 1
+        toks = np.zeros((nb, sb), np.int32)
+        lens = []
+        for i, req in enumerate(reqs):
+            p = req.prompt + req.output
+            toks[i, : len(p)] = p
+            lens.append(len(p))
         logits, k_rows, v_rows = transformer.prefill(
-            self.params, tokens, cfg=self.model_cfg, interpret=self._interpret
+            self.params, jnp.asarray(toks), cfg=self.model_cfg,
+            interpret=self._interpret,
         )
-        # Cache rows for the real prompt only: (L, 1, Sb, KVH, d) -> (L, S, KVH, d)
-        self.cache.append(req.req_id, k_rows[:, 0, :s], v_rows[:, 0, :s])
-        first = self._sample(logits[0, s - 1])
-        self._emit(req, int(first))
+        # Cache rows for each real prompt only:
+        # (L, NB, Sb, KVH, d) -> per-request (L, S_i, KVH, d)
+        for i, req in enumerate(reqs):
+            s = lens[i]
+            self.cache.append(req.req_id, k_rows[:, i, :s], v_rows[:, i, :s])
+            first = self._sample(logits[i, s - 1])
+            self._emit(req, int(first))
 
     def _reserve_or_preempt(self, rid: int) -> tuple[int, int]:
         while True:

@@ -355,3 +355,35 @@ def test_scheduler_worst_case_python_fallback_matches():
     assert s.admit(free_pages=99) == []
     s.finish(1)
     assert s.admit(free_pages=99) == [2]
+
+
+def test_engine_batched_prefill_matches_sequential():
+    """Same-bucket prompts prefilled as one batch == one-by-one prefill."""
+    cfg = transformer.ModelConfig.tiny()
+    params = transformer.init_params(jax.random.key(0), cfg)
+
+    def make(max_batch):
+        ccfg = CacheConfig(
+            num_layers=cfg.num_layers,
+            num_kv_heads=cfg.num_kv_heads,
+            head_dim=cfg.head_dim,
+            page_size=8,
+            num_pages=64,
+        )
+        return Engine(
+            params, cfg, ccfg, EngineConfig(max_batch=max_batch, pages_per_seq=8)
+        )
+
+    prompts = [[1, 2, 3], [4, 5], [6, 7, 8, 9], [10]]  # all bucket to 8
+    seq = make(1)  # admits one at a time -> sequential prefills
+    want = {}
+    for p in prompts:
+        rid = seq.add_request(p, 4)
+        want[tuple(p)] = rid
+    souts = seq.run()
+
+    bat = make(4)  # admits all four -> one batched prefill
+    bids = [bat.add_request(p, 4) for p in prompts]
+    bouts = bat.run()
+    for p, bid in zip(prompts, bids):
+        assert bouts[bid] == souts[want[tuple(p)]], p
