@@ -227,8 +227,15 @@ def paged_attention(
         raise ValueError(f"k/v pages mismatch: {k_pages.shape} vs {v_pages.shape}")
     pages_per_seq = page_indices.shape[1]
     quantized = k_scales_pages is not None
-    if quantized and v_scales_pages is None:
-        raise ValueError("k_scales_pages given without v_scales_pages")
+    if (k_scales_pages is None) != (v_scales_pages is None):
+        raise ValueError("k_scales_pages and v_scales_pages must be given together")
+    if quantized:
+        want = k_pages.shape[:3]  # (P, KVH, page_size)
+        if k_scales_pages.shape != want or v_scales_pages.shape != want:
+            raise ValueError(
+                f"scale pools must be {want} (head-major, like the payload "
+                f"pools), got {k_scales_pages.shape} / {v_scales_pages.shape}"
+            )
 
     grid = (b, pages_per_seq)
     g8 = -(-g // 8) * 8  # pad query-group rows to the fp32 sublane quantum

@@ -109,7 +109,10 @@ def _dot_g(a, b, dims, mode, a_split=None, b_split=None):
         preferred_element_type=jnp.float32,
     )
     if mode == "float32":
-        return f(a, b, precision=jax.lax.Precision.HIGHEST)
+        return f(
+            a.astype(jnp.float32), b.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        )
     if mode == "bf16":
         return f(a, b, precision=jax.lax.Precision.DEFAULT)
     # bf16_3x: split each fp32 operand; keep hi*hi + hi*lo + lo*hi.
@@ -179,13 +182,20 @@ class BlockSizes:
         (S=8192 bf16 causal: 2.9 -> 2.2 ms vs the non-causal 2048 cap).
         """
         del head_dim, precision
-        block_q = min(max_block_q, max(MIN_BLOCK, _round_up(s_q, MIN_BLOCK)))
-        while s_q % block_q and block_q > MIN_BLOCK:
-            block_q //= 2
+
+        def largest_dividing(s, cap):
+            # Largest MIN_BLOCK multiple <= cap dividing s (halving could land
+            # on a non-MIN_BLOCK multiple, e.g. 384 -> 192); falls back to
+            # MIN_BLOCK so non-128-multiple lengths hit the actionable
+            # "use ops.dispatch for padding" error, not a block-shape one.
+            b = min(cap, max(MIN_BLOCK, _round_up(s, MIN_BLOCK)))
+            while b > MIN_BLOCK and s % b:
+                b -= MIN_BLOCK
+            return b
+
+        block_q = largest_dividing(s_q, max_block_q)
         max_bkv = min(max_block_kv, 1024 if causal else 2048)
-        block_kv = min(max_bkv, max(MIN_BLOCK, _round_up(s_kv, MIN_BLOCK)))
-        while s_kv % block_kv and block_kv > MIN_BLOCK:
-            block_kv //= 2
+        block_kv = largest_dividing(s_kv, max_bkv)
         block_kv_compute = block_kv
         return cls(block_q, block_kv, block_kv_compute)
 
@@ -294,9 +304,14 @@ def _kernel(
                 # MXU can't contract f32 x int8 directly; run the payload as
                 # bf16 (exact for int8 values in [-127,127] and fp8) and fold
                 # the per-token scale into the score *columns* afterwards:
-                # s_ij = (q_i . k_j_payload) * k_scale_j.
+                # s_ij = (q_i . k_j_payload) * k_scale_j.  The precision mode
+                # still governs the fp32 Q stream (bf16_3x splits q; float32
+                # upcasts the payload).
                 k = k.astype(jnp.bfloat16)
-                s = _dot_g(q.astype(jnp.bfloat16), k, dims_nt, "bf16")
+                if precision == "bf16":
+                    s = _dot_g(q.astype(jnp.bfloat16), k, dims_nt, "bf16")
+                else:
+                    s = _dot_g(q, k, dims_nt, precision, a_split=q_split)
                 s = s * k_scales_ref[0, :, start : start + block_kv_compute]
             else:
                 s = _dot_g(q, k, dims_nt, precision, a_split=q_split)
@@ -337,7 +352,10 @@ def _kernel(
                 # one VPU row-scale instead of dequantizing the whole V tile.
                 v = v.astype(jnp.bfloat16)
                 p_scaled = p * v_scales_ref[0, :, start : start + block_kv_compute]
-                pv = _dot_g(p_scaled.astype(jnp.bfloat16), v, dims_nn, "bf16")
+                if precision == "bf16":
+                    pv = _dot_g(p_scaled.astype(jnp.bfloat16), v, dims_nn, "bf16")
+                else:
+                    pv = _dot_g(p_scaled, v, dims_nn, precision)
             else:
                 pv = _dot_g(p, v, dims_nn, precision)
             if l_scratch is not None:
@@ -435,14 +453,23 @@ def flash_attention(
     if bh_kv != bh:
         raise ValueError(f"q/k batch*heads mismatch: {bh} vs {bh_kv}")
     quantized = k_scales is not None
+    if (k_scales is None) != (v_scales is None):
+        raise ValueError(
+            "k_scales and v_scales must be given together "
+            f"(got k_scales={'set' if k_scales is not None else None}, "
+            f"v_scales={'set' if v_scales is not None else None})"
+        )
     if quantized:
-        if v_scales is None:
-            raise ValueError("k_scales given without v_scales")
         if k_scales.shape != (bh, s_kv) or v_scales.shape != (bh, s_kv):
             raise ValueError(
                 f"scales must be (BH, S_kv)=({bh}, {s_kv}), got "
                 f"{k_scales.shape} / {v_scales.shape}"
             )
+        # 8-bit payload noise dwarfs bf16 matmul rounding, so the quantized
+        # default is single-pass; explicit multi-pass requests are honored
+        # (the fp32 Q stream still benefits).
+        if precision in (None, "auto"):
+            precision = "bf16"
     precision = resolve_precision(precision, q.dtype)
 
     if block_sizes is None:
