@@ -124,13 +124,50 @@ def attention_quantized(
 ) -> Any:
     """Flash attention over a quantized KV pair (fused in-kernel dequant).
 
+    Unlike the low-level :func:`ops.flash.flash_attention`, sequence lengths
+    need not be block multiples: payloads and scales pad automatically and
+    the tail masks via ``kv_len`` (matching :func:`ops.dispatch.attention`'s
+    contract for the unquantized path).
+
     ``q_seq_len`` enables GQA row folding (see ops.flash.flash_attention)."""
-    return flash_attention(
-        q,
-        k.payload,
-        v.payload,
-        k.scales,
-        v.scales,
+    import jax.numpy as jnp
+
+    from flashattention_tpu.ops.flash import BlockSizes as _BS
+
+    bh, s_q, d = q.shape
+    s_kv = k.payload.shape[1]
+    if block_sizes is None:
+        block_sizes = _BS.fit(
+            q_seq_len or ((s_q + 127) // 128 * 128),
+            (s_kv + 127) // 128 * 128,
+            d,
+            "bf16",
+            causal,
+        )
+    bq, bkv = block_sizes.block_q, block_sizes.block_kv
+    s_q_pad = -(-s_q // bq) * bq if q_seq_len is None else s_q
+    s_kv_pad = -(-s_kv // bkv) * bkv
+
+    def pad_seq(x, target):
+        if x.shape[1] == target:
+            return x
+        pads = [(0, 0), (0, target - x.shape[1])] + [(0, 0)] * (x.ndim - 2)
+        return jnp.pad(x, pads)
+
+    qp = pad_seq(q, s_q_pad)
+    kp = pad_seq(k.payload, s_kv_pad)
+    vp = pad_seq(v.payload, s_kv_pad)
+    ksc = pad_seq(k.scales, s_kv_pad)
+    vsc = pad_seq(v.scales, s_kv_pad)
+    if kv_len is None and s_kv_pad != s_kv:
+        kv_len = s_kv
+
+    out = flash_attention(
+        qp,
+        kp,
+        vp,
+        ksc,
+        vsc,
         causal=causal,
         scale=scale,
         block_sizes=block_sizes,
@@ -141,3 +178,9 @@ def attention_quantized(
         q_seq_len=q_seq_len,
         interpret=interpret,
     )
+    if s_q_pad == s_q:
+        return out
+    if save_residuals:
+        o, l, m = out
+        return o[:, :s_q], l[:, :s_q], m[:, :s_q]
+    return out[:, :s_q]

@@ -81,3 +81,20 @@ def test_bad_dtype_raises():
     x = jnp.zeros((1, 16, 8))
     with pytest.raises(ValueError):
         quantize(x, "int4")
+
+
+def test_attention_quantized_unaligned_lengths():
+    """attention_quantized pads ragged sequence lengths like dispatch does."""
+    from flashattention_tpu.ops.quant import attention_quantized, quantize_kv
+    from flashattention_tpu.ops.reference import attention_reference
+
+    bh, s, d = 4, 300, 64  # not a multiple of any block size
+    ks = jax.random.split(jax.random.key(3), 3)
+    q = make_random(ks[0], (bh, s, d))
+    k = make_random(ks[1], (bh, s, d))
+    v = make_random(ks[2], (bh, s, d))
+    kq, vq = quantize_kv(k, v, "int8")
+    o = attention_quantized(q, kq, vq, causal=True)
+    want = attention_reference(q, k, v, causal=True)
+    assert o.shape == q.shape
+    assert max_abs_err(o.astype(jnp.float32), want) <= 5e-2
