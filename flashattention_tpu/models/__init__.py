@@ -3,4 +3,5 @@ from flashattention_tpu.models.transformer import (
     decode_step,
     init_params,
     prefill,
+    prefill_chunk,
 )
