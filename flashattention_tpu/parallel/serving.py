@@ -48,6 +48,7 @@ def make_sharded_paged_attention(
     batch_axis: str = "dp",
     kv_head_axis: str = "tp",
     scale: float = 1.0,
+    quantized: bool = False,
     interpret: bool | None = None,
 ):
     """Sharded paged decode attention over (dp, tp).
@@ -57,22 +58,44 @@ def make_sharded_paged_attention(
     over tp; lengths (B,) and page_indices (B, pps) over dp, page ids local
     to the dp slice.  No communication at all — attention output shards
     exactly like q.
+
+    With ``quantized=True`` the returned fn takes two extra trailing args,
+    the (P, KVH, ps) k/v scale pools, sharded exactly like the payload pools
+    (the int8/fp8 KV-cache serving mode of BASELINE.json).
     """
     q_spec = P(batch_axis, kv_head_axis, None, None)
     pool_spec = P(batch_axis, kv_head_axis, None, None)
+    scale_spec = P(batch_axis, kv_head_axis, None)
     len_spec = P(batch_axis)
     pi_spec = P(batch_axis, None)
 
-    def local(q, k_pages, v_pages, lengths, page_indices):
-        return paged_attention(
-            q, k_pages, v_pages, lengths, page_indices,
-            scale=scale, interpret=interpret,
+    if quantized:
+
+        def local(q, k_pages, v_pages, lengths, page_indices, ks, vs):
+            return paged_attention(
+                q, k_pages, v_pages, lengths, page_indices,
+                k_scales_pages=ks, v_scales_pages=vs,
+                scale=scale, interpret=interpret,
+            )
+
+        in_specs = (
+            q_spec, pool_spec, pool_spec, len_spec, pi_spec,
+            scale_spec, scale_spec,
         )
+    else:
+
+        def local(q, k_pages, v_pages, lengths, page_indices):
+            return paged_attention(
+                q, k_pages, v_pages, lengths, page_indices,
+                scale=scale, interpret=interpret,
+            )
+
+        in_specs = (q_spec, pool_spec, pool_spec, len_spec, pi_spec)
 
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(q_spec, pool_spec, pool_spec, len_spec, pi_spec),
+        in_specs=in_specs,
         out_specs=q_spec,
         check_vma=False,
     )

@@ -268,3 +268,44 @@ def test_ulysses_attention_matches_dense(causal):
     uly = make_ulysses_attention(mesh, causal=causal)
     got = uly(qs, ks_, vs)
     validate_result(got, want, 1e-4)
+
+
+def test_sharded_paged_attention_quantized():
+    """DP x TP sharded paged decode with int8 pools == unsharded result."""
+    from flashattention_tpu.ops.decode import paged_attention
+    from flashattention_tpu.ops.quant import quantize
+    from flashattention_tpu.parallel.serving import make_sharded_paged_attention
+
+    dp, tp = 2, 2
+    devs = np.array(jax.devices()[: dp * tp]).reshape(dp, tp)
+    mesh = Mesh(devs, ("dp", "tp"))
+    b, kvh, g, d, ps, pps = 4, 2, 4, 32, 8, 2
+    p_local = 4
+    p_global = dp * p_local
+    ks = jax.random.split(jax.random.key(21), 3)
+    q = make_random(ks[0], (b, kvh, g, d))
+    kf = make_random(ks[1], (p_global, kvh, ps, d))
+    vf = make_random(ks[2], (p_global, kvh, ps, d))
+    kq, vq = quantize(kf, "int8"), quantize(vf, "int8")
+    lengths = jnp.asarray([9, 16, 5, 12], jnp.int32)
+    # dp group i uses pages in slice [i*p_local, ...): local ids for sharded.
+    local_pi = np.array([[0, 1], [2, 3], [0, 1], [2, 3]], np.int32)
+    global_pi = local_pi + np.repeat([0, p_local], 2)[:, None]
+
+    want = paged_attention(
+        q, kq.payload, vq.payload, lengths, jnp.asarray(global_pi),
+        k_scales_pages=kq.scales, v_scales_pages=vq.scales,
+    )
+
+    shard = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
+    fn = make_sharded_paged_attention(mesh, quantized=True)
+    got = fn(
+        shard(q, P("dp", "tp", None, None)),
+        shard(kq.payload, P("dp", "tp", None, None)),
+        shard(vq.payload, P("dp", "tp", None, None)),
+        shard(lengths, P("dp")),
+        shard(jnp.asarray(local_pi), P("dp", None)),
+        shard(kq.scales, P("dp", "tp", None)),
+        shard(vq.scales, P("dp", "tp", None)),
+    )
+    validate_result(got, want, 1e-5)
