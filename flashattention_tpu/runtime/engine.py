@@ -78,6 +78,11 @@ class Engine:
         self._next_id = itertools.count()
         self._interpret = interpret
         self.sample_key = jax.random.key(0)  # used when not cfg.greedy
+        # Serving counters (observability; see stats()).
+        self._n_steps = 0
+        self._n_decode_tokens = 0
+        self._n_prefill_tokens = 0
+        self._n_preemptions = 0
 
     # ── public API ────────────────────────────────────────────────────────
 
@@ -178,9 +183,22 @@ class Engine:
 
     def step(self) -> None:
         """Admit + prefill new requests, then one decode token for all."""
+        self._n_steps += 1
         self._admit_and_prefill()
         if self.running:
             self._decode_batch()
+
+    def stats(self) -> dict:
+        """Serving counters: steps, tokens in/out, preemptions, occupancy."""
+        return {
+            "steps": self._n_steps,
+            "prefill_tokens": self._n_prefill_tokens,
+            "decode_tokens": self._n_decode_tokens,
+            "preemptions": self._n_preemptions,
+            "running": len(self.running),
+            "waiting": self.scheduler.num_waiting(),
+            "free_pages": self.cache.num_free_pages(),
+        }
 
     def _admit_and_prefill(self) -> None:
         admitted = self.scheduler.admit(self.cache.num_free_pages())
@@ -233,6 +251,7 @@ class Engine:
         )
         # Cache rows for each real prompt only:
         # (L, NB, Sb, KVH, d) -> per-request (L, S_i, KVH, d)
+        self._n_prefill_tokens += sum(lens)
         for i, req in enumerate(reqs):
             s = lens[i]
             self.cache.append(req.req_id, k_rows[:, i, :s], v_rows[:, i, :s])
@@ -290,6 +309,7 @@ class Engine:
             )
             self.cache.set_pools(kp, vp, ks, vs)
         self.cache.trim(rid, s)
+        self._n_prefill_tokens += s
         first = self._sample(logits[(s - 1) % chunk])
         self._emit(req, int(first))
 
@@ -343,6 +363,7 @@ class Engine:
         )
         self.cache.set_pools(kp, vp, ks, vs)
         next_tokens = np.asarray(self._sample(logits))
+        self._n_decode_tokens += len(batch)
         for i, rid in enumerate(batch):
             self._emit(self.requests[rid], int(next_tokens[i]))
 
@@ -361,6 +382,7 @@ class Engine:
             self.scheduler.add_request(
                 rid, req.length, req.max_new_tokens - len(req.output)
             )
+            self._n_preemptions += 1
             return True
         return False
 
