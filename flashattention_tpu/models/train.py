@@ -34,7 +34,6 @@ from flashattention_tpu.models.transformer import (
     _rope,
 )
 from flashattention_tpu.ops.backward import attention_vjp
-from flashattention_tpu.ops.flash import BlockSizes
 
 __all__ = ["param_specs", "shard_params", "make_train_step"]
 

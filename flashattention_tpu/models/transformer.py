@@ -198,36 +198,27 @@ def _quantize_row(x, dtype):
     return payload, scales
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "interpret"),
-    donate_argnums=(3, 4),
-    donate_argnames=("k_scales", "v_scales"),
-)
-def decode_step(
+def decode_step_impl(
     params,
-    tokens: jax.Array,  # (B,) int32 current tokens
-    positions: jax.Array,  # (B,) int32 positions (= old length) of those tokens
-    k_pages: jax.Array,  # (L, P, KVH, ps, d) head-major, donated
-    v_pages: jax.Array,  # donated
-    lengths: jax.Array,  # (B,) int32 *including* the current token
-    page_indices: jax.Array,  # (B, pages_per_seq)
-    write_pages: jax.Array,  # (B,) physical page receiving this token's K/V
-    write_slots: jax.Array,  # (B,) slot within that page
+    tokens: jax.Array,
+    positions: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    lengths: jax.Array,
+    page_indices: jax.Array,
+    write_pages: jax.Array,
+    write_slots: jax.Array,
     cfg: ModelConfig,
-    k_scales: jax.Array | None = None,  # (L, P, KVH, ps) when quantized
+    k_scales: jax.Array | None = None,
     v_scales: jax.Array | None = None,
     interpret=None,
+    tp_axis: str | None = None,
 ):
-    """One decode token for a whole continuous batch over the paged cache.
+    """Decode-step body shared by the single-device and sharded entries.
 
-    The current token's K/V rows are computed layer-by-layer inside this jit
-    and scattered into the (donated) page pools *before* the layer's paged
-    attention runs, so the token attends to itself (lengths include it).
-    Inactive batch slots: point write_pages at an out-of-range page (dropped).
-
-    Returns (logits (B, V), k_pages, v_pages, k_scales, v_scales) — the
-    updated pools (scales None when not quantized).
+    With ``tp_axis`` set (called inside shard_map with TP-local head counts in
+    ``cfg`` and Megatron column/row-sharded weights) the row-parallel output
+    projections all-reduce over that axis; otherwise identical.
     """
     b = tokens.shape[0]
     x = params["embed"][tokens]  # (B, d_model)
@@ -274,11 +265,54 @@ def decode_step(
             interpret=interpret,
         )  # (B, KVH, G, d)
         o = o.reshape(b, 1, cfg.num_q_heads * cfg.head_dim)
-        x = x + o @ layer["wo"]
-        x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer)
+        attn_out = o @ layer["wo"]
+        if tp_axis is not None:
+            attn_out = jax.lax.psum(attn_out, tp_axis)
+        x = x + attn_out
+        mlp_out = _mlp(_rmsnorm(x, layer["mlp_norm"]), layer)
+        if tp_axis is not None:
+            mlp_out = jax.lax.psum(mlp_out, tp_axis)
+        x = x + mlp_out
     x = _rmsnorm(x[:, 0], params["final_norm"])
     logits = x @ params["lm_head"]
     return logits, k_pages, v_pages, k_scales, v_scales
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "interpret"),
+    donate_argnums=(3, 4),
+    donate_argnames=("k_scales", "v_scales"),
+)
+def decode_step(
+    params,
+    tokens: jax.Array,  # (B,) int32 current tokens
+    positions: jax.Array,  # (B,) int32 positions (= old length) of those tokens
+    k_pages: jax.Array,  # (L, P, KVH, ps, d) head-major, donated
+    v_pages: jax.Array,  # donated
+    lengths: jax.Array,  # (B,) int32 *including* the current token
+    page_indices: jax.Array,  # (B, pages_per_seq)
+    write_pages: jax.Array,  # (B,) physical page receiving this token's K/V
+    write_slots: jax.Array,  # (B,) slot within that page
+    cfg: ModelConfig,
+    k_scales: jax.Array | None = None,  # (L, P, KVH, ps) when quantized
+    v_scales: jax.Array | None = None,
+    interpret=None,
+):
+    """One decode token for a whole continuous batch over the paged cache.
+
+    The current token's K/V rows are computed layer-by-layer inside this jit
+    and scattered into the (donated) page pools *before* the layer's paged
+    attention runs, so the token attends to itself (lengths include it).
+    Inactive batch slots: point write_pages at an out-of-range page (dropped).
+
+    Returns (logits (B, V), k_pages, v_pages, k_scales, v_scales) — the
+    updated pools (scales None when not quantized).
+    """
+    return decode_step_impl(
+        params, tokens, positions, k_pages, v_pages, lengths, page_indices,
+        write_pages, write_slots, cfg, k_scales, v_scales, interpret,
+    )
 
 
 @functools.partial(
@@ -321,6 +355,11 @@ def prefill_chunk(
     (t,) = tokens.shape
     ps = k_pages.shape[3]
     ctx = page_indices.shape[0] * ps
+    if ctx < t:
+        raise ValueError(
+            f"page_indices covers {ctx} tokens < chunk size {t}; it must span "
+            "the full context including this chunk"
+        )
     quantized = k_scales is not None
     x = params["embed"][tokens][None]  # (1, T, d_model)
     pos = positions[None]
@@ -371,8 +410,6 @@ def prefill_chunk(
                 ksg = jnp.pad(ksg, ((0, 0), (0, ctx_pad - ctx)))
                 vsg = jnp.pad(vsg, ((0, 0), (0, ctx_pad - ctx)))
             extra = dict(k_scales=ksg, v_scales=vsg)
-        from flashattention_tpu.ops.flash import flash_attention
-
         o = flash_attention(
             qf.astype(x.dtype),
             kg,

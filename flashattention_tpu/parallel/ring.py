@@ -19,11 +19,9 @@ work (XLA schedules the ppermute concurrently with the next pallas_call).
 from __future__ import annotations
 
 import functools
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from flashattention_tpu.ops.flash import BlockSizes, flash_attention
 
@@ -48,8 +46,12 @@ def merge_partials(o1, l1, m1, o2, l2, m2):
     o: (BH, S, d); l, m: (BH, S), float32.
     """
     m_new = jnp.maximum(m1, m2)
-    a1 = jnp.exp(m1 - m_new) * l1  # un-normalize weights of partial 1
-    a2 = jnp.exp(m2 - m_new) * l2
+    # Guard the both-empty case (m1 == m2 == -inf): exp(-inf - -inf) is NaN;
+    # anchoring the subtrahend at 0 there yields exp(-inf) = 0, so merging two
+    # empty partials returns the empty identity (o=0, l=0, m=-inf).
+    m_anchor = jnp.where(jnp.isneginf(m_new), 0.0, m_new)
+    a1 = jnp.exp(m1 - m_anchor) * l1  # un-normalize weights of partial 1
+    a2 = jnp.exp(m2 - m_anchor) * l2
     l_new = a1 + a2
     denom = jnp.where(l_new == 0.0, 1.0, l_new)
     o = (

@@ -24,19 +24,13 @@ serving twin of ``models/train.py``'s training step.
 
 from __future__ import annotations
 
-import functools
+import dataclasses
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from flashattention_tpu.models.transformer import (
-    ModelConfig,
-    _mlp,
-    _qkv,
-    _rmsnorm,
-)
 from flashattention_tpu.models.train import param_specs
+from flashattention_tpu.models.transformer import ModelConfig, decode_step_impl
 from flashattention_tpu.ops.decode import paged_attention
 
 __all__ = ["make_sharded_paged_attention", "make_sharded_decode_step"]
@@ -108,74 +102,81 @@ def make_sharded_decode_step(
     *,
     dp: str = "dp",
     tp: str = "tp",
+    quantized: bool = False,
     interpret: bool | None = None,
 ):
     """Jitted sharded decode step: one token for a whole DP x TP batch.
 
-    Signature mirrors ``models.transformer.decode_step`` (unquantized pools):
+    Runs ``models.transformer.decode_step_impl`` (the exact single-device
+    body) inside shard_map with TP-local head counts and psum'd row-parallel
+    projections:
     (params, tokens, positions, k_pages, v_pages, lengths, page_indices,
-    write_pages, write_slots) -> (logits, k_pages, v_pages).
+    write_pages, write_slots[, k_scales, v_scales]) ->
+    (logits, k_pages, v_pages[, k_scales, v_scales]).
 
     Sharding: params per ``models.train.param_specs`` (Megatron column/row);
     tokens/positions/lengths/write_* (B,) over dp; page_indices (B, pps) over
     dp with page ids local to the dp pool slice; pools (L, P, KVH, ps, d)
-    with P over dp and KVH over tp.
+    with P over dp and KVH over tp; with ``quantized=True``, scale pools
+    (L, P, KVH, ps) shard the same way.
     """
     tp_size = mesh.shape[tp]
     if cfg.num_kv_heads % tp_size:
         raise ValueError(f"tp={tp_size} must divide num_kv_heads={cfg.num_kv_heads}")
-    hq_local = cfg.num_q_heads // tp_size
-    hkv_local = cfg.num_kv_heads // tp_size
-    g = cfg.group_size
+    local_cfg = dataclasses.replace(
+        cfg,
+        num_q_heads=cfg.num_q_heads // tp_size,
+        num_kv_heads=cfg.num_kv_heads // tp_size,
+    )
     specs = param_specs(cfg, tp)
     pool_spec = P(None, dp, tp, None, None)
+    scale_spec = P(None, dp, tp, None)
     vec_spec = P(dp)
 
-    def local_step(
-        params, tokens, positions, k_pages, v_pages, lengths, page_indices,
-        write_pages, write_slots,
-    ):
-        b = tokens.shape[0]
-        x = params["embed"][tokens][:, None, :]  # (B_local, 1, d_model)
-        pos = positions[:, None]
-        local_cfg = ModelConfig(
-            **{
-                **cfg.__dict__,
-                "num_q_heads": hq_local,
-                "num_kv_heads": hkv_local,
-            }
+    if quantized:
+
+        def local_step(
+            params, tokens, positions, k_pages, v_pages, lengths,
+            page_indices, write_pages, write_slots, k_scales, v_scales,
+        ):
+            logits, kp, vp, ks, vs = decode_step_impl(
+                params, tokens, positions, k_pages, v_pages, lengths,
+                page_indices, write_pages, write_slots, local_cfg,
+                k_scales, v_scales, interpret, tp_axis=tp,
+            )
+            return logits, kp, vp, ks, vs
+
+        in_specs = (
+            specs, vec_spec, vec_spec, pool_spec, pool_spec, vec_spec,
+            P(dp, None), vec_spec, vec_spec, scale_spec, scale_spec,
         )
-        for li, layer in enumerate(params["layers"]):
-            h = _rmsnorm(x, layer["attn_norm"])
-            q, k, v = _qkv(h, layer, local_cfg, pos)  # (B, 1, H_local, d)
-            k_row = k[:, 0].astype(k_pages.dtype)  # (B, KVH_local, d)
-            v_row = v[:, 0].astype(v_pages.dtype)
-            k_pages = k_pages.at[li, write_pages, :, write_slots, :].set(
-                k_row, mode="drop"
+        out_specs = (vec_spec, pool_spec, pool_spec, scale_spec, scale_spec)
+        donate = (3, 4, 9, 10)
+    else:
+
+        def local_step(
+            params, tokens, positions, k_pages, v_pages, lengths,
+            page_indices, write_pages, write_slots,
+        ):
+            logits, kp, vp, _, _ = decode_step_impl(
+                params, tokens, positions, k_pages, v_pages, lengths,
+                page_indices, write_pages, write_slots, local_cfg,
+                None, None, interpret, tp_axis=tp,
             )
-            v_pages = v_pages.at[li, write_pages, :, write_slots, :].set(
-                v_row, mode="drop"
-            )
-            qg = q[:, 0].reshape(b, hkv_local, g, cfg.head_dim)
-            o = paged_attention(
-                qg, k_pages[li], v_pages[li], lengths, page_indices,
-                scale=cfg.head_dim**-0.5, interpret=interpret,
-            )  # (B, KVH_local, G, d)
-            o = o.reshape(b, 1, hq_local * cfg.head_dim)
-            x = x + jax.lax.psum(o @ layer["wo"], tp)
-            x = x + jax.lax.psum(_mlp(_rmsnorm(x, layer["mlp_norm"]), layer), tp)
-        x = _rmsnorm(x[:, 0], params["final_norm"])
-        logits = x @ params["lm_head"]
-        return logits, k_pages, v_pages
+            return logits, kp, vp
+
+        in_specs = (
+            specs, vec_spec, vec_spec, pool_spec, pool_spec, vec_spec,
+            P(dp, None), vec_spec, vec_spec,
+        )
+        out_specs = (vec_spec, pool_spec, pool_spec)
+        donate = (3, 4)
 
     step = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(
-            specs, vec_spec, vec_spec, pool_spec, pool_spec, vec_spec,
-            P(dp, None), vec_spec, vec_spec,
-        ),
-        out_specs=(vec_spec, pool_spec, pool_spec),
+        in_specs=in_specs,
+        out_specs=out_specs,
         check_vma=False,
     )
-    return jax.jit(step, donate_argnums=(3, 4))
+    return jax.jit(step, donate_argnums=donate)

@@ -15,7 +15,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from flashattention_tpu.ops.flash import BlockSizes, flash_attention
 from flashattention_tpu.parallel.ring import merge_partials
@@ -89,6 +89,9 @@ def make_allgather_cp_attention(
             # Queries of shard i live at global offset i * s_local.
             idx = jax.lax.axis_index(axis_name)
             # q_offset must be static for the kernel: branch over shards.
+            # NB: this compiles one kernel specialization per shard (O(N)
+            # compile cost) — acceptable for the moderate axis sizes this
+            # all-gather flavor targets; prefer ring/zigzag for large N.
             branches = [
                 functools.partial(
                     flash_attention,

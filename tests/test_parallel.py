@@ -309,3 +309,63 @@ def test_sharded_paged_attention_quantized():
         shard(vq.scales, P("dp", "tp", None)),
     )
     validate_result(got, want, 1e-5)
+
+
+def test_sharded_decode_step_quantized_matches_single_device():
+    """Quantized DP x TP sharded decode step == unsharded quantized decode_step."""
+    from flashattention_tpu.models import transformer
+    from flashattention_tpu.models.train import shard_params
+    from flashattention_tpu.parallel.serving import make_sharded_decode_step
+
+    dp, tp = 2, 2
+    devs = np.array(jax.devices()[: dp * tp]).reshape(dp, tp)
+    mesh = Mesh(devs, ("dp", "tp"))
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=2, d_model=32, num_q_heads=4,
+        num_kv_heads=2, head_dim=16, intermediate=32, dtype="float32",
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+
+    b_global, ps, p_local, pps = 4, 8, 6, 2
+    p_global = dp * p_local
+    l = cfg.num_layers
+    hist = jax.random.normal(
+        jax.random.key(1), (l, p_global, cfg.num_kv_heads, ps, cfg.head_dim)
+    )
+    kp = jnp.clip(jnp.round(hist * 50), -127, 127).astype(jnp.int8)
+    vp = jnp.clip(jnp.round(hist * 30), -127, 127).astype(jnp.int8)
+    ksc = jnp.abs(jax.random.normal(jax.random.key(2), kp.shape[:4])) * 0.01 + 0.005
+    vsc = ksc * 1.3
+    local_pi = np.array([[0, 1], [2, 3], [0, 1], [2, 3]], np.int32)
+    global_pi = local_pi + np.repeat([0, p_local], 2)[:, None]
+    lengths = jnp.asarray([5, 9, 12, 3], jnp.int32)
+    positions = lengths - 1
+    write_global = jnp.asarray(
+        [global_pi[i][int(p) // ps] for i, p in enumerate(positions)], jnp.int32
+    )
+    write_local = jnp.asarray(
+        [local_pi[i][int(p) // ps] for i, p in enumerate(positions)], jnp.int32
+    )
+    write_slots = positions % ps
+    tokens = jnp.asarray([3, 14, 15, 9], jnp.int32)
+
+    sharded = make_sharded_decode_step(mesh, cfg, quantized=True)
+    sp = shard_params(params, mesh, cfg)
+    pool_sh = NamedSharding(mesh, P(None, "dp", "tp", None, None))
+    scale_sh = NamedSharding(mesh, P(None, "dp", "tp", None))
+    kp_s, vp_s = jax.device_put(kp, pool_sh), jax.device_put(vp, pool_sh)
+    ks_s, vs_s = jax.device_put(ksc, scale_sh), jax.device_put(vsc, scale_sh)
+
+    want = transformer.decode_step(
+        params, tokens, positions, kp, vp, lengths, jnp.asarray(global_pi),
+        write_global, write_slots, cfg=cfg, k_scales=ksc, v_scales=vsc,
+    )
+
+    dpv = lambda x: jax.device_put(x, NamedSharding(mesh, P("dp")))
+    got = sharded(
+        sp, dpv(tokens), dpv(positions), kp_s, vp_s, dpv(lengths),
+        jax.device_put(jnp.asarray(local_pi), NamedSharding(mesh, P("dp", None))),
+        dpv(write_local), dpv(write_slots), ks_s, vs_s,
+    )
+    validate_result(got[0], want[0], 1e-3)  # logits
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))  # kp
