@@ -1,5 +1,6 @@
 from flashattention_tpu.parallel.ring import (
     make_ring_attention,
+    make_ring_attention_vjp,
     make_zigzag_ring_attention,
     merge_partials,
     ring_attention_local,

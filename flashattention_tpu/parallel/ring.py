@@ -28,6 +28,7 @@ from flashattention_tpu.ops.flash import BlockSizes, flash_attention
 __all__ = [
     "ring_attention_local",
     "make_ring_attention",
+    "make_ring_attention_vjp",
     "make_zigzag_ring_attention",
     "merge_partials",
     "zigzag_shard",
@@ -343,6 +344,157 @@ def make_zigzag_ring_attention(
     )
     fn = jax.shard_map(
         lambda q, k, v: local(q, k, v),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+# ── differentiable ring attention ─────────────────────────────────────────────
+#
+# Long-context *training* across chips: the backward pass is a second ring —
+# (k, v, dk-acc, dv-acc) rotate together for axis_size steps; each device
+# computes its dq contribution against the resident KV shard and adds that
+# shard's dk/dv contribution into the rotating accumulators, which arrive
+# back at their owner after the full cycle.  The per-step case logic (full /
+# diagonal / skip) mirrors the forward's.
+
+
+def _ring_fwd_residuals(q, k, v, *, axis_name, axis_size, causal, scale,
+                        block_sizes, interpret):
+    """Forward ring pass that also returns the global (per-row) lse."""
+    from flashattention_tpu.ops.flash import flash_attention
+
+    bh, s_local, d = q.shape
+    my_idx = jax.lax.axis_index(axis_name)
+
+    def partial_with(causal_flag):
+        def f(kb, vb):
+            return flash_attention(
+                q, kb, vb, causal=causal_flag, scale=scale,
+                block_sizes=block_sizes, save_residuals=True,
+                interpret=interpret,
+            )
+        return f
+
+    def partial_skip(kb, vb):
+        del kb, vb
+        return (
+            jnp.zeros((bh, s_local, d), q.dtype),
+            jnp.zeros((bh, s_local), jnp.float32),
+            jnp.full((bh, s_local), -jnp.inf, jnp.float32),
+        )
+
+    o = jnp.zeros((bh, s_local, d), jnp.float32)
+    l = jnp.zeros((bh, s_local), jnp.float32)
+    m = jnp.full((bh, s_local), -jnp.inf, jnp.float32)
+    kb, vb = k, v
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    for step in range(axis_size):
+        src = jax.lax.rem(my_idx - step + axis_size, axis_size)
+        if causal:
+            case = jnp.where(src == my_idx, 1, jnp.where(src < my_idx, 0, 2))
+            po, pl_, pm = jax.lax.switch(
+                case, [partial_with(False), partial_with(True), partial_skip],
+                kb, vb,
+            )
+        else:
+            po, pl_, pm = partial_with(False)(kb, vb)
+        o, l, m = merge_partials(o, l, m, po, pl_, pm)
+        if step != axis_size - 1:
+            kb = jax.lax.ppermute(kb, axis_name, perm)
+            vb = jax.lax.ppermute(vb, axis_name, perm)
+    lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+    return o.astype(q.dtype), lse
+
+
+def make_ring_attention_vjp(
+    mesh: Mesh,
+    *,
+    axis_name: str = "sp",
+    causal: bool = False,
+    scale: float = 1.0,
+    batch_axis: str | None = None,
+    block_sizes: BlockSizes | None = None,
+    interpret: bool | None = None,
+):
+    """Differentiable ring attention over ``mesh`` (same layout as
+    :func:`make_ring_attention`): enables long-context training where the KV
+    sequence never fits one chip."""
+    from flashattention_tpu.ops.backward import flash_attention_bwd
+
+    axis_size = mesh.shape[axis_name]
+    spec = P(batch_axis if batch_axis else None, axis_name, None)
+
+    @jax.custom_vjp
+    def ring(q, k, v):
+        o, _ = _ring_fwd_residuals(
+            q, k, v, axis_name=axis_name, axis_size=axis_size, causal=causal,
+            scale=scale, block_sizes=block_sizes, interpret=interpret,
+        )
+        return o
+
+    def ring_fwd(q, k, v):
+        o, lse = _ring_fwd_residuals(
+            q, k, v, axis_name=axis_name, axis_size=axis_size, causal=causal,
+            scale=scale, block_sizes=block_sizes, interpret=interpret,
+        )
+        return o, (q, k, v, o, lse)
+
+    def ring_bwd(res, do):
+        q, k, v, o, lse = res
+        my_idx = jax.lax.axis_index(axis_name)
+        zeros_kv = jnp.zeros_like(k, dtype=jnp.float32)
+
+        def grads_with(causal_flag):
+            def f(kb, vb):
+                dq_p, dk_p, dv_p = flash_attention_bwd(
+                    q, kb, vb, o, lse, do, causal=causal_flag, scale=scale,
+                    block_sizes=block_sizes, interpret=interpret,
+                )
+                return (
+                    dq_p.astype(jnp.float32),
+                    dk_p.astype(jnp.float32),
+                    dv_p.astype(jnp.float32),
+                )
+            return f
+
+        def grads_skip(kb, vb):
+            del kb, vb
+            return jnp.zeros_like(q, dtype=jnp.float32), zeros_kv, zeros_kv
+
+        dq = jnp.zeros_like(q, dtype=jnp.float32)
+        kb, vb = k, v
+        dk_acc = zeros_kv  # rotates with (kb, vb); comes home after N steps
+        dv_acc = zeros_kv
+        perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+        for step in range(axis_size):
+            src = jax.lax.rem(my_idx - step + axis_size, axis_size)
+            if causal:
+                case = jnp.where(src == my_idx, 1, jnp.where(src < my_idx, 0, 2))
+                dq_p, dk_p, dv_p = jax.lax.switch(
+                    case, [grads_with(False), grads_with(True), grads_skip],
+                    kb, vb,
+                )
+            else:
+                dq_p, dk_p, dv_p = grads_with(False)(kb, vb)
+            dq += dq_p
+            dk_acc += dk_p
+            dv_acc += dv_p
+            # Rotate every step (including the last): after axis_size hops the
+            # accumulators are home, carrying every device's contribution.
+            kb = jax.lax.ppermute(kb, axis_name, perm)
+            vb = jax.lax.ppermute(vb, axis_name, perm)
+            dk_acc = jax.lax.ppermute(dk_acc, axis_name, perm)
+            dv_acc = jax.lax.ppermute(dv_acc, axis_name, perm)
+        return dq.astype(q.dtype), dk_acc.astype(k.dtype), dv_acc.astype(v.dtype)
+
+    ring.defvjp(ring_fwd, ring_bwd)
+
+    fn = jax.shard_map(
+        lambda q, k, v: ring(q, k, v),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
