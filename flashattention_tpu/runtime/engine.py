@@ -10,13 +10,15 @@ waiting requests admit on the next step — the defining continuous-batching
 behavior (no static batch barriers).
 
 JIT stability: the decode batch is padded to ``max_batch`` and prompts pad to
-power-of-two buckets, so steady-state serving compiles a handful of programs.
+power-of-two buckets, so steady-state decode compiles a handful of programs.
+Chunked prefill compiles one program per chunk index (its context length is a
+static shape), bounded by pages_per_seq * page_size / prefill_chunk and cached
+across requests.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import itertools
 
 import jax
 import jax.numpy as jnp
@@ -72,11 +74,17 @@ class Engine:
         self.model_cfg = model_cfg
         self.cache = PagedKVCache(cache_cfg)
         self.cfg = engine_cfg
+        if engine_cfg.prefill_chunk and engine_cfg.prefill_chunk % cache_cfg.page_size:
+            raise ValueError(
+                f"prefill_chunk ({engine_cfg.prefill_chunk}) must be a "
+                f"multiple of page_size ({cache_cfg.page_size})"
+            )
         self.scheduler = Scheduler(engine_cfg.max_batch, cache_cfg.page_size)
         self.requests: dict[int, Request] = {}
         self.running: list[int] = []  # req ids in batch-slot order
-        self._next_id = itertools.count()
+        self._next_id = 0
         self._interpret = interpret
+        self._last_admitted = 0
         self.sample_key = jax.random.key(0)  # used when not cfg.greedy
         # Serving counters (observability; see stats()).
         self._n_steps = 0
@@ -94,6 +102,13 @@ class Engine:
         span = len(prompt) + max_new_tokens
         ps = self.cache.config.page_size
         need = -(-span // ps)
+        chunk = self.cfg.prefill_chunk
+        if chunk and len(prompt) > chunk:
+            # Chunked prefill transiently reserves the prompt padded to a
+            # chunk multiple (trimmed afterwards); the admission guarantee
+            # must cover that peak too.
+            padded = -(-len(prompt) // chunk) * chunk
+            need = max(need, -(-padded // ps))
         cap = min(self.cfg.pages_per_seq, self.cache.config.num_pages)
         if need > cap:
             raise ValueError(
@@ -102,7 +117,8 @@ class Engine:
                 f"(pages_per_seq={self.cfg.pages_per_seq}, "
                 f"num_pages={self.cache.config.num_pages})"
             )
-        req_id = next(self._next_id)
+        req_id = self._next_id
+        self._next_id += 1
         self.requests[req_id] = Request(req_id, list(prompt), max_new_tokens)
         self.scheduler.add_request(req_id, len(prompt), max_new_tokens)
         return req_id
@@ -117,7 +133,11 @@ class Engine:
                 break
             was_empty = not self.running
             self.step()
-            if was_empty and not self.running and self.scheduler.num_waiting() > 0:
+            if (
+                was_empty
+                and self._last_admitted == 0
+                and self.scheduler.num_waiting() > 0
+            ):
                 # A step that began with an empty batch admitted nothing: the
                 # waiting requests can never fit (admission deadlock) — bail
                 # instead of spinning max_steps no-op iterations.
@@ -142,7 +162,7 @@ class Engine:
         state; metadata snapshot, orbax optional.)
         """
         return {
-            "next_id": next(self._next_id),  # consumes one id; harmless
+            "next_id": self._next_id,
             "requests": [
                 {
                     "req_id": r.req_id,
@@ -162,7 +182,7 @@ class Engine:
         """Rebuild an engine from :meth:`state_dict` (fresh pools; unfinished
         requests re-queue with their full generated context re-prefilled)."""
         eng = cls(params, model_cfg, cache_cfg, engine_cfg or EngineConfig(), **kw)
-        eng._next_id = itertools.count(state["next_id"])
+        eng._next_id = state["next_id"]
         for r in state["requests"]:
             req = Request(
                 r["req_id"], list(r["prompt"]), r["max_new_tokens"],
@@ -202,22 +222,30 @@ class Engine:
 
     def _admit_and_prefill(self) -> None:
         admitted = self.scheduler.admit(self.cache.num_free_pages())
+        self._last_admitted = len(admitted)
         chunk = self.cfg.prefill_chunk
         short: dict[int, list[Request]] = {}  # bucketed-length -> requests
+        longs: list[Request] = []
         for req_id in admitted:
             req = self.requests[req_id]
             req.state = "running"
             self.running.append(req_id)
             if chunk and req.length > chunk:
-                self._prefill_chunked(
-                    req, np.asarray(req.prompt + req.output, np.int32)
-                )
+                longs.append(req)
             else:
                 short.setdefault(_bucket(req.length), []).append(req)
         # Short prompts batch by padded-length bucket: one jitted prefill per
-        # group instead of one dispatch per request.
+        # group instead of one dispatch per request.  They run BEFORE the
+        # chunked prompts: a chunked prefill may preempt under page pressure,
+        # and only requests whose KV state exists can be safely evicted (a
+        # same-step admittee still waiting in `short` must not be).
         for sb, group in sorted(short.items()):
             self._prefill_batch(group, sb)
+        for req in longs:
+            if req.req_id in self.running:  # not preempted by an earlier long
+                self._prefill_chunked(
+                    req, np.asarray(req.prompt + req.output, np.int32)
+                )
 
     def _prefill(self, req: Request) -> None:
         # Re-prefills after preemption include already-generated tokens
@@ -238,7 +266,8 @@ class Engine:
         the causal mask, their K/V rows are never cached, and the batch dim
         pads to a power of two to bound jit recompiles."""
         n = len(reqs)
-        nb = _bucket(n) if n > 1 else 1
+        nb = kv_bucket(n)  # power-of-two batch pad from 1 (not the length
+        #   bucket's lo=8 — that would 4x the prefill FLOPs for small groups)
         toks = np.zeros((nb, sb), np.int32)
         lens = []
         for i, req in enumerate(reqs):
@@ -275,11 +304,6 @@ class Engine:
         their pages are trimmed back afterwards."""
         c = self.cache.config
         chunk = self.cfg.prefill_chunk
-        if chunk % c.page_size:
-            raise ValueError(
-                f"prefill_chunk ({chunk}) must be a multiple of "
-                f"page_size ({c.page_size})"
-            )
         rid = req.req_id
         s = len(prompt)
         padded = -(-s // chunk) * chunk

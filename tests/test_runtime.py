@@ -387,3 +387,52 @@ def test_engine_batched_prefill_matches_sequential():
     bouts = bat.run()
     for p, bid in zip(prompts, bids):
         assert bouts[bid] == souts[want[tuple(p)]], p
+
+
+def test_engine_short_generations_drain_without_deadlock_error():
+    """Requests finishing during their own prefill must not trip the
+    admission-deadlock detector (max_batch=1, max_new_tokens=1)."""
+    cfg = transformer.ModelConfig.tiny()
+    params = transformer.init_params(jax.random.key(0), cfg)
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers, num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim, page_size=8, num_pages=64,
+    )
+    eng = Engine(params, cfg, ccfg, EngineConfig(max_batch=1, pages_per_seq=4))
+    r1 = eng.add_request([1, 2, 3], 1)
+    r2 = eng.add_request([4, 5], 1)
+    out = eng.run()
+    assert len(out[r1]) == 1 and len(out[r2]) == 1
+
+
+def test_engine_chunked_overreservation_rejected_at_add():
+    """A prompt whose chunk-padded footprint exceeds the pool must be
+    rejected at add_request, not crash mid-serve."""
+    cfg = transformer.ModelConfig.tiny()
+    params = transformer.init_params(jax.random.key(0), cfg)
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers, num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim, page_size=8, num_pages=4,
+    )
+    eng = Engine(
+        params, cfg, ccfg,
+        EngineConfig(max_batch=1, pages_per_seq=4, prefill_chunk=16),
+    )
+    # 17 tokens pad to 32 for chunking -> 4 pages transiently; span needs
+    # ceil(18/8)=3 <= 4, but padded needs 4 == cap: accepted.
+    eng.add_request(list(range(17)), 1)
+    # 25 tokens pad to 32 -> 4 pages, span ceil(26/8)=4 <= 4: accepted too;
+    # but 33 tokens pad to 48 -> 6 pages > cap 4: rejected up front.
+    with pytest.raises(ValueError):
+        eng.add_request(list(range(33)), 1)
+
+
+def test_engine_misconfigured_chunk_rejected_at_init():
+    cfg = transformer.ModelConfig.tiny()
+    params = transformer.init_params(jax.random.key(0), cfg)
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers, num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim, page_size=8, num_pages=16,
+    )
+    with pytest.raises(ValueError):
+        Engine(params, cfg, ccfg, EngineConfig(prefill_chunk=20))
