@@ -2,6 +2,7 @@ from flashattention_tpu.parallel.ring import (
     make_ring_attention,
     make_ring_attention_vjp,
     make_zigzag_ring_attention,
+    make_zigzag_ring_attention_vjp,
     merge_partials,
     ring_attention_local,
     zigzag_shard,

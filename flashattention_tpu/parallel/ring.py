@@ -30,6 +30,7 @@ __all__ = [
     "make_ring_attention",
     "make_ring_attention_vjp",
     "make_zigzag_ring_attention",
+    "make_zigzag_ring_attention_vjp",
     "merge_partials",
     "zigzag_shard",
     "zigzag_unshard",
@@ -495,6 +496,187 @@ def make_ring_attention_vjp(
 
     fn = jax.shard_map(
         lambda q, k, v: ring(q, k, v),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _zigzag_fwd_residuals(q, k, v, *, axis_name, axis_size, scale,
+                          block_sizes, interpret):
+    """Zigzag forward that also returns the merged global lse (causal only)."""
+    from flashattention_tpu.ops.flash import flash_attention
+
+    bh, s_local, d = q.shape
+    c = s_local // 2
+    my_idx = jax.lax.axis_index(axis_name)
+
+    def flash(qq, kk, vv, causal_flag, q_offset=0):
+        return flash_attention(
+            qq, kk, vv, causal=causal_flag, scale=scale, q_offset=q_offset,
+            block_sizes=block_sizes, save_residuals=True, interpret=interpret,
+        )
+
+    def skip(rows):
+        return (
+            jnp.zeros((bh, rows, d), q.dtype),
+            jnp.zeros((bh, rows), jnp.float32),
+            jnp.full((bh, rows), -jnp.inf, jnp.float32),
+        )
+
+    q_lo, q_hi = q[:, :c], q[:, c:]
+
+    def case_diag(kb, vb):
+        o1, l1, m1 = flash(q_lo, kb[:, :c], vb[:, :c], True)
+        o2, l2, m2 = flash(q_hi, kb, vb, True, q_offset=c)
+        return (
+            jnp.concatenate([o1, o2], 1),
+            jnp.concatenate([l1, l2], 1),
+            jnp.concatenate([m1, m2], 1),
+        )
+
+    def case_past(kb, vb):
+        return flash(q, kb[:, :c], vb[:, :c], False)
+
+    def case_future_lo(kb, vb):
+        o2, l2, m2 = flash(q_hi, kb, vb, False)
+        o1, l1, m1 = skip(c)
+        return (
+            jnp.concatenate([o1, o2], 1),
+            jnp.concatenate([l1, l2], 1),
+            jnp.concatenate([m1, m2], 1),
+        )
+
+    o = jnp.zeros((bh, s_local, d), jnp.float32)
+    l = jnp.zeros((bh, s_local), jnp.float32)
+    m = jnp.full((bh, s_local), -jnp.inf, jnp.float32)
+    kb, vb = k, v
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    for step in range(axis_size):
+        src = jax.lax.rem(my_idx - step + axis_size, axis_size)
+        case = jnp.where(src == my_idx, 0, jnp.where(src < my_idx, 1, 2))
+        po, pl_, pm = jax.lax.switch(
+            case, [case_diag, case_past, case_future_lo], kb, vb
+        )
+        o, l, m = merge_partials(o, l, m, po, pl_, pm)
+        if step != axis_size - 1:
+            kb = jax.lax.ppermute(kb, axis_name, perm)
+            vb = jax.lax.ppermute(vb, axis_name, perm)
+    lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+    return o.astype(q.dtype), lse
+
+
+def make_zigzag_ring_attention_vjp(
+    mesh: Mesh,
+    *,
+    axis_name: str = "sp",
+    scale: float = 1.0,
+    batch_axis: str | None = None,
+    block_sizes: BlockSizes | None = None,
+    interpret: bool | None = None,
+):
+    """Differentiable zigzag ring attention: load-balanced causal long-context
+    *training* — every device does constant work in both passes.
+
+    Same zigzag layout as :func:`make_zigzag_ring_attention` (use
+    :func:`zigzag_shard`); gradients come back in the same layout."""
+    from flashattention_tpu.ops.backward import flash_attention_bwd
+
+    axis_size = mesh.shape[axis_name]
+    spec = P(batch_axis if batch_axis else None, axis_name, None)
+
+    @jax.custom_vjp
+    def zring(q, k, v):
+        o, _ = _zigzag_fwd_residuals(
+            q, k, v, axis_name=axis_name, axis_size=axis_size, scale=scale,
+            block_sizes=block_sizes, interpret=interpret,
+        )
+        return o
+
+    def zring_fwd(q, k, v):
+        o, lse = _zigzag_fwd_residuals(
+            q, k, v, axis_name=axis_name, axis_size=axis_size, scale=scale,
+            block_sizes=block_sizes, interpret=interpret,
+        )
+        return o, (q, k, v, o, lse)
+
+    def zring_bwd(res, do):
+        q, k, v, o, lse = res
+        bh, s_local, d = q.shape
+        c = s_local // 2
+        my_idx = jax.lax.axis_index(axis_name)
+        do = do.astype(q.dtype)
+
+        q_lo, q_hi = q[:, :c], q[:, c:]
+        o_lo, o_hi = o[:, :c], o[:, c:]
+        do_lo, do_hi = do[:, :c], do[:, c:]
+        lse_lo, lse_hi = lse[:, :c], lse[:, c:]
+
+        def bwd(qq, kk, vv, oo, ll, dd, causal_flag, q_offset=0):
+            dq_p, dk_p, dv_p = flash_attention_bwd(
+                qq, kk, vv, oo, ll, dd, causal=causal_flag, scale=scale,
+                q_offset=q_offset, block_sizes=block_sizes, interpret=interpret,
+            )
+            return (
+                dq_p.astype(jnp.float32),
+                dk_p.astype(jnp.float32),
+                dv_p.astype(jnp.float32),
+            )
+
+        def case_diag(kb, vb):
+            # q_lo vs own lo half (causal) + q_hi vs the whole pair (causal,
+            # offset c) — exactly the forward's diagonal decomposition.
+            dq1, dk1, dv1 = bwd(q_lo, kb[:, :c], vb[:, :c], o_lo, lse_lo,
+                                do_lo, True)
+            dq2, dkp, dvp = bwd(q_hi, kb, vb, o_hi, lse_hi, do_hi, True,
+                                q_offset=c)
+            dq = jnp.concatenate([dq1, dq2], 1)
+            dk = jnp.concatenate([dk1 + dkp[:, :c], dkp[:, c:]], 1)
+            dv = jnp.concatenate([dv1 + dvp[:, :c], dvp[:, c:]], 1)
+            return dq, dk, dv
+
+        def case_past(kb, vb):
+            # Both q halves attend kb's lo half fully; hi half untouched.
+            dq, dkl, dvl = bwd(q, kb[:, :c], vb[:, :c], o, lse, do, False)
+            zeros = jnp.zeros((bh, c, d), jnp.float32)
+            return (
+                dq,
+                jnp.concatenate([dkl, zeros], 1),
+                jnp.concatenate([dvl, zeros], 1),
+            )
+
+        def case_future_lo(kb, vb):
+            # Only q_hi attends (both halves of) the future pair.
+            dq2, dkp, dvp = bwd(q_hi, kb, vb, o_hi, lse_hi, do_hi, False)
+            dq = jnp.concatenate([jnp.zeros((bh, c, d), jnp.float32), dq2], 1)
+            return dq, dkp, dvp
+
+        dq = jnp.zeros((bh, s_local, d), jnp.float32)
+        kb, vb = k, v
+        dk_acc = jnp.zeros((bh, s_local, d), jnp.float32)
+        dv_acc = jnp.zeros((bh, s_local, d), jnp.float32)
+        perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+        for step in range(axis_size):
+            src = jax.lax.rem(my_idx - step + axis_size, axis_size)
+            case = jnp.where(src == my_idx, 0, jnp.where(src < my_idx, 1, 2))
+            dq_p, dk_p, dv_p = jax.lax.switch(
+                case, [case_diag, case_past, case_future_lo], kb, vb
+            )
+            dq += dq_p
+            dk_acc += dk_p
+            dv_acc += dv_p
+            kb = jax.lax.ppermute(kb, axis_name, perm)
+            vb = jax.lax.ppermute(vb, axis_name, perm)
+            dk_acc = jax.lax.ppermute(dk_acc, axis_name, perm)
+            dv_acc = jax.lax.ppermute(dv_acc, axis_name, perm)
+        return dq.astype(q.dtype), dk_acc.astype(k.dtype), dv_acc.astype(v.dtype)
+
+    zring.defvjp(zring_fwd, zring_bwd)
+
+    fn = jax.shard_map(
+        lambda q, k, v: zring(q, k, v),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,

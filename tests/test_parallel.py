@@ -398,3 +398,36 @@ def test_ring_attention_vjp_matches_dense_grads(causal):
     got = jax.grad(loss_ring, argnums=(0, 1, 2))(qs, ks_, vs)
     for name, a, b in zip("dq dk dv".split(), got, want):
         validate_result(a, b, 5e-3, name=name)
+
+
+def test_zigzag_ring_vjp_matches_dense_grads():
+    """Differentiable zigzag ring: grads == dense-oracle causal autodiff."""
+    from flashattention_tpu.parallel import (
+        make_zigzag_ring_attention_vjp,
+        zigzag_shard,
+        zigzag_unshard,
+    )
+
+    n = 4
+    mesh = Mesh(np.array(jax.devices()[:n]), ("sp",))
+    bh, s, d = 2, 8 * 128, 32
+    ks = jax.random.split(jax.random.key(41), 4)
+    q, k, v = (make_random(kk, (bh, s, d)) for kk in ks[:3])
+    t = make_random(ks[3], (bh, s, d))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, causal=True) * t)
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    qz, kz, vz, tz = (zigzag_shard(x, n) for x in (q, k, v, t))
+    spec = NamedSharding(mesh, P(None, "sp", None))
+    qz, kz, vz = (jax.device_put(x, spec) for x in (qz, kz, vz))
+    zring = make_zigzag_ring_attention_vjp(mesh, axis_name="sp")
+
+    def loss_z(q, k, v):
+        return jnp.sum(zring(q, k, v) * tz)
+
+    got = jax.grad(loss_z, argnums=(0, 1, 2))(qz, kz, vz)
+    for name, a, b in zip("dq dk dv".split(), got, want):
+        validate_result(zigzag_unshard(a, n), b, 5e-3, name=name)
