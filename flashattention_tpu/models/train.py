@@ -192,3 +192,105 @@ def make_train_step(
         check_vma=False,
     )
     return jax.jit(step)
+
+
+def make_train_step_sp(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    *,
+    dp: str = "dp",
+    sp: str = "sp",
+    lr: float = 1e-3,
+):
+    """Sequence-parallel training step: sequences shard over the ``sp`` axis
+    and attention runs through the *differentiable ring* (parallel/ring.py),
+    so contexts longer than one chip's memory train end-to-end.
+
+    tokens: (B, S) int32, B over dp, S over sp (S a multiple of
+    sp_size * 128); params replicated. Gradients: each sp shard owns disjoint
+    loss terms, so grads psum over sp and pmean over dp — no collective
+    appears inside the differentiated region except the ring itself (whose
+    VJP is hand-defined), keeping the reductions exact.
+    """
+    from flashattention_tpu.parallel.ring import ring_attention_vjp_local
+
+    sp_size = mesh.shape[sp]
+    g = cfg.group_size
+    ring = ring_attention_vjp_local(
+        axis_name=sp, axis_size=sp_size, causal=True, scale=cfg.head_dim**-0.5
+    )
+    specs = param_specs(cfg, tp="__none__")  # no tp axis: replicate weights
+    specs = jax.tree.map(lambda s: P(), specs, is_leaf=lambda x: isinstance(x, P))
+
+    def forward_local(params, tokens):
+        b, s_local = tokens.shape
+        sp_idx = jax.lax.axis_index(sp)
+        positions = s_local * sp_idx + jnp.broadcast_to(
+            jnp.arange(s_local), (b, s_local)
+        )
+        x = params["embed"][tokens]
+        for layer in params["layers"]:
+            h = _rmsnorm(x, layer["attn_norm"])
+            q = (h @ layer["wq"]).reshape(b, s_local, cfg.num_q_heads, cfg.head_dim)
+            k = (h @ layer["wk"]).reshape(b, s_local, cfg.num_kv_heads, cfg.head_dim)
+            v = (h @ layer["wv"]).reshape(b, s_local, cfg.num_kv_heads, cfg.head_dim)
+            q = _rope(q, positions, cfg.rope_theta)
+            k = _rope(k, positions, cfg.rope_theta)
+            if g > 1:  # ring attention operates on folded equal heads
+                k = jnp.repeat(k, g, axis=2)
+                v = jnp.repeat(v, g, axis=2)
+            fold = lambda t: t.transpose(0, 2, 1, 3).reshape(
+                b * cfg.num_q_heads, s_local, cfg.head_dim
+            )
+            o = ring(fold(q), fold(k), fold(v))
+            o = (
+                o.reshape(b, cfg.num_q_heads, s_local, cfg.head_dim)
+                .transpose(0, 2, 1, 3)
+                .reshape(b, s_local, -1)
+            )
+            x = x + o @ layer["wo"]
+            x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer)
+        x = _rmsnorm(x, params["final_norm"])
+        return x @ params["lm_head"]
+
+    def local_step(params, tokens, targets, valid):
+        def loss_fn(params):
+            logits = forward_local(params, tokens)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+            # Sum of this shard's valid terms over the GLOBAL count: grads
+            # are then partial sums, made total by the psum below.
+            return jnp.sum(nll * valid) / jax.lax.psum(
+                jnp.sum(valid), (dp, sp)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss = jax.lax.psum(loss, (dp, sp))
+        grads = jax.tree.map(lambda g_: jax.lax.psum(g_, (dp, sp)), grads)
+        new_params = jax.tree.map(
+            lambda p, g_: p - lr * g_.astype(p.dtype), params, grads
+        )
+        return loss, new_params
+
+    def step(params, tokens):
+        # Next-token targets and validity computed on the global view, then
+        # sharded alongside the tokens.
+        targets = jnp.concatenate(
+            [tokens[:, 1:], jnp.zeros_like(tokens[:, :1])], axis=1
+        )
+        valid = jnp.concatenate(
+            [
+                jnp.ones(tokens[:, 1:].shape, jnp.float32),
+                jnp.zeros_like(tokens[:, :1], dtype=jnp.float32),
+            ],
+            axis=1,
+        )
+        return jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(specs, P(dp, sp), P(dp, sp), P(dp, sp)),
+            out_specs=(P(), specs),
+            check_vma=False,
+        )(params, tokens, targets, valid)
+
+    return jax.jit(step)

@@ -29,6 +29,7 @@ __all__ = [
     "ring_attention_local",
     "make_ring_attention",
     "make_ring_attention_vjp",
+    "ring_attention_vjp_local",
     "make_zigzag_ring_attention",
     "make_zigzag_ring_attention_vjp",
     "merge_partials",
@@ -411,23 +412,18 @@ def _ring_fwd_residuals(q, k, v, *, axis_name, axis_size, causal, scale,
     return o.astype(q.dtype), lse
 
 
-def make_ring_attention_vjp(
-    mesh: Mesh,
+def ring_attention_vjp_local(
     *,
-    axis_name: str = "sp",
+    axis_name: str,
+    axis_size: int,
     causal: bool = False,
     scale: float = 1.0,
-    batch_axis: str | None = None,
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
 ):
-    """Differentiable ring attention over ``mesh`` (same layout as
-    :func:`make_ring_attention`): enables long-context training where the KV
-    sequence never fits one chip."""
+    """Build the per-shard differentiable ring-attention fn (for use inside
+    an existing shard_map, e.g. an SP training step)."""
     from flashattention_tpu.ops.backward import flash_attention_bwd
-
-    axis_size = mesh.shape[axis_name]
-    spec = P(batch_axis if batch_axis else None, axis_name, None)
 
     @jax.custom_vjp
     def ring(q, k, v):
@@ -493,7 +489,28 @@ def make_ring_attention_vjp(
         return dq.astype(q.dtype), dk_acc.astype(k.dtype), dv_acc.astype(v.dtype)
 
     ring.defvjp(ring_fwd, ring_bwd)
+    return ring
 
+
+def make_ring_attention_vjp(
+    mesh: Mesh,
+    *,
+    axis_name: str = "sp",
+    causal: bool = False,
+    scale: float = 1.0,
+    batch_axis: str | None = None,
+    block_sizes: BlockSizes | None = None,
+    interpret: bool | None = None,
+):
+    """Differentiable ring attention over ``mesh`` (same layout as
+    :func:`make_ring_attention`): enables long-context training where the KV
+    sequence never fits one chip."""
+    axis_size = mesh.shape[axis_name]
+    spec = P(batch_axis if batch_axis else None, axis_name, None)
+    ring = ring_attention_vjp_local(
+        axis_name=axis_name, axis_size=axis_size, causal=causal, scale=scale,
+        block_sizes=block_sizes, interpret=interpret,
+    )
     fn = jax.shard_map(
         lambda q, k, v: ring(q, k, v),
         mesh=mesh,

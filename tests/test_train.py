@@ -105,3 +105,39 @@ def test_tp_must_divide_kv_heads():
     cfg, _ = make_model(4)  # kv_heads=4, tp=8
     with pytest.raises(ValueError):
         make_train_step(mesh, cfg)
+
+
+def test_sp_train_step_matches_single_device():
+    """Sequence-parallel training (differentiable ring) == single-device step."""
+    from flashattention_tpu.models.train import make_train_step_sp
+
+    cfg = transformer.ModelConfig(
+        vocab_size=64,
+        num_layers=2,
+        d_model=32,
+        num_q_heads=2,
+        num_kv_heads=1,
+        head_dim=16,
+        intermediate=32,
+        dtype="float32",
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (2, 4 * 128), 0, cfg.vocab_size)
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("dp", "sp"))
+    step1 = make_train_step_sp(mesh1, cfg)
+    t1 = jax.device_put(tokens, NamedSharding(mesh1, P("dp", "sp")))
+    loss1, new1 = step1(params, t1)
+
+    mesh4 = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    step4 = make_train_step_sp(mesh4, cfg)
+    t4 = jax.device_put(
+        jnp.concatenate([tokens, tokens]),  # dp=2 needs 4 rows; duplicate
+        NamedSharding(mesh4, P("dp", "sp")),
+    )
+    # Duplicated batch halves double every count; the mean loss and grads are
+    # identical to the single-device run on the original batch.
+    loss4, new4 = step4(params, t4)
+    np.testing.assert_allclose(float(loss1), float(loss4), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(new1), jax.tree.leaves(new4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
