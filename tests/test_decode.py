@@ -93,20 +93,18 @@ def test_paged_attention_quantized():
     b, kvh, g, d, ps, pps = 2, 2, 4, 32, 16, 4
     q, kp, vp, pi = make_paged(5, b, kvh, g, d, ps, pps, 16)
     lengths = jnp.array([25, 60], jnp.int32)
-    # Quantize the page pools per token (flatten pages to rows).
-    total = kp.shape[0]
-    kq = quantize(kp.reshape(total * kvh, ps, d).transpose(1, 0, 2), "int8")
-    vq = quantize(vp.reshape(total * kvh, ps, d).transpose(1, 0, 2), "int8")
-    kpay = kq.payload.transpose(1, 0, 2).reshape(kp.shape)
-    vpay = vq.payload.transpose(1, 0, 2).reshape(vp.shape)
+    # Per-token quantization of the page pools (quantize reduces over the
+    # last axis, so the 4D head-major layout quantizes directly).
+    kq = quantize(kp, "int8")
+    vq = quantize(vp, "int8")
     o = paged_attention(
         q,
-        kpay,
-        vpay,
+        kq.payload,
+        vq.payload,
         lengths,
         pi,
-        k_scales_pages=kq.scales.T.reshape(total, kvh, ps),
-        v_scales_pages=vq.scales.T.reshape(total, kvh, ps),
+        k_scales_pages=kq.scales,
+        v_scales_pages=vq.scales,
         pages_per_compute_block=2,
     )
     want = paged_attention_reference(q, kp, vp, lengths, pi)

@@ -181,6 +181,10 @@ def test_attention_save_residuals_shape():
         causal=True,
     )
     validate_result(m, want_m.reshape(b, h, s), TOL_FP32, name="m")
+    # l is the ring-attention merge state: padded KV columns must not leak in.
+    validate_result(
+        l / want_l.reshape(b, h, s), jnp.ones_like(l), 1e-4, name="l-ratio"
+    )
 
 
 # ── grouped-query attention (GQA row folding) ───────────────────────────────

@@ -69,12 +69,24 @@ def test_attention_quantized_vs_fp_attention(dtype):
 
 
 def test_quantized_residuals():
+    """(l, m) from the quantized kernel == running the plain kernel on the
+    dequantized KV (same effective inputs) — ring attention and the backward
+    pass consume these, so values matter, not just shapes."""
+    from flashattention_tpu.ops.flash import flash_attention
+    from flashattention_tpu.ops.quant import dequantize
+
     q, k, v = qkv((1, 128, 32), seed=3)
     kq, vq = quantize_kv(k, v, "int8")
     o, l, m = attention_quantized(
         q, kq, vq, block_sizes=BLOCKS, save_residuals=True
     )
     assert l.shape == (1, 128) and m.shape == (1, 128)
+    _, want_l, want_m = flash_attention(
+        q, dequantize(kq), dequantize(vq), block_sizes=BLOCKS,
+        save_residuals=True, precision="bf16",
+    )
+    validate_result(m, want_m, 1e-2, name="m")
+    validate_result(l / want_l, jnp.ones_like(l), 1e-2, name="l-ratio")
 
 
 def test_bad_dtype_raises():

@@ -156,9 +156,9 @@ def reference_generate(params, cfg, prompt, n_new):
 
 @pytest.fixture(scope="module")
 def tiny_model():
-    cfg = transformer.ModelConfig.tiny().__class__(
-        **{**transformer.ModelConfig.tiny().__dict__, "dtype": "float32"}
-    )
+    import dataclasses
+
+    cfg = dataclasses.replace(transformer.ModelConfig.tiny(), dtype="float32")
     params = transformer.init_params(jax.random.key(0), cfg)
     return params, cfg
 
@@ -198,14 +198,15 @@ def test_engine_continuous_batching(tiny_model):
         eng.add_request([1, 2, 3], 5): [1, 2, 3],
         eng.add_request([7, 7, 7, 7, 7, 7], 3): [7, 7, 7, 7, 7, 7],
     }
+    budgets = {rid: n for rid, n in zip(prompts, (5, 3))}
     eng.step()  # first two admitted and prefilled
     late = eng.add_request([9, 8], 4)
     prompts[late] = [9, 8]
+    budgets[late] = 4
     outs = eng.run()
     for rid, prompt in prompts.items():
-        want = reference_generate(
-            params, cfg, prompt, len(outs[rid])
-        )
+        assert len(outs[rid]) == budgets[rid], (rid, outs[rid])
+        want = reference_generate(params, cfg, prompt, budgets[rid])
         assert outs[rid] == want, (rid, outs[rid], want)
     # All pages returned after everything finished.
     assert eng.cache.num_free_pages() == 64
@@ -226,6 +227,9 @@ def test_engine_admission_waits_for_pages(tiny_model):
     r2 = eng.add_request([5, 5, 5, 5, 5, 5, 5, 5], 4)
     outs = eng.run(max_steps=100)
     assert len(outs[r1]) == 4 and len(outs[r2]) == 4
+    # Recompute-preemption must preserve token-exactness, not just lengths.
+    assert outs[r1] == reference_generate(params, cfg, [1, 2, 3, 4, 5, 6, 7, 8], 4)
+    assert outs[r2] == reference_generate(params, cfg, [5] * 8, 4)
 
 
 def test_engine_checkpoint_resume():
@@ -332,23 +336,13 @@ def test_scheduler_worst_case_reservations_survive_admit_calls():
     assert s.admit(free_pages=99) == [2]
 
 
-def test_scheduler_worst_case_python_fallback_matches():
+def test_scheduler_worst_case_python_fallback_matches(monkeypatch):
     """The pure-Python scheduler fallback enforces the same reservations."""
     from flashattention_tpu.runtime import native
 
-    class PyScheduler(native.Scheduler):
-        def __init__(self, *a, **kw):
-            # Force the fallback path regardless of the native library.
-            import collections
-            self.max_batch = a[0]
-            self.page_size = a[1]
-            self.reserve_worst_case = kw.get("reserve_worst_case", False)
-            self._lib = None
-            self._h = None
-            self._waiting = collections.deque()
-            self._running = {}
-
-    s = PyScheduler(4, 1, reserve_worst_case=True)
+    monkeypatch.setattr(native, "_load", lambda: None)
+    s = native.Scheduler(4, 1, reserve_worst_case=True)
+    assert not s.native
     s.add_request(1, 1, 99)
     assert s.admit(free_pages=100) == [1]
     s.add_request(2, 99, 0)
