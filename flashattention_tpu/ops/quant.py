@@ -145,7 +145,6 @@ def attention_quantized(
             causal,
         )
     bq, bkv = block_sizes.block_q, block_sizes.block_kv
-    s_q_pad = -(-s_q // bq) * bq if q_seq_len is None else s_q
     s_kv_pad = -(-s_kv // bkv) * bkv
 
     def pad_seq(x, target):
@@ -154,7 +153,30 @@ def attention_quantized(
         pads = [(0, 0), (0, target - x.shape[1])] + [(0, 0)] * (x.ndim - 2)
         return jnp.pad(x, pads)
 
-    qp = pad_seq(q, s_q_pad)
+    groups = None  # set when folded-GQA segments needed padding
+    if q_seq_len is None:
+        s_q_pad = -(-s_q // bq) * bq
+        qp = pad_seq(q, s_q_pad)
+    else:
+        # GQA row folding: q stacks G = s_q // q_seq_len group segments along
+        # rows.  Pad each *segment* to a block_q multiple (padded rows sit at
+        # segment tails with positions >= the real ones; their outputs are
+        # sliced away below), so non-block-multiple folded lengths work too.
+        if s_q % q_seq_len:
+            raise ValueError(
+                f"q_seq_len ({q_seq_len}) must divide s_q ({s_q})"
+            )
+        seg_pad = -(-q_seq_len // bq) * bq
+        if seg_pad == q_seq_len:
+            qp = q
+        else:
+            groups = s_q // q_seq_len
+            qp = jnp.pad(
+                q.reshape(bh, groups, q_seq_len, d),
+                [(0, 0), (0, 0), (0, seg_pad - q_seq_len), (0, 0)],
+            ).reshape(bh, groups * seg_pad, d)
+        s_q_pad = qp.shape[1]
+        q_seq_len = seg_pad
     kp = pad_seq(k.payload, s_kv_pad)
     vp = pad_seq(v.payload, s_kv_pad)
     ksc = pad_seq(k.scales, s_kv_pad)
@@ -180,7 +202,16 @@ def attention_quantized(
     )
     if s_q_pad == s_q:
         return out
+
+    def unpad(x):
+        if groups is None:
+            return x[:, :s_q]
+        # Per-segment slice: (bh, G*seg_pad, ...) -> (bh, G*q_seq_len, ...).
+        seg_pad = s_q_pad // groups
+        xs = x.reshape((bh, groups, seg_pad) + x.shape[2:])
+        return xs[:, :, : s_q // groups].reshape((bh, s_q) + x.shape[2:])
+
     if save_residuals:
         o, l, m = out
-        return o[:, :s_q], l[:, :s_q], m[:, :s_q]
-    return out[:, :s_q]
+        return unpad(o), unpad(l), unpad(m)
+    return unpad(out)

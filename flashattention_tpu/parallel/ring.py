@@ -527,6 +527,11 @@ def _zigzag_fwd_residuals(q, k, v, *, axis_name, axis_size, scale,
     from flashattention_tpu.ops.flash import flash_attention
 
     bh, s_local, d = q.shape
+    if s_local % 2:
+        # Same actionable message as zigzag_ring_attention_local — without it
+        # an odd length mis-splits the halves and dies later with an opaque
+        # kernel block-divisibility error.
+        raise ValueError(f"zigzag shards need even local length, got {s_local}")
     c = s_local // 2
     my_idx = jax.lax.axis_index(axis_name)
 

@@ -19,6 +19,7 @@ across requests.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +41,19 @@ class EngineConfig:
     #   (0 disables; must be a multiple of the cache page_size)
     greedy: bool = True  # False: temperature sampling (see Engine.sample_key)
     temperature: float = 1.0
+    top_k: int | None = None  # keep only the k highest-probability tokens
+    top_p: float | None = None  # nucleus sampling: smallest set with mass >= p
     eos_token: int | None = None
+
+    def __post_init__(self):
+        if not self.greedy and not self.temperature > 0.0:
+            raise ValueError(
+                f"temperature must be > 0 for sampling (got {self.temperature})"
+            )
+        if self.top_k is not None and self.top_k < 1:
+            raise ValueError(f"top_k must be >= 1 (got {self.top_k})")
+        if self.top_p is not None and not 0.0 < self.top_p <= 1.0:
+            raise ValueError(f"top_p must be in (0, 1] (got {self.top_p})")
 
 
 @dataclasses.dataclass
@@ -58,6 +71,31 @@ class Request:
 
 def _bucket(n: int) -> int:
     return kv_bucket(n, lo=8)
+
+
+@functools.partial(jax.jit, static_argnames=("temperature", "top_k", "top_p"))
+def _sample_logits(key, logits, *, temperature, top_k, top_p):
+    """Temperature + top-k + top-p (nucleus) sampling over the last axis.
+
+    Filters compose in the standard order (top-k first, then nucleus over the
+    survivors); filtered logits are set to -inf so ``categorical`` renormalizes
+    over the kept set.  All-jnp, batch-shaped (..., V).
+    """
+    logits = logits / temperature
+    if top_k is not None and top_k < logits.shape[-1]:
+        kth = jnp.sort(logits, axis=-1)[..., -top_k, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p is not None and top_p < 1.0:
+        desc = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(desc, axis=-1)
+        # Keep a sorted token iff the mass strictly before it is < top_p; the
+        # top-1 token is always kept (its exclusive prefix mass is 0).
+        keep = (jnp.cumsum(probs, axis=-1) - probs) < top_p
+        cutoff = jnp.min(
+            jnp.where(keep, desc, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1)
 
 
 class Engine:
@@ -163,6 +201,10 @@ class Engine:
         """
         return {
             "next_id": self._next_id,
+            # Raw PRNG key bits: restoring makes non-greedy resume sample the
+            # same continuation a never-checkpointed engine would have.
+            "sample_key": np.asarray(jax.random.key_data(self.sample_key))
+            .tolist(),
             "requests": [
                 {
                     "req_id": r.req_id,
@@ -183,6 +225,10 @@ class Engine:
         requests re-queue with their full generated context re-prefilled)."""
         eng = cls(params, model_cfg, cache_cfg, engine_cfg or EngineConfig(), **kw)
         eng._next_id = state["next_id"]
+        if "sample_key" in state:
+            eng.sample_key = jax.random.wrap_key_data(
+                jnp.asarray(state["sample_key"], dtype=jnp.uint32)
+            )
         for r in state["requests"]:
             req = Request(
                 r["req_id"], list(r["prompt"]), r["max_new_tokens"],
@@ -415,8 +461,12 @@ class Engine:
         if self.cfg.greedy:
             return jnp.argmax(logits, axis=-1)
         self.sample_key, sub = jax.random.split(self.sample_key)
-        return jax.random.categorical(
-            sub, logits.astype(jnp.float32) / self.cfg.temperature, axis=-1
+        return _sample_logits(
+            sub,
+            logits.astype(jnp.float32),
+            temperature=self.cfg.temperature,
+            top_k=self.cfg.top_k,
+            top_p=self.cfg.top_p,
         )
 
     def _emit(self, req: Request, token: int) -> None:

@@ -103,6 +103,17 @@ def devtime_ms(
         per_iter = max(window / (n_used - n_lo), 1e-7)
         need = int(min_window_ms * 1.5e-3 / per_iter)
         n_hi = min(4097, max(2 * n_used, n_lo + need))
+    if window <= 0:
+        # Tunnel jitter swamped even the escalated window (min(t_hi) came out
+        # below min(t_lo)); one clean retry, then refuse to report a negative
+        # or zero latency — garbage in benchmark JSON is worse than an error.
+        window = measure(n_used)
+        if window <= 0:
+            raise RuntimeError(
+                f"devtime_ms: non-positive timing window ({window * 1e3:.3f} ms "
+                f"at n={n_used}); host-side jitter dominates — increase n_hi "
+                "or min_window_ms"
+            )
     return window / (n_used - n_lo) * 1e3
 
 

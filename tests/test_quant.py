@@ -110,3 +110,26 @@ def test_attention_quantized_unaligned_lengths():
     want = attention_reference(q, k, v, causal=True)
     assert o.shape == q.shape
     assert max_abs_err(o.astype(jnp.float32), want) <= 5e-2
+
+
+def test_attention_quantized_gqa_fold_unaligned_segment():
+    """Folded-GQA (q_seq_len) inputs whose segments are NOT block multiples
+    pad per-segment (ADVICE r1: previously raised a divisibility error)."""
+    bh, seg, groups, d = 2, 200, 2, 32  # 200 is not a block_q multiple
+    ks = jax.random.split(jax.random.key(7), 3)
+    q = make_random(ks[0], (bh, seg * groups, d))
+    k = make_random(ks[1], (bh, seg, d))
+    v = make_random(ks[2], (bh, seg, d))
+    kq, vq = quantize_kv(k, v, "int8")
+    o, l, m = attention_quantized(
+        q, kq, vq, causal=True, q_seq_len=seg, save_residuals=True
+    )
+    assert o.shape == q.shape and l.shape == m.shape == (bh, seg * groups)
+    kd, vd = dequantize(kq), dequantize(vq)
+    for g in range(groups):
+        want = attention_reference(
+            q[:, g * seg : (g + 1) * seg], kd, vd, causal=True
+        )
+        validate_result(
+            o[:, g * seg : (g + 1) * seg], want, 2e-2, name=f"group{g}"
+        )

@@ -430,3 +430,71 @@ def test_engine_misconfigured_chunk_rejected_at_init():
     )
     with pytest.raises(ValueError):
         Engine(params, cfg, ccfg, EngineConfig(prefill_chunk=20))
+
+
+# ── sampling (temperature / top-k / top-p) ──────────────────────────────────
+
+
+def test_engine_config_validates_sampling():
+    with pytest.raises(ValueError):
+        EngineConfig(greedy=False, temperature=0.0)
+    with pytest.raises(ValueError):
+        EngineConfig(greedy=False, temperature=-1.0)
+    with pytest.raises(ValueError):
+        EngineConfig(top_k=0)
+    with pytest.raises(ValueError):
+        EngineConfig(top_p=0.0)
+    with pytest.raises(ValueError):
+        EngineConfig(top_p=1.5)
+    EngineConfig(greedy=True, temperature=0.0)  # unused when greedy: allowed
+
+
+def test_sample_logits_top_k_top_p_support():
+    """Filtered sampling only ever draws from the kept candidate set."""
+    from flashattention_tpu.runtime.engine import _sample_logits
+
+    logits = jnp.asarray([[3.0, 2.9, 0.0, -1.0, 2.8, -2.0]])
+    keys = jax.random.split(jax.random.key(0), 64)
+    topk = {
+        int(_sample_logits(k, logits, temperature=1.0, top_k=3, top_p=None)[0])
+        for k in keys
+    }
+    assert topk <= {0, 1, 4} and len(topk) > 1  # the 3 largest, actually mixed
+    # top_p small enough that only the argmax survives -> deterministic.
+    nucleus = {
+        int(_sample_logits(k, logits, temperature=1.0, top_k=None, top_p=0.05)[0])
+        for k in keys
+    }
+    assert nucleus == {0}
+    # top-1 always kept even when its own prob > top_p.
+    assert int(
+        _sample_logits(keys[0], logits, temperature=1.0, top_k=1, top_p=0.99)[0]
+    ) == 0
+
+
+def test_engine_sampling_resume_deterministic(tiny_model):
+    """Non-greedy: the PRNG key survives state_dict/from_state, so restoring
+    the same snapshot twice yields identical continuations (ADVICE r1)."""
+    params, cfg = tiny_model
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        page_size=8,
+        num_pages=64,
+        dtype="float32",
+    )
+    ecfg = EngineConfig(
+        max_batch=2, pages_per_seq=8, greedy=False, temperature=0.8, top_k=16
+    )
+    eng = Engine(params, cfg, ccfg, ecfg)
+    eng.add_request([3, 1, 4, 1], max_new_tokens=8)
+    for _ in range(3):
+        eng.step()
+    state = eng.state_dict()
+    outs = [
+        Engine.from_state(state, params, cfg, ccfg, ecfg).run()
+        for _ in range(2)
+    ]
+    assert outs[0] == outs[1]
+    assert all(len(o) == 8 for o in outs[0].values())
