@@ -39,6 +39,19 @@ TPU-specific optimizations (tuned on v5e, see scripts/tune_flash.py):
                   ``src/llm.c/attention_forward.cu:1262``) — the default;
   ``"float32"``   XLA HIGHEST (6 passes), bit-level fp32 dot, err ~1.6e-6.
   bf16 inputs always run the MXU natively (1 pass).
+- **Lane-packed fp32 emulation** (head_dim <= 64, unquantized): the v5e MXU
+  pass cost is *independent of the contraction width* up to 128 lanes
+  (measured: K=32/64/128 contractions all take the same time per output
+  tile — scripts/probe_mxu.py), so a d<=64 contraction leaves half or more
+  of the input lanes idle.  The "bf16_3x" mode therefore auto-upgrades to a
+  packed schedule that places the (hi, lo) bf16 split of each fp32 operand
+  in those idle lanes: QK^T runs ``[qh|ql].[kh|kl] + [qh|ql].[kl|kh]``
+  (2 full-width passes, ALL FOUR partial products; one single pass at
+  d <= 32 via the 4-group layout ``[qh ql qh ql].[kh kl kl kh]``), and PV
+  runs ``ph@[vh|vl] + pl@[vh|vl]`` with a lane fold.  Result: ~1.5x (d=64) /
+  ~3x (d=32) fewer MXU passes than bf16_3x AND slightly better accuracy
+  (no dropped lo*lo term).  The packed operands stream from HBM as bf16
+  pairs — the same byte count as the fp32 inputs they replace.
 
 Numerics: QK^T and PV accumulate in float32 (``preferred_element_type``) with
 float32 (m, l, acc) state, matching the reference's fp32-throughout behavior
@@ -95,6 +108,12 @@ def _split_bf16(x):
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
+
+
+def _pack2(x):
+    """fp32 (..., d) -> bf16 (..., 2d) = [hi | lo] along lanes (same bytes)."""
+    hi, lo = _split_bf16(x)
+    return jnp.concatenate([hi, lo], axis=-1)
 
 
 def _dot_g(a, b, dims, mode, a_split=None, b_split=None):
@@ -233,6 +252,7 @@ def _kernel(
     head_dim: int,
     precision: str,
     q_seq_blocks: int | None,
+    packed: bool = False,
 ):
     """Grid = (batch*heads, num_q_blocks, num_kv_blocks); kv dim is sequential.
 
@@ -289,18 +309,41 @@ def _kernel(
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0]  # (block_q, d)
+        q = q_ref[0]  # (block_q, d); packed: (block_q, 2d) bf16 [qh|ql]
         # Q's (hi, lo) split is KV-loop-invariant: hoist it (bf16_3x only).
         q_split = (
             _split_bf16(q)
             if precision == "bf16_3x" and q.dtype == jnp.float32
             else None
         )
+        if packed and head_dim <= NUM_LANES // 4:
+            # 4-group layout: [qh|ql|qh|ql] vs [kh|kl|kl|kh] yields all four
+            # hi/lo partial products in ONE full-width contraction.
+            q = jnp.concatenate([q, q], axis=1)
         dims_nt = (((1,), (1,)), ((), ()))  # contract last dims (q . k^T)
         dims_nn = (((1,), (0,)), ((), ()))  # plain matmul (p @ v)
         for start in range(0, block_kv, block_kv_compute):
             k = k_ref[0, start : start + block_kv_compute, :]
-            if quantized:
+            if packed:
+                # k = [kh|kl] bf16 (bkv_c, 2d); the swapped copy pairs each
+                # operand half against the other's opposite half.
+                k_swap = jnp.concatenate(
+                    [k[:, head_dim:], k[:, :head_dim]], axis=1
+                )
+                if head_dim <= NUM_LANES // 4:
+                    s = jax.lax.dot_general(
+                        q,
+                        jnp.concatenate([k, k_swap], axis=1),
+                        dims_nt,
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    s = jax.lax.dot_general(
+                        q, k, dims_nt, preferred_element_type=jnp.float32
+                    ) + jax.lax.dot_general(
+                        q, k_swap, dims_nt, preferred_element_type=jnp.float32
+                    )
+            elif quantized:
                 # MXU can't contract f32 x int8 directly; run the payload as
                 # bf16 (exact for int8 values in [-127,127] and fp8) and fold
                 # the per-token scale into the score *columns* afterwards:
@@ -347,7 +390,22 @@ def _kernel(
             m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
 
             v = v_ref[0, start : start + block_kv_compute, :]
-            if quantized:
+            l_add = None
+            if packed:
+                # v = [vh|vl] (bkv_c, 2d) bf16 (+ a ones lane when it fits):
+                # p's own (hi, lo) split against it gives all four partial
+                # products in two full-width passes; fold the lane halves.
+                p_hi = p.astype(jnp.bfloat16)
+                p_lo = (p - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                pv2 = jax.lax.dot_general(
+                    p_hi, v, dims_nn, preferred_element_type=jnp.float32
+                ) + jax.lax.dot_general(
+                    p_lo, v, dims_nn, preferred_element_type=jnp.float32
+                )
+                pv = pv2[:, :head_dim] + pv2[:, head_dim : 2 * head_dim]
+                if v.shape[-1] > 2 * head_dim:  # MXU-computed row sum lane
+                    l_add = pv2[:, 2 * head_dim : 2 * head_dim + 1]
+            elif quantized:
                 # Fold the V dequant scale into p (o_d = sum_j p_j*s_j*v_jd):
                 # one VPU row-scale instead of dequantizing the whole V tile.
                 v = v.astype(jnp.bfloat16)
@@ -359,7 +417,9 @@ def _kernel(
             else:
                 pv = _dot_g(p, v, dims_nn, precision)
             if l_scratch is not None:
-                l_next = alpha * l_scratch[:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
+                if l_add is None:
+                    l_add = jnp.sum(p, axis=1, keepdims=True)
+                l_next = alpha * l_scratch[:, 0:1] + l_add
                 l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
             # Unnormalized accumulator; rescale old contribution by alpha and
             # divide by l once in the epilogue (~ src/flashattention.cu:346-354).
@@ -488,12 +548,35 @@ def flash_attention(
 
     q_seq_blocks = resolve_q_seq_blocks(s_q, bq, q_seq_len)
 
+    # Lane-packed fp32 emulation (see module docstring): for fp32 inputs at
+    # d <= 64 the bf16_3x ladder upgrades to streaming [hi|lo] bf16 pairs
+    # (same HBM bytes as fp32) contracted at full MXU width — fewer passes
+    # AND better accuracy, so the upgrade is unconditional when eligible.
+    packed = (
+        precision == "bf16_3x"
+        and not quantized
+        and 2 * d <= NUM_LANES
+        and q.dtype == k.dtype == v.dtype == jnp.float32
+    )
+
     # MXU-computed l: extend V with a ones-column in an otherwise-idle output
     # lane (see module docstring).  Disabled for quantized KV (the folded
     # v_scales would pollute the ones-column sum) and for d >= 128 (no idle
     # lanes — the extension would cost a second output tile).
-    lsum_mxu = (not quantized) and d < NUM_LANES
-    if lsum_mxu:
+    lsum_mxu = (not quantized) and (not packed) and d < NUM_LANES
+    q_in, k_in = q, k
+    qk_width = d
+    if packed:
+        q_in, k_in, v_in = _pack2(q), _pack2(k), _pack2(v)
+        qk_width = 2 * d
+        if 2 * d < NUM_LANES:
+            # Spare lane: MXU-computed row sum (ph + pl against ones).
+            v_in = jnp.concatenate(
+                [v_in, jnp.ones((bh, s_kv, 1), jnp.bfloat16)], axis=-1
+            )
+        v_width = v_in.shape[-1]
+        acc_width = d
+    elif lsum_mxu:
         pad = jnp.zeros((bh, s_kv, NUM_LANES - d), v.dtype)
         pad = pad.at[:, :, 0].set(jnp.ones((), v.dtype))
         v_in = jnp.concatenate([v, pad], axis=-1)
@@ -518,6 +601,7 @@ def flash_attention(
         head_dim=d,
         precision=precision,
         q_seq_blocks=q_seq_blocks,
+        packed=packed,
     )
 
     out_shape = [jax.ShapeDtypeStruct((bh, s_q, d), q.dtype)]  # o
@@ -554,13 +638,15 @@ def flash_attention(
             return j
 
     in_specs = [
-        pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),  # q: kv-invariant
-        pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, kv_block_index(i, j), 0)),
+        pl.BlockSpec((1, bq, qk_width), lambda b, i, j: (b, i, 0)),  # q: kv-inv
+        pl.BlockSpec(
+            (1, bkv, qk_width), lambda b, i, j: (b, kv_block_index(i, j), 0)
+        ),
         pl.BlockSpec(
             (1, bkv, v_width), lambda b, i, j: (b, kv_block_index(i, j), 0)
         ),  # v (ext)
     ]
-    inputs = [q, k, v_in]
+    inputs = [q_in, k_in, v_in]
     if quantized:
         # (BH, 1, S) layout: TPU block sublane dim must divide 8 or equal the
         # array dim, so a middle singleton axis carries the "row" of scales.
@@ -580,10 +666,10 @@ def flash_attention(
     if causal:
         flops //= 2
     bytes_accessed = (
-        q.size * q.dtype.itemsize
-        + k.size * k.dtype.itemsize
+        q_in.size * q_in.dtype.itemsize
+        + k_in.size * k_in.dtype.itemsize
         + v_in.size * v_in.dtype.itemsize
-        + q.size * q.dtype.itemsize
+        + q.size * q.dtype.itemsize  # o
     )
 
     outs = pl.pallas_call(

@@ -231,3 +231,48 @@ def test_gqa_matches_oracle_exact():
         implementation="xla",
     )
     validate_result(o, want, 1e-5)
+
+
+# ── lane-packed fp32 emulation (round-2: VERDICT #1/#2) ─────────────────────
+
+
+@pytest.mark.parametrize("d", [32, 48, 64])
+@pytest.mark.parametrize("causal", [False, True])
+def test_packed_fp32_more_accurate_than_bf16(d, causal):
+    """The packed [hi|lo] schedule (auto for fp32, d<=64) must stay within
+    the kernel-lab tolerance AND beat bf16-rounded inputs by >=10x (i.e. it
+    genuinely recovers fp32 operand precision, like bf16_3x did)."""
+    q, k, v = qkv((2, 256, d), seed=11)
+    scale = d**-0.5
+    want = attention_reference(q, k, v, causal=causal, scale=scale)
+    bs = BlockSizes(128, 128, 128)
+    o = flash_attention(q, k, v, causal=causal, scale=scale, block_sizes=bs)
+    o1 = flash_attention(
+        q.astype(jnp.bfloat16),
+        k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16),
+        causal=causal,
+        scale=scale,
+        block_sizes=bs,
+    )
+    err = float(jnp.max(jnp.abs(o - want)))
+    err1 = float(jnp.max(jnp.abs(o1.astype(jnp.float32) - want)))
+    assert err <= TOL_FP32, err
+    assert err * 10 <= err1, (err, err1)
+
+
+def test_packed_fp32_residuals_and_gqa():
+    """Packed path: (l, m) residuals and GQA row folding stay correct."""
+    d, seg, groups = 64, 128, 2
+    q, _, _ = qkv((2, seg * groups, d), seed=12)
+    _, k, v = qkv((2, seg, d), seed=13)
+    bs = BlockSizes(128, 128, 128)
+    o, l, m = flash_attention(
+        q, k, v, causal=True, q_seq_len=seg, save_residuals=True, block_sizes=bs
+    )
+    for g in range(groups):
+        sl = slice(g * seg, (g + 1) * seg)
+        want, lw, mw = attention_reference_with_stats(q[:, sl], k, v, causal=True)
+        validate_result(o[:, sl], want, TOL_FP32, name=f"o{g}")
+        validate_result(l[:, sl] / lw, jnp.ones_like(lw), 1e-4, name=f"l{g}")
+        validate_result(m[:, sl], mw, 1e-4, name=f"m{g}")
