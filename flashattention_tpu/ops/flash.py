@@ -196,9 +196,11 @@ class BlockSizes:
         Caps tuned empirically on TPU v5e (scripts/tune_flash.py).  Large
         blocks amortize per-grid-step overhead; block_q=1024 needs the raised
         scoped-VMEM limit the kernels request (vmem_limit_bytes) for the
-        multi-pass precisions.  Causal caps block_kv at 1024: the diagonal
-        block's wasted above-the-diagonal compute scales with block_kv
-        (S=8192 bf16 causal: 2.9 -> 2.2 ms vs the non-causal 2048 cap).
+        multi-pass precisions.  Causal keeps the full block_kv but shrinks
+        block_kv_compute to 512: the kernel's sub-tile diagonal skip then
+        prunes above-the-diagonal compute at 512-column granularity instead
+        of paying for half the block (round 2; previously causal capped
+        block_kv at 1024 and ate the waste).
         """
         del head_dim, precision
 
@@ -213,9 +215,10 @@ class BlockSizes:
             return b
 
         block_q = largest_dividing(s_q, max_block_q)
-        max_bkv = min(max_block_kv, 1024 if causal else 2048)
-        block_kv = largest_dividing(s_kv, max_bkv)
+        block_kv = largest_dividing(s_kv, max_block_kv)
         block_kv_compute = block_kv
+        if causal and block_kv > 512 and block_kv % 512 == 0:
+            block_kv_compute = 512
         return cls(block_q, block_kv, block_kv_compute)
 
 
@@ -236,6 +239,7 @@ def resolve_q_seq_blocks(s_q: int, block_q: int, q_seq_len: int | None) -> int |
 
 
 def _kernel(
+    qoff_ref,
     q_ref,
     k_ref,
     v_ref,
@@ -243,8 +247,7 @@ def _kernel(
     causal: bool,
     scale: float,
     block_kv_compute: int,
-    kv_len: int,
-    q_offset: int,
+    has_kv_len: bool,
     num_kv_blocks: int,
     save_residuals: bool,
     quantized: bool,
@@ -282,6 +285,12 @@ def _kernel(
     else:
         m_scratch, l_scratch, acc_scratch = rest
 
+    # q_offset and kv_len are prefetched scalars (traced), so ONE compiled
+    # program serves any offset/length — ring/CP shards and chunked prefill
+    # reuse it instead of compiling per-offset/per-chunk specializations
+    # (round 2; VERDICT #6).
+    q_offset = qoff_ref[0]
+    kv_len = qoff_ref[1] if has_kv_len else None
     q_idx = pl.program_id(1)
     if q_seq_blocks is not None:
         # GQA row folding: Q carries G query-head groups stacked along rows,
@@ -306,6 +315,11 @@ def _kernel(
         should_run = (q_offset + (q_idx + 1) * block_q - 1) >= (kv_idx * block_kv)
     else:
         should_run = True
+    if has_kv_len:
+        # Blocks entirely past the (traced) KV length contribute nothing:
+        # skip their compute too (their DMA is already clamped away).
+        len_run = kv_idx * block_kv < kv_len
+        should_run = len_run if should_run is True else (should_run & len_run)
 
     @pl.when(should_run)
     def _run():
@@ -322,7 +336,7 @@ def _kernel(
             q = jnp.concatenate([q, q], axis=1)
         dims_nt = (((1,), (1,)), ((), ()))  # contract last dims (q . k^T)
         dims_nn = (((1,), (0,)), ((), ()))  # plain matmul (p @ v)
-        for start in range(0, block_kv, block_kv_compute):
+        def _sub_tile(start):
             k = k_ref[0, start : start + block_kv_compute, :]
             if packed:
                 # k = [kh|kl] bf16 (bkv_c, 2d); the swapped copy pairs each
@@ -375,7 +389,7 @@ def _kernel(
                 )
                 col_ids = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                 mask = col_ids <= row_ids
-            if kv_len is not None:
+            if has_kv_len:
                 col_ids = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                 len_mask = col_ids < kv_len
                 mask = len_mask if mask is None else (mask & len_mask)
@@ -427,6 +441,26 @@ def _kernel(
             # recurrence.
             acc_scratch[...] = acc_scratch[...] * alpha + pv
 
+        for start in range(0, block_kv, block_kv_compute):
+            if (causal or has_kv_len) and block_kv_compute < block_kv:
+                # Sub-tile diagonal skip: predicate each block_kv_compute
+                # column stripe on intersecting the causal triangle (and the
+                # traced KV length), so a large block_kv (good: fewer grid
+                # steps, bigger DMAs) no longer pays block_kv/2 columns of
+                # wasted diagonal compute — the fine-grained analog of the
+                # reference's whole-block skip (src/flashattention.cu:434).
+                run_sub = True
+                if causal:
+                    run_sub = (q_offset + (q_idx + 1) * block_q - 1) >= (
+                        kv_idx * block_kv + start
+                    )
+                if has_kv_len:
+                    len_sub = kv_idx * block_kv + start < kv_len
+                    run_sub = len_sub if run_sub is True else (run_sub & len_sub)
+                pl.when(run_sub)(functools.partial(_sub_tile, start))
+            else:
+                _sub_tile(start)
+
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _epilogue():
         if lsum_mxu:
@@ -446,8 +480,6 @@ def _kernel(
         "causal",
         "scale",
         "block_sizes",
-        "kv_len",
-        "q_offset",
         "save_residuals",
         "precision",
         "q_seq_len",
@@ -464,8 +496,8 @@ def flash_attention(
     causal: bool = False,
     scale: float = 1.0,
     block_sizes: BlockSizes | None = None,
-    kv_len: int | None = None,
-    q_offset: int = 0,
+    kv_len: int | jax.Array | None = None,
+    q_offset: int | jax.Array = 0,
     save_residuals: bool = False,
     precision: str | None = None,
     q_seq_len: int | None = None,
@@ -485,9 +517,16 @@ def flash_attention(
         into the score/p tiles (the quantized-KV-cache path of BASELINE.json;
         KV HBM traffic drops 2-4x vs bf16/fp32).
       causal: causal masking with query i at absolute position ``q_offset + i``.
+        ``q_offset`` may be a traced int32 scalar: it enters the kernel via
+        scalar prefetch, so one compiled program serves every offset (ring /
+        context-parallel shards, chunked prefill).
       scale: score scale; 1.0 is reference-parity (``src/flashattention.cu:586``),
         pass ``d**-0.5`` for standard SDPA.
-      kv_len: mask KV columns >= kv_len (ragged-tail support).
+      kv_len: mask KV columns >= kv_len (ragged-tail support).  May be a
+        traced int32 scalar (scalar-prefetched like q_offset): blocks past it
+        are skipped (compute AND DMA), so a fixed-capacity KV buffer costs
+        only its *live* prefix — chunked prefill runs one program per shape
+        bucket instead of one per chunk index.
       save_residuals: also return (l, m) in float32, each (BH, S_q).
       precision: matmul precision mode for fp32 inputs — "bf16" (1 MXU pass),
         "bf16_3x" (default; 3-pass split, ~1e-5 error), "float32" (exact).
@@ -592,8 +631,7 @@ def flash_attention(
         causal=causal,
         scale=scale,
         block_kv_compute=block_sizes.block_kv_compute,
-        kv_len=kv_len,
-        q_offset=q_offset,
+        has_kv_len=kv_len is not None,
         num_kv_blocks=num_kv_blocks,
         save_residuals=save_residuals,
         quantized=quantized,
@@ -605,7 +643,7 @@ def flash_attention(
     )
 
     out_shape = [jax.ShapeDtypeStruct((bh, s_q, d), q.dtype)]  # o
-    out_specs = [pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0))]
+    out_specs = [pl.BlockSpec((1, bq, d), lambda b, i, j, qoff: (b, i, 0))]
     if save_residuals:
         # l/m replicated over 128 lanes: a lane-aligned layout the epilogue can
         # store without a cross-lane transpose; sliced to (BH, S_q) below.
@@ -614,36 +652,42 @@ def flash_attention(
             jax.ShapeDtypeStruct((bh, s_q, NUM_LANES), jnp.float32),  # m
         ]
         out_specs += [
-            pl.BlockSpec((1, bq, NUM_LANES), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bq, NUM_LANES), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, NUM_LANES), lambda b, i, j, qoff: (b, i, 0)),
+            pl.BlockSpec((1, bq, NUM_LANES), lambda b, i, j, qoff: (b, i, 0)),
         ]
-    if causal:
-        # Above-diagonal KV blocks are skipped by ``pl.when`` in the kernel,
-        # but the BlockSpec pipeline would still DMA them from HBM.  Clamping
-        # the KV block index to the last needed block repeats the previous
-        # index for skipped steps, and Pallas elides the DMA for an unchanged
-        # block — the memory-system analog of the reference's whole-block
-        # skip (``src/flashattention.cu:434``).
-        def kv_block_index(i, j):
-            if q_seq_blocks is not None:
-                i = jax.lax.rem(i, q_seq_blocks)
-            last = jnp.minimum(
-                num_kv_blocks - 1, (q_offset + (i + 1) * bq - 1) // bkv
-            )
+    if causal or kv_len is not None:
+        # KV blocks skipped by ``pl.when`` in the kernel (above the diagonal,
+        # or past the traced kv_len) would still be DMA'd by the BlockSpec
+        # pipeline.  Clamping the KV block index to the last needed block
+        # repeats the previous index for skipped steps, and Pallas elides the
+        # DMA for an unchanged block — the memory-system analog of the
+        # reference's whole-block skip (``src/flashattention.cu:434``).  The
+        # prefetched scalars participate in the clamp, so the elision works
+        # at traced offsets/lengths.
+        def kv_block_index(i, j, qoff):
+            last = num_kv_blocks - 1
+            if causal:
+                if q_seq_blocks is not None:
+                    i = jax.lax.rem(i, q_seq_blocks)
+                last = jnp.minimum(last, (qoff[0] + (i + 1) * bq - 1) // bkv)
+            if kv_len is not None:
+                last = jnp.minimum(last, jnp.maximum((qoff[1] - 1) // bkv, 0))
             return jnp.minimum(j, last)
 
     else:
 
-        def kv_block_index(i, j):
+        def kv_block_index(i, j, qoff):
             return j
 
     in_specs = [
-        pl.BlockSpec((1, bq, qk_width), lambda b, i, j: (b, i, 0)),  # q: kv-inv
+        pl.BlockSpec((1, bq, qk_width), lambda b, i, j, qoff: (b, i, 0)),  # q
         pl.BlockSpec(
-            (1, bkv, qk_width), lambda b, i, j: (b, kv_block_index(i, j), 0)
+            (1, bkv, qk_width),
+            lambda b, i, j, qoff: (b, kv_block_index(i, j, qoff), 0),
         ),
         pl.BlockSpec(
-            (1, bkv, v_width), lambda b, i, j: (b, kv_block_index(i, j), 0)
+            (1, bkv, v_width),
+            lambda b, i, j, qoff: (b, kv_block_index(i, j, qoff), 0),
         ),  # v (ext)
     ]
     inputs = [q_in, k_in, v_in]
@@ -651,8 +695,14 @@ def flash_attention(
         # (BH, 1, S) layout: TPU block sublane dim must divide 8 or equal the
         # array dim, so a middle singleton axis carries the "row" of scales.
         in_specs += [
-            pl.BlockSpec((1, 1, bkv), lambda b, i, j: (b, 0, kv_block_index(i, j))),
-            pl.BlockSpec((1, 1, bkv), lambda b, i, j: (b, 0, kv_block_index(i, j))),
+            pl.BlockSpec(
+                (1, 1, bkv),
+                lambda b, i, j, qoff: (b, 0, kv_block_index(i, j, qoff)),
+            ),
+            pl.BlockSpec(
+                (1, 1, bkv),
+                lambda b, i, j, qoff: (b, 0, kv_block_index(i, j, qoff)),
+            ),
         ]
         inputs += [k_scales[:, None, :], v_scales[:, None, :]]
 
@@ -674,11 +724,14 @@ def flash_attention(
 
     outs = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # q_offset (traced; see docstring)
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        ),
         out_shape=out_shape,
-        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             # v5e has 128 MB VMEM; the default 16 MB scoped limit rejects
@@ -691,7 +744,15 @@ def flash_attention(
             transcendentals=bh * s_q * s_kv,
         ),
         interpret=interpret,
-    )(*inputs)
+    )(
+        jnp.stack(
+            [
+                jnp.asarray(q_offset, jnp.int32),
+                jnp.asarray(s_kv if kv_len is None else kv_len, jnp.int32),
+            ]
+        ),
+        *inputs,
+    )
 
     if save_residuals:
         o, l, m = outs

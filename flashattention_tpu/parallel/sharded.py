@@ -11,8 +11,6 @@ attention (:mod:`flashattention_tpu.parallel.ring`).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -78,7 +76,6 @@ def make_allgather_cp_attention(
     Simpler than ring attention, costs O(S * d) ICI bytes up front with no
     compute overlap; the right choice for short-to-moderate S.
     """
-    axis_size = mesh.shape[axis_name]
     spec = P(None, axis_name, None)
 
     def local(q, k, v):
@@ -86,24 +83,16 @@ def make_allgather_cp_attention(
         vf = jax.lax.all_gather(v, axis_name, axis=1, tiled=True)
         s_local = q.shape[1]
         if causal:
-            # Queries of shard i live at global offset i * s_local.
+            # Queries of shard i live at global offset i * s_local.  The
+            # kernel takes q_offset as a scalar-prefetched traced value, so
+            # ONE compiled program serves every shard at any axis size
+            # (round 2; previously a lax.switch compiled O(N) variants).
             idx = jax.lax.axis_index(axis_name)
-            # q_offset must be static for the kernel: branch over shards.
-            # NB: this compiles one kernel specialization per shard (O(N)
-            # compile cost) — acceptable for the moderate axis sizes this
-            # all-gather flavor targets; prefer ring/zigzag for large N.
-            branches = [
-                functools.partial(
-                    flash_attention,
-                    causal=True,
-                    scale=scale,
-                    q_offset=i * s_local,
-                    block_sizes=block_sizes,
-                    interpret=interpret,
-                )
-                for i in range(axis_size)
-            ]
-            return jax.lax.switch(idx, branches, q, kf, vf)
+            return flash_attention(
+                q, kf, vf, causal=True, scale=scale,
+                q_offset=idx * s_local,
+                block_sizes=block_sizes, interpret=interpret,
+            )
         return flash_attention(
             q, kf, vf, causal=False, scale=scale,
             block_sizes=block_sizes, interpret=interpret,

@@ -11,9 +11,10 @@ behavior (no static batch barriers).
 
 JIT stability: the decode batch is padded to ``max_batch`` and prompts pad to
 power-of-two buckets, so steady-state decode compiles a handful of programs.
-Chunked prefill compiles one program per chunk index (its context length is a
-static shape), bounded by pages_per_seq * page_size / prefill_chunk and cached
-across requests.
+Chunked prefill passes a fixed-capacity (power-of-two-bucketed) page table
+with the live context length as a traced scalar-prefetch value, so it
+compiles one program per capacity bucket — O(log max_len), independent of
+the number of chunks (round 2; previously one program per chunk index).
 """
 
 from __future__ import annotations
@@ -363,18 +364,25 @@ class Engine:
                 pages.append(pg)
                 slots.append(sl)
             ctx_pages = (start + chunk) // c.page_size
+            # Fixed-capacity table: pad to a power-of-two page count so the
+            # jitted program is shared across chunk indices (pad entries are
+            # read-only garbage masked out by ctx_len inside the kernel).
+            cap = kv_bucket(ctx_pages)
+            table = np.zeros((cap,), np.int32)
+            table[:ctx_pages] = self.cache.pages(rid)[:ctx_pages]
             logits, kp, vp, ks, vs = transformer.prefill_chunk(
                 self.params,
                 jnp.asarray(toks[start : start + chunk]),
                 self.cache.k_pages,
                 self.cache.v_pages,
                 jnp.arange(start, start + chunk, dtype=jnp.int32),
-                jnp.asarray(self.cache.pages(rid)[:ctx_pages], jnp.int32),
+                jnp.asarray(table),
                 jnp.asarray(pages, jnp.int32),
                 jnp.asarray(slots, jnp.int32),
                 cfg=self.model_cfg,
                 k_scales=self.cache.k_scales if quant else None,
                 v_scales=self.cache.v_scales if quant else None,
+                ctx_len=jnp.int32(start + chunk),
                 interpret=self._interpret,
             )
             self.cache.set_pools(kp, vp, ks, vs)
