@@ -201,6 +201,7 @@ def make_train_step_sp(
     dp: str = "dp",
     sp: str = "sp",
     lr: float = 1e-3,
+    zigzag: bool = False,
 ):
     """Sequence-parallel training step: sequences shard over the ``sp`` axis
     and attention runs through the *differentiable ring* (parallel/ring.py),
@@ -211,41 +212,78 @@ def make_train_step_sp(
     loss terms, so grads psum over sp and pmean over dp — no collective
     appears inside the differentiated region except the ring itself (whose
     VJP is hand-defined), keeping the reductions exact.
+
+    GQA (round 2; VERDICT #4): grouped-query models fold the G query groups
+    of each KV head into the ring's row dimension (ops.flash q_seq_len
+    folding) — *unrepeated* KV shards rotate the ring, so KV HBM and ICI
+    traffic stay 1/G of the repeated-KV layout.
+
+    ``zigzag=True`` (round 2) uses the load-balanced zigzag ring in BOTH
+    passes: the step internally permutes the sequence into the zigzag chunk
+    order (device i holds half-chunks i and 2N-1-i), so under causal masking
+    every device does constant work instead of the last shard doing N times
+    the first's.  Tokens require S % (2 * sp_size * 128) == 0.
     """
-    from flashattention_tpu.parallel.ring import ring_attention_vjp_local
+    from flashattention_tpu.parallel.ring import (
+        ring_attention_vjp_local,
+        zigzag_ring_attention_vjp_local,
+        zigzag_shard,
+    )
 
     sp_size = mesh.shape[sp]
     g = cfg.group_size
-    ring = ring_attention_vjp_local(
-        axis_name=sp, axis_size=sp_size, causal=True, scale=cfg.head_dim**-0.5
-    )
     specs = param_specs(cfg, tp="__none__")  # no tp axis: replicate weights
     specs = jax.tree.map(lambda s: P(), specs, is_leaf=lambda x: isinstance(x, P))
 
     def forward_local(params, tokens):
         b, s_local = tokens.shape
         sp_idx = jax.lax.axis_index(sp)
-        positions = s_local * sp_idx + jnp.broadcast_to(
-            jnp.arange(s_local), (b, s_local)
-        )
+        if zigzag:
+            # Local rows = [global half-chunk sp_idx ; half-chunk 2N-1-sp_idx].
+            c = s_local // 2
+            positions = jnp.concatenate(
+                [
+                    c * sp_idx + jnp.arange(c),
+                    c * (2 * sp_size - 1 - sp_idx) + jnp.arange(c),
+                ]
+            )
+            positions = jnp.broadcast_to(positions, (b, s_local))
+            ring = zigzag_ring_attention_vjp_local(
+                axis_name=sp, axis_size=sp_size, scale=cfg.head_dim**-0.5,
+                q_seq_len=s_local if g > 1 else None,
+            )
+        else:
+            positions = s_local * sp_idx + jnp.broadcast_to(
+                jnp.arange(s_local), (b, s_local)
+            )
+            ring = ring_attention_vjp_local(
+                axis_name=sp, axis_size=sp_size, causal=True,
+                scale=cfg.head_dim**-0.5,
+                q_seq_len=s_local if g > 1 else None,
+            )
+        kvh = cfg.num_kv_heads
         x = params["embed"][tokens]
         for layer in params["layers"]:
             h = _rmsnorm(x, layer["attn_norm"])
             q = (h @ layer["wq"]).reshape(b, s_local, cfg.num_q_heads, cfg.head_dim)
-            k = (h @ layer["wk"]).reshape(b, s_local, cfg.num_kv_heads, cfg.head_dim)
-            v = (h @ layer["wv"]).reshape(b, s_local, cfg.num_kv_heads, cfg.head_dim)
+            k = (h @ layer["wk"]).reshape(b, s_local, kvh, cfg.head_dim)
+            v = (h @ layer["wv"]).reshape(b, s_local, kvh, cfg.head_dim)
             q = _rope(q, positions, cfg.rope_theta)
             k = _rope(k, positions, cfg.rope_theta)
-            if g > 1:  # ring attention operates on folded equal heads
-                k = jnp.repeat(k, g, axis=2)
-                v = jnp.repeat(v, g, axis=2)
-            fold = lambda t: t.transpose(0, 2, 1, 3).reshape(
-                b * cfg.num_q_heads, s_local, cfg.head_dim
+            # Native GQA on the ring: fold the G query groups of each KV head
+            # into rows (head order h = kvh*G + g is g-major per KV head, the
+            # fold's layout); KV rotates UNREPEATED (B*KVH, s_local, d).
+            qf = (
+                q.reshape(b, s_local, kvh, g, cfg.head_dim)
+                .transpose(0, 2, 3, 1, 4)
+                .reshape(b * kvh, g * s_local, cfg.head_dim)
             )
-            o = ring(fold(q), fold(k), fold(v))
+            kf = k.transpose(0, 2, 1, 3).reshape(b * kvh, s_local, cfg.head_dim)
+            vf = v.transpose(0, 2, 1, 3).reshape(b * kvh, s_local, cfg.head_dim)
+            o = ring(qf, kf, vf)
             o = (
-                o.reshape(b, cfg.num_q_heads, s_local, cfg.head_dim)
-                .transpose(0, 2, 1, 3)
+                o.reshape(b, kvh, g, s_local, cfg.head_dim)
+                .transpose(0, 3, 1, 2, 4)
                 .reshape(b, s_local, -1)
             )
             x = x + o @ layer["wo"]
@@ -274,7 +312,9 @@ def make_train_step_sp(
 
     def step(params, tokens):
         # Next-token targets and validity computed on the global view, then
-        # sharded alongside the tokens.
+        # sharded alongside the tokens (zigzag: all three get the same global
+        # permutation first, so each local row's target stays its own next
+        # token and the loss is layout-invariant).
         targets = jnp.concatenate(
             [tokens[:, 1:], jnp.zeros_like(tokens[:, :1])], axis=1
         )
@@ -285,6 +325,10 @@ def make_train_step_sp(
             ],
             axis=1,
         )
+        if zigzag:
+            tokens, targets, valid = (
+                zigzag_shard(t, sp_size, axis=1) for t in (tokens, targets, valid)
+            )
         return jax.shard_map(
             local_step,
             mesh=mesh,

