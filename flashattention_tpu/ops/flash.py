@@ -196,11 +196,11 @@ class BlockSizes:
         Caps tuned empirically on TPU v5e (scripts/tune_flash.py).  Large
         blocks amortize per-grid-step overhead; block_q=1024 needs the raised
         scoped-VMEM limit the kernels request (vmem_limit_bytes) for the
-        multi-pass precisions.  Causal keeps the full block_kv but shrinks
-        block_kv_compute to 512: the kernel's sub-tile diagonal skip then
-        prunes above-the-diagonal compute at 512-column granularity instead
-        of paying for half the block (round 2; previously causal capped
-        block_kv at 1024 and ate the waste).
+        multi-pass precisions.  Causal caps block_kv at 1024: with the
+        triangular pair grid the diagonal block's wasted compute scales with
+        block_kv, and finer sub-tile (block_kv_compute) predication costs
+        more than it saves (measured v5e S=8192 bf16: 2.24 ms @ 1024/1024
+        or 2048/1024-substripes, 3.2 ms @ x/512).
         """
         del head_dim, precision
 
@@ -215,10 +215,9 @@ class BlockSizes:
             return b
 
         block_q = largest_dividing(s_q, max_block_q)
-        block_kv = largest_dividing(s_kv, max_block_kv)
+        max_bkv = min(max_block_kv, 1024 if causal else 2048)
+        block_kv = largest_dividing(s_kv, max_bkv)
         block_kv_compute = block_kv
-        if causal and block_kv > 512 and block_kv % 512 == 0:
-            block_kv_compute = 512
         return cls(block_q, block_kv, block_kv_compute)
 
 
@@ -240,9 +239,6 @@ def resolve_q_seq_blocks(s_q: int, block_q: int, q_seq_len: int | None) -> int |
 
 def _kernel(
     qoff_ref,
-    q_ref,
-    k_ref,
-    v_ref,
     *rest,
     causal: bool,
     scale: float,
@@ -256,6 +252,7 @@ def _kernel(
     precision: str,
     q_seq_blocks: int | None,
     packed: bool = False,
+    tri: bool = False,
 ):
     """Grid = (batch*heads, num_q_blocks, num_kv_blocks); kv dim is sequential.
 
@@ -271,6 +268,9 @@ def _kernel(
     acc[:, head_dim] IS l, updated by the same alpha-rescale recurrence.
     """
     rest = list(rest)
+    if tri:
+        qi_ref, kj_ref = rest.pop(0), rest.pop(0)
+    q_ref, k_ref, v_ref = rest.pop(0), rest.pop(0), rest.pop(0)
     if quantized:
         # Per-token dequant scales for the int8/fp8 KV payloads; folded into
         # the score/p tiles below, so the MXU matmuls run on the raw payloads.
@@ -291,15 +291,25 @@ def _kernel(
     # (round 2; VERDICT #6).
     q_offset = qoff_ref[0]
     kv_len = qoff_ref[1] if has_kv_len else None
-    q_idx = pl.program_id(1)
-    if q_seq_blocks is not None:
-        # GQA row folding: Q carries G query-head groups stacked along rows,
-        # each a q_seq_blocks-block segment; causal position depends on the
-        # block index *within* the segment.
-        q_idx = jax.lax.rem(q_idx, q_seq_blocks)
-    kv_idx = pl.program_id(2)
     block_q = q_ref.shape[1]
     block_kv = k_ref.shape[1]
+    if tri:
+        # Triangular causal grid (round 2): the 1D pair dimension enumerates
+        # ONLY the (q block, kv block) pairs at/below the diagonal via the
+        # prefetched tables, so above-diagonal steps never enter the pipeline
+        # at all (the rectangular grid paid a per-step cost even for skipped
+        # steps — ~0.5 ms of the S=8192 bf16 causal headline).
+        pair = pl.program_id(1)
+        q_idx = qi_ref[pair]
+        kv_idx = kj_ref[pair]
+    else:
+        q_idx = pl.program_id(1)
+        if q_seq_blocks is not None:
+            # GQA row folding: Q carries G query-head groups stacked along
+            # rows, each a q_seq_blocks-block segment; causal position depends
+            # on the block index *within* the segment.
+            q_idx = jax.lax.rem(q_idx, q_seq_blocks)
+        kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
     def _init():
@@ -308,7 +318,7 @@ def _kernel(
         if l_scratch is not None:
             l_scratch[...] = jnp.zeros_like(l_scratch)
 
-    if causal:
+    if causal and not tri:
         # Run only if some element of this tile is at/below the diagonal:
         # last q row of the tile >= first kv col of the tile.
         # (block-skip ~ src/flashattention.cu:434)
@@ -461,7 +471,14 @@ def _kernel(
             else:
                 _sub_tile(start)
 
-    @pl.when(kv_idx == num_kv_blocks - 1)
+    if tri:
+        last_kv = jnp.minimum(
+            num_kv_blocks - 1, ((q_idx + 1) * block_q - 1) // block_kv
+        )
+    else:
+        last_kv = num_kv_blocks - 1
+
+    @pl.when(kv_idx == last_kv)
     def _epilogue():
         if lsum_mxu:
             l = acc_scratch[:, head_dim : head_dim + 1]
@@ -583,9 +600,33 @@ def flash_attention(
 
     num_q_blocks = s_q // bq
     num_kv_blocks = s_kv // bkv
-    grid = (bh, num_q_blocks, num_kv_blocks)
 
     q_seq_blocks = resolve_q_seq_blocks(s_q, bq, q_seq_len)
+
+    # Triangular causal grid (round 2): for plain self-attention causal runs
+    # (static zero offset, no fold/ragged tail) the grid's pair dimension
+    # enumerates only at/below-diagonal (q, kv) block pairs via prefetched
+    # index tables — above-diagonal steps vanish instead of cycling through
+    # the pipeline as predicated no-ops.
+    tri = (
+        causal
+        and isinstance(q_offset, int)
+        and q_offset == 0
+        and q_seq_blocks is None
+        and kv_len is None
+        and num_q_blocks > 1
+    )
+    if tri:
+        pairs = [
+            (i, j)
+            for i in range(num_q_blocks)
+            for j in range(min(num_kv_blocks, ((i + 1) * bq - 1) // bkv + 1))
+        ]
+        qi_tab = jnp.asarray([ij[0] for ij in pairs], jnp.int32)
+        kj_tab = jnp.asarray([ij[1] for ij in pairs], jnp.int32)
+        grid = (bh, len(pairs))
+    else:
+        grid = (bh, num_q_blocks, num_kv_blocks)
 
     # Lane-packed fp32 emulation (see module docstring): for fp32 inputs at
     # d <= 64 the bf16_3x ladder upgrades to streaming [hi|lo] bf16 pairs
@@ -640,10 +681,45 @@ def flash_attention(
         precision=precision,
         q_seq_blocks=q_seq_blocks,
         packed=packed,
+        tri=tri,
     )
 
     out_shape = [jax.ShapeDtypeStruct((bh, s_q, d), q.dtype)]  # o
-    out_specs = [pl.BlockSpec((1, bq, d), lambda b, i, j, qoff: (b, i, 0))]
+    if tri:
+        q_map = lambda b, p, sc, qi, kj: (b, qi[p], 0)
+        kv_map = lambda b, p, sc, qi, kj: (b, kj[p], 0)
+        kv_scale_map = lambda b, p, sc, qi, kj: (b, 0, kj[p])
+    else:
+        q_map = lambda b, i, j, qoff: (b, i, 0)
+        if causal or kv_len is not None:
+            # KV blocks skipped by ``pl.when`` in the kernel (above the
+            # diagonal, or past the traced kv_len) would still be DMA'd by
+            # the BlockSpec pipeline.  Clamping the KV block index to the
+            # last needed block repeats the previous index for skipped steps,
+            # and Pallas elides the DMA for an unchanged block — the memory-
+            # system analog of the reference's whole-block skip
+            # (``src/flashattention.cu:434``).  The prefetched scalars
+            # participate in the clamp, so the elision works at traced
+            # offsets/lengths.
+            def kv_block_index(i, j, qoff):
+                last = num_kv_blocks - 1
+                if causal:
+                    if q_seq_blocks is not None:
+                        i = jax.lax.rem(i, q_seq_blocks)
+                    last = jnp.minimum(last, (qoff[0] + (i + 1) * bq - 1) // bkv)
+                if kv_len is not None:
+                    last = jnp.minimum(last, jnp.maximum((qoff[1] - 1) // bkv, 0))
+                return jnp.minimum(j, last)
+
+        else:
+
+            def kv_block_index(i, j, qoff):
+                return j
+
+        kv_map = lambda b, i, j, qoff: (b, kv_block_index(i, j, qoff), 0)
+        kv_scale_map = lambda b, i, j, qoff: (b, 0, kv_block_index(i, j, qoff))
+
+    out_specs = [pl.BlockSpec((1, bq, d), q_map)]
     if save_residuals:
         # l/m replicated over 128 lanes: a lane-aligned layout the epilogue can
         # store without a cross-lane transpose; sliced to (BH, S_q) below.
@@ -652,57 +728,22 @@ def flash_attention(
             jax.ShapeDtypeStruct((bh, s_q, NUM_LANES), jnp.float32),  # m
         ]
         out_specs += [
-            pl.BlockSpec((1, bq, NUM_LANES), lambda b, i, j, qoff: (b, i, 0)),
-            pl.BlockSpec((1, bq, NUM_LANES), lambda b, i, j, qoff: (b, i, 0)),
+            pl.BlockSpec((1, bq, NUM_LANES), q_map),
+            pl.BlockSpec((1, bq, NUM_LANES), q_map),
         ]
-    if causal or kv_len is not None:
-        # KV blocks skipped by ``pl.when`` in the kernel (above the diagonal,
-        # or past the traced kv_len) would still be DMA'd by the BlockSpec
-        # pipeline.  Clamping the KV block index to the last needed block
-        # repeats the previous index for skipped steps, and Pallas elides the
-        # DMA for an unchanged block — the memory-system analog of the
-        # reference's whole-block skip (``src/flashattention.cu:434``).  The
-        # prefetched scalars participate in the clamp, so the elision works
-        # at traced offsets/lengths.
-        def kv_block_index(i, j, qoff):
-            last = num_kv_blocks - 1
-            if causal:
-                if q_seq_blocks is not None:
-                    i = jax.lax.rem(i, q_seq_blocks)
-                last = jnp.minimum(last, (qoff[0] + (i + 1) * bq - 1) // bkv)
-            if kv_len is not None:
-                last = jnp.minimum(last, jnp.maximum((qoff[1] - 1) // bkv, 0))
-            return jnp.minimum(j, last)
-
-    else:
-
-        def kv_block_index(i, j, qoff):
-            return j
 
     in_specs = [
-        pl.BlockSpec((1, bq, qk_width), lambda b, i, j, qoff: (b, i, 0)),  # q
-        pl.BlockSpec(
-            (1, bkv, qk_width),
-            lambda b, i, j, qoff: (b, kv_block_index(i, j, qoff), 0),
-        ),
-        pl.BlockSpec(
-            (1, bkv, v_width),
-            lambda b, i, j, qoff: (b, kv_block_index(i, j, qoff), 0),
-        ),  # v (ext)
+        pl.BlockSpec((1, bq, qk_width), q_map),  # q: kv-invariant per row
+        pl.BlockSpec((1, bkv, qk_width), kv_map),
+        pl.BlockSpec((1, bkv, v_width), kv_map),  # v (ext)
     ]
     inputs = [q_in, k_in, v_in]
     if quantized:
         # (BH, 1, S) layout: TPU block sublane dim must divide 8 or equal the
         # array dim, so a middle singleton axis carries the "row" of scales.
         in_specs += [
-            pl.BlockSpec(
-                (1, 1, bkv),
-                lambda b, i, j, qoff: (b, 0, kv_block_index(i, j, qoff)),
-            ),
-            pl.BlockSpec(
-                (1, 1, bkv),
-                lambda b, i, j, qoff: (b, 0, kv_block_index(i, j, qoff)),
-            ),
+            pl.BlockSpec((1, 1, bkv), kv_scale_map),
+            pl.BlockSpec((1, 1, bkv), kv_scale_map),
         ]
         inputs += [k_scales[:, None, :], v_scales[:, None, :]]
 
@@ -722,10 +763,19 @@ def flash_attention(
         + q.size * q.dtype.itemsize  # o
     )
 
+    scalars = jnp.stack(
+        [
+            jnp.asarray(q_offset, jnp.int32),
+            jnp.asarray(s_kv if kv_len is None else kv_len, jnp.int32),
+        ]
+    )
+    prefetch = (scalars, qi_tab, kj_tab) if tri else (scalars,)
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,  # q_offset (traced; see docstring)
+            # q_offset/kv_len scalars (+ the triangular pair tables when tri);
+            # all traced — see docstring.
+            num_scalar_prefetch=len(prefetch),
             grid=grid,
             in_specs=in_specs,
             out_specs=out_specs,
@@ -733,7 +783,9 @@ def flash_attention(
         ),
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary")
+            if tri
+            else ("parallel", "parallel", "arbitrary"),
             # v5e has 128 MB VMEM; the default 16 MB scoped limit rejects
             # valid large-block configs with an opaque compile error.
             vmem_limit_bytes=96 * 1024 * 1024,
@@ -744,15 +796,7 @@ def flash_attention(
             transcendentals=bh * s_q * s_kv,
         ),
         interpret=interpret,
-    )(
-        jnp.stack(
-            [
-                jnp.asarray(q_offset, jnp.int32),
-                jnp.asarray(s_kv if kv_len is None else kv_len, jnp.int32),
-            ]
-        ),
-        *inputs,
-    )
+    )(*prefetch, *inputs)
 
     if save_residuals:
         o, l, m = outs
