@@ -27,7 +27,14 @@ from flashattention_tpu.ops.decode import paged_attention
 from flashattention_tpu.ops.dispatch import attention
 from flashattention_tpu.ops.flash import BlockSizes, flash_attention
 
-__all__ = ["ModelConfig", "init_params", "prefill", "prefill_chunk", "decode_step"]
+__all__ = [
+    "ModelConfig",
+    "init_params",
+    "prefill",
+    "prefill_chunk",
+    "decode_step",
+    "decode_loop",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -313,6 +320,65 @@ def decode_step(
         params, tokens, positions, k_pages, v_pages, lengths, page_indices,
         write_pages, write_slots, cfg, k_scales, v_scales, interpret,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "interpret"),
+    donate_argnums=(3, 4),
+    donate_argnames=("k_scales", "v_scales"),
+)
+def decode_loop(
+    params,
+    tokens: jax.Array,  # (B,) int32 current tokens
+    positions: jax.Array,  # (B,) int32 positions of those tokens
+    k_pages: jax.Array,  # (L, P, KVH, ps, d) head-major, donated
+    v_pages: jax.Array,
+    page_indices: jax.Array,  # (B, pages_per_seq) — fixed tables covering
+    #   positions + n_steps tokens
+    cfg: ModelConfig,
+    n_steps: int = 1,
+    k_scales: jax.Array | None = None,
+    v_scales: jax.Array | None = None,
+    interpret=None,
+):
+    """``n_steps`` greedy decode tokens in ONE jit: a ``fori_loop`` over the
+    full model step (:func:`decode_step`), each iteration feeding its argmax
+    back in and scattering K/V into the (donated) page pools.
+
+    This is both the honest on-chip serving-throughput measurement (host-
+    driven step loops are unmeasurable over remote-TPU tunnels — every step
+    would pay a network round trip) and a serving fast path: fixed page
+    tables + a known token budget (e.g. speculative drafting, fixed-length
+    generation) amortize ALL host work over n_steps tokens.
+
+    Page tables must pre-cover the whole span; write locations derive from
+    the running position (page_indices[b, pos // ps], pos % ps).
+
+    Returns (tokens (B, n_steps) generated, k_pages, v_pages, k_scales,
+    v_scales).
+    """
+    ps = k_pages.shape[3]
+    b = tokens.shape[0]
+    out0 = jnp.zeros((b, max(n_steps, 1)), jnp.int32)
+
+    def body(i, carry):
+        toks, pos, kp, vp, ks, vs, out = carry
+        write_pages = jnp.take_along_axis(
+            page_indices, (pos // ps)[:, None], axis=1
+        )[:, 0]
+        logits, kp, vp, ks, vs = decode_step_impl(
+            params, toks, pos, kp, vp, pos + 1, page_indices,
+            write_pages, pos % ps, cfg, ks, vs, interpret,
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, pos + 1, kp, vp, ks, vs, out.at[:, i].set(nxt))
+
+    _, _, k_pages, v_pages, k_scales, v_scales, out = jax.lax.fori_loop(
+        0, n_steps, body,
+        (tokens, positions, k_pages, v_pages, k_scales, v_scales, out0),
+    )
+    return out, k_pages, v_pages, k_scales, v_scales
 
 
 @functools.partial(

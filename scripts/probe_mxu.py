@@ -49,6 +49,23 @@ def _qk_like(K: int, G: int, post: str):
         elif post == "maxexp":
             m = jnp.max(s, axis=1, keepdims=True)
             s = jnp.exp(s - m)
+        elif post == "maxexp2":
+            # two-stage: per-vreg-column max (cheap elementwise) then one
+            # cross-lane reduce over 128 lanes only
+            m128 = jnp.max(s.reshape(BQ, -1, 128), axis=1)
+            m = jnp.max(m128, axis=1, keepdims=True)
+            s = jnp.exp(s - m)
+        elif post == "sum":
+            s = jnp.exp(s - 5.0)
+            acc_ref[...] += s
+            acc_ref[0:1, 0:1] += jnp.sum(s, axis=1, keepdims=True)[0:1]
+            return
+        elif post == "sum2":
+            s = jnp.exp(s - 5.0)
+            acc_ref[...] += s
+            s128 = jnp.sum(s.reshape(BQ, -1, 128), axis=1)
+            acc_ref[0:1, 0:1] += jnp.sum(s128, axis=1, keepdims=True)[0:1]
+            return
         acc_ref[...] += s
 
     @jax.jit
@@ -132,6 +149,15 @@ def main():
     if which in ("exp", "all"):
         for K in (64, 128):
             for post in ("exp", "maxexp"):
+                ms, tf = _qk_like(K, G=64, post=post)
+                results[f"qk K={K} {post}"] = (ms, tf)
+                print(
+                    f"qk  K={K:<4} G=64 +{post:<7} {ms:8.3f} ms  {tf:7.1f} TF/s",
+                    flush=True,
+                )
+    if which in ("red", "all2"):
+        for K in (64,):
+            for post in ("exp", "maxexp", "maxexp2", "sum", "sum2"):
                 ms, tf = _qk_like(K, G=64, post=post)
                 results[f"qk K={K} {post}"] = (ms, tf)
                 print(

@@ -498,3 +498,41 @@ def test_engine_sampling_resume_deterministic(tiny_model):
     ]
     assert outs[0] == outs[1]
     assert all(len(o) == 8 for o in outs[0].values())
+
+
+def test_decode_loop_matches_reference(tiny_model):
+    """N-step jitted decode loop == greedy reference continuation."""
+    params, cfg = tiny_model
+    ps, n_new = 8, 5
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    b, s = 2, len(prompt)
+    toks = jnp.asarray([prompt, prompt[::-1]], jnp.int32)
+    logits, k_rows, v_rows = transformer.prefill(params, toks, cfg=cfg)
+    pps = 4  # pages per sequence: covers s + n_new
+    num_pages = b * pps + 1
+    kp = jnp.zeros(
+        (cfg.num_layers, num_pages, cfg.num_kv_heads, ps, cfg.head_dim),
+        jnp.float32,
+    )
+    vp = jnp.zeros_like(kp)
+    page_indices = jnp.arange(b * pps, dtype=jnp.int32).reshape(b, pps)
+    for bi in range(b):
+        rows_k = jnp.moveaxis(k_rows[:, bi], 2, 1)  # (L, KVH, S, d)
+        rows_v = jnp.moveaxis(v_rows[:, bi], 2, 1)
+        kp = kp.at[:, bi * pps, :, :s, :].set(rows_k)
+        vp = vp.at[:, bi * pps, :, :s, :].set(rows_v)
+    first = jnp.argmax(logits[:, s - 1], axis=-1).astype(jnp.int32)
+    out, *_ = transformer.decode_loop(
+        params,
+        first,
+        jnp.full((b,), s, jnp.int32),
+        kp,
+        vp,
+        page_indices,
+        cfg=cfg,
+        n_steps=n_new - 1,
+    )
+    for bi, p in enumerate([prompt, prompt[::-1]]):
+        want = reference_generate(params, cfg, p, n_new)
+        assert int(first[bi]) == want[0]
+        assert list(np.asarray(out[bi])) == want[1:], (bi, out[bi], want)
