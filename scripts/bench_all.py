@@ -119,6 +119,8 @@ def decode_suite():
 
 
 def train_suite():
+    from flashattention_tpu.ops.backward import flash_attention_bwd
+
     bh, s, d = 16, 4096, 64
     q, k, v = qkv(bh, s, d, jnp.float32)
 
@@ -133,11 +135,69 @@ def train_suite():
     ms = devtime_ms(fwd_bwd, (qb, kb, vb))
     row("train fwd+bwd causal bf16 S=4096", ms)
 
+    # Backward-only TF/s vs roofline (VERDICT #7): standard flash-bwd flop
+    # accounting = 2.5x the forward (5 block matmuls vs 2).
+    fl = attention_flops(bh, s, s, d, causal=True)
+    for dt, name in ((jnp.bfloat16, "bf16"), (jnp.float32, "fp32")):
+        qx, kx, vx = (x.astype(dt) for x in (q, k, v))
+        do = make_random(jax.random.key(9), qx.shape, dt)
+        o, l, m = flash_attention(qx, kx, vx, causal=True, save_residuals=True)
+        lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        f = lambda qx, kx, vx, o, lse, do: flash_attention_bwd(
+            qx, kx, vx, o, lse, do, causal=True
+        )[0]
+        ms = devtime_ms(f, (qx, kx, vx, o, lse, do), n_hi=5)
+        row(
+            f"bwd-only causal {name} S=4096 (fused one-pass)",
+            ms,
+            flops=int(2.5 * fl),
+            note="flops = 2.5x fwd (5 block matmuls)",
+        )
+
+
+def serving_suite():
+    """End-to-end decode: the FULL model step via the jitted decode loop."""
+    from flashattention_tpu.models import transformer
+
+    cfg = transformer.ModelConfig(
+        vocab_size=32000, num_layers=4, d_model=4096, num_q_heads=32,
+        num_kv_heads=8, head_dim=128, intermediate=11008, dtype="bfloat16",
+    )
+    b, seq, ps, steps = 8, 2048, 256, 32
+    pps = (seq + steps) // ps + 1
+    params = transformer.init_params(jax.random.key(0), cfg)
+    pi = jnp.arange(b * pps, dtype=jnp.int32).reshape(b, pps)
+    tokens = jnp.arange(b, dtype=jnp.int32)
+    positions = jnp.full((b,), seq, jnp.int32)
+    shape = (cfg.num_layers, b * pps + 1, cfg.num_kv_heads, ps, cfg.head_dim)
+    kp = jnp.zeros(shape, jnp.bfloat16)
+    vp = jnp.zeros(shape, jnp.bfloat16)
+
+    def run(tokens, params, kp, vp):
+        out, *_ = transformer.decode_loop(
+            params, tokens, positions, kp, vp, pi, cfg=cfg, n_steps=steps,
+        )
+        return out[:, -1] % cfg.vocab_size
+
+    ms = devtime_ms(run, (tokens, params, kp, vp), n_hi=5, min_window_ms=20.0)
+    r = {
+        "name": "decode_loop e2e bf16 7B-class 4-layer slice B=8 S=2048",
+        "ms": round(ms / steps, 4),
+        "per_layer_ms": round(ms / steps / cfg.num_layers, 4),
+        "decode_tokens_per_s": round(b / (ms / steps) * 1e3),
+        "note": "full model step (embed..lm_head) in a jitted fori_loop; "
+        "see bench_serving.py for int8-KV and other configs",
+    }
+    ROWS.append(r)
+    print(json.dumps(r), flush=True)
+
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    if which not in ("all", "prefill", "decode", "train"):
-        raise SystemExit(f"unknown suite {which!r}; choose all|prefill|decode|train")
+    if which not in ("all", "prefill", "decode", "train", "serving"):
+        raise SystemExit(
+            f"unknown suite {which!r}; choose all|prefill|decode|train|serving"
+        )
     print(f"# device: {jax.devices()[0].device_kind}", flush=True)
     if which in ("all", "prefill"):
         prefill_suite()
@@ -145,6 +205,8 @@ def main():
         decode_suite()
     if which in ("all", "train"):
         train_suite()
+    if which in ("all", "serving"):
+        serving_suite()
     # Partial runs must not clobber the recorded full-suite results.
     out = "benchmarks.json" if which == "all" else f"benchmarks.{which}.json"
     with open(out, "w") as f:

@@ -119,3 +119,36 @@ def test_bwd_default_blocks_non_power_of_two_seq():
     assert o.shape == q.shape
     g = jax.grad(lambda q: jnp.sum(attention_vjp(q, k, v, True, 1.0, None) * t))(q)
     assert g.shape == q.shape
+
+
+def test_fused_bwd_matches_two_pass():
+    """The one-pass fused backward == the two-pass kernels exactly-ish
+    (same matmul precision, different accumulation order), incl. GQA fold
+    and causal q_offset (round 2; VERDICT #7)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flashattention_tpu.ops.flash import flash_attention
+    from flashattention_tpu.ops.backward import flash_attention_bwd
+    from flashattention_tpu.utils.testing import make_random, validate_result
+
+    for (bh, sq, skv, d, seg, off) in [
+        (2, 256, 256, 64, None, 0),
+        (2, 512, 256, 64, 256, 0),  # GQA fold: 2 groups
+        (1, 128, 256, 32, None, 128),  # decode-suffix offset
+    ]:
+        ks = jax.random.split(jax.random.key(bh * sq + d), 4)
+        q = make_random(ks[0], (bh, sq, d))
+        k = make_random(ks[1], (bh, skv, d))
+        v = make_random(ks[2], (bh, skv, d))
+        do = make_random(ks[3], (bh, sq, d))
+        o, l, m = flash_attention(
+            q, k, v, causal=True, q_offset=off, q_seq_len=seg,
+            save_residuals=True,
+        )
+        lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+        kw = dict(causal=True, q_offset=off, q_seq_len=seg)
+        g_fused = flash_attention_bwd(q, k, v, o, lse, do, fused=True, **kw)
+        g_two = flash_attention_bwd(q, k, v, o, lse, do, fused=False, **kw)
+        for name, a, b in zip("dq dk dv".split(), g_fused, g_two):
+            validate_result(a, b, 1e-5, name=f"{name}@{(bh,sq,skv,d,seg,off)}")
