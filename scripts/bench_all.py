@@ -82,17 +82,20 @@ def prefill_suite():
 def decode_suite():
     from flashattention_tpu.ops.quant import quantize
 
-    b, kvh, g, d, s, ps = 8, 8, 4, 128, 2048, 256
-    pps = s // ps
-    total = b * pps + 8
-    ks = jax.random.split(jax.random.key(0), 3)
-    q = make_random(ks[0], (b, kvh, g, d), jnp.float32)
-    kf = make_random(ks[1], (total, kvh, ps, d), jnp.float32)
-    vf = make_random(ks[2], (total, kvh, ps, d), jnp.float32)
-    lengths = jnp.full((b,), s, jnp.int32)
-    pi = jnp.asarray(np.arange(b * pps, dtype=np.int32).reshape(b, pps))
-
-    for name in ("bfloat16", "int8"):
+    b, kvh, g, d, s = 8, 8, 4, 128, 2048
+    # Page sizes per dtype (round 2): int8 pages carry half the bytes, so the
+    # bandwidth-optimal page is larger — matching/raising the DMA size keeps
+    # the memory system saturated (measured: int8 0.060 ms @ ps=256 ->
+    # 0.048 ms @ ps=1024, 87% of HBM peak).
+    for name, ps in (("bfloat16", 256), ("int8", 512), ("int8", 1024)):
+        pps = s // ps
+        total = b * pps + 8
+        ks = jax.random.split(jax.random.key(0), 3)
+        q = make_random(ks[0], (b, kvh, g, d), jnp.float32)
+        kf = make_random(ks[1], (total, kvh, ps, d), jnp.float32)
+        vf = make_random(ks[2], (total, kvh, ps, d), jnp.float32)
+        lengths = jnp.full((b,), s, jnp.int32)
+        pi = jnp.asarray(np.arange(b * pps, dtype=np.int32).reshape(b, pps))
         if name == "bfloat16":
             kp, vp = kf.astype(jnp.bfloat16), vf.astype(jnp.bfloat16)
             extra = {}
@@ -103,11 +106,13 @@ def decode_suite():
             extra = dict(k_scales_pages=kq.scales, v_scales_pages=vq.scales)
             kv_bytes = 2 * b * kvh * s * (d + 4)
         ms = devtime_ms(
-            lambda q: paged_attention(q, kp, vp, lengths, pi, **extra),
+            lambda q, kp=kp, vp=vp, lengths=lengths, pi=pi, extra=extra:
+                paged_attention(q, kp, vp, lengths, pi, **extra),
             (q,),
             n_hi=257,
         )
-        r = {"name": f"decode {name} B={b} 32q/8kv d={d} S={s}", "ms": round(ms, 4),
+        r = {"name": f"decode {name} B={b} 32q/8kv d={d} S={s} ps={ps}",
+             "ms": round(ms, 4),
              "decode_tokens_per_s": round(b / ms * 1e3)}
         kv_gbps = kv_bytes / ms / 1e6
         r["kv_gb_per_s"] = round(kv_gbps, 1)

@@ -52,5 +52,38 @@ def main():
             print(f"  BEST: {best[1]} -> {best[0]:.3f} ms")
 
 
+def cache_q():
+    """The reference's CACHE_Q residency trade, measured on TPU (round 2).
+
+    The reference can trade SMEM residency of Q for occupancy (CACHE_Q=0 is
+    +20% on a 3060, /root/reference/README.md:28-32).  On TPU the trade has
+    no direct analog: Pallas re-fetches an input block only when its
+    runtime block index CHANGES, so a KV-invariant Q index map gives free
+    residency (one buffered tile, zero refetch traffic) and there is no
+    occupancy resource to buy back — the revolver pipeline depth is fixed.
+    The measurable residual of the trade is VMEM pressure from the Q tile
+    under the multi-pass fp32 emulation: sweep block_q at the pressure
+    corner and report whether a smaller resident tile (the CACHE_Q=0
+    spirit) ever wins.
+    """
+    b, h, d, s = 2, 8, 64, 8192
+    ks = jax.random.split(jax.random.key(0), 3)
+    q, k, v = (make_random(kk, (b * h, s, d), jnp.float32) for kk in ks)
+    fl = attention_flops(b * h, s, s, d)
+    print(f"== CACHE_Q analog: fp32(packed) B={b} H={h} d={d} S={s} ==")
+    for bq in (256, 512, 1024):
+        bs = BlockSizes(bq, 2048, 2048)
+        ms = devtime_ms(
+            lambda q, k, v, bs=bs: flash_attention(q, k, v, block_sizes=bs),
+            (q, k, v), n_hi=5,
+        )
+        print(f"  block_q={bq:5}: {ms:7.3f} ms  {fl/ms/1e9:6.1f} TF/s", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "cache_q":
+        cache_q()
+    else:
+        main()
