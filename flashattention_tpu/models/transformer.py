@@ -340,11 +340,16 @@ def decode_loop(
     n_steps: int = 1,
     k_scales: jax.Array | None = None,
     v_scales: jax.Array | None = None,
+    active: jax.Array | None = None,
     interpret=None,
 ):
     """``n_steps`` greedy decode tokens in ONE jit: a ``fori_loop`` over the
     full model step (:func:`decode_step`), each iteration feeding its argmax
     back in and scattering K/V into the (donated) page pools.
+
+    ``active``: optional (B,) bool — padded batch rows marked False never
+    write to the pools (their derived write page is clamped out of range, so
+    the scatter drops; their reads hit table row values harmlessly).
 
     This is both the honest on-chip serving-throughput measurement (host-
     driven step loops are unmeasurable over remote-TPU tunnels — every step
@@ -367,6 +372,8 @@ def decode_loop(
         write_pages = jnp.take_along_axis(
             page_indices, (pos // ps)[:, None], axis=1
         )[:, 0]
+        if active is not None:
+            write_pages = jnp.where(active, write_pages, k_pages.shape[1])
         logits, kp, vp, ks, vs = decode_step_impl(
             params, toks, pos, kp, vp, pos + 1, page_indices,
             write_pages, pos % ps, cfg, ks, vs, interpret,

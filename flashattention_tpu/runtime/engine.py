@@ -165,13 +165,24 @@ class Engine:
     def has_work(self) -> bool:
         return bool(self.running) or self.scheduler.num_waiting() > 0
 
-    def run(self, max_steps: int = 10_000) -> dict[int, list]:
-        """Drive steps until all requests finish; returns outputs by id."""
+    def run(self, max_steps: int = 10_000, multi_step: int = 1) -> dict[int, list]:
+        """Drive steps until all requests finish; returns outputs by id.
+
+        ``multi_step > 1`` (greedy only): when no requests are waiting, the
+        engine decodes up to that many tokens per step in ONE device call
+        (:func:`transformer.decode_loop`) — multi-token scheduling, which
+        amortizes all host work and (on tunneled/remote TPUs) the dispatch
+        round trip over N tokens.  eos/budget semantics are unchanged:
+        surplus tokens past a request's stop are discarded and their cache
+        slots freed.  Falls back to per-token stepping whenever a request
+        could not absorb the full span (page pressure, short budget) or
+        admission work is pending.
+        """
         for _ in range(max_steps):
             if not self.has_work():
                 break
             was_empty = not self.running
-            self.step()
+            self.step(multi_step=multi_step)
             if (
                 was_empty
                 and self._last_admitted == 0
@@ -248,12 +259,20 @@ class Engine:
 
     # ── engine step ───────────────────────────────────────────────────────
 
-    def step(self) -> None:
-        """Admit + prefill new requests, then one decode token for all."""
+    def step(self, multi_step: int = 1) -> None:
+        """Admit + prefill new requests, then decode token(s) for all."""
         self._n_steps += 1
         self._admit_and_prefill()
-        if self.running:
-            self._decode_batch()
+        if not self.running:
+            return
+        if (
+            multi_step > 1
+            and self.cfg.greedy
+            and self.scheduler.num_waiting() == 0
+            and self._decode_batch_many(multi_step)
+        ):
+            return
+        self._decode_batch()
 
     def stats(self) -> dict:
         """Serving counters: steps, tokens in/out, preemptions, occupancy."""
@@ -444,6 +463,72 @@ class Engine:
         self._n_decode_tokens += len(batch)
         for i, rid in enumerate(batch):
             self._emit(self.requests[rid], int(next_tokens[i]))
+
+    def _decode_batch_many(self, n: int) -> bool:
+        """Decode n tokens for the whole running batch in one device call.
+
+        Returns False (caller falls back to single-step) unless every running
+        request has >= n tokens of budget AND n cache slots can be reserved
+        up-front without preemption.  eos mid-span: the request finishes at
+        the eos as usual; its surplus tokens are discarded and ALL its pages
+        freed by the normal finish path."""
+        for rid in self.running:
+            req = self.requests[rid]
+            if req.max_new_tokens - len(req.output) < n:
+                return False
+        # Cache length = KV rows written so far (= request length - 1: the
+        # newest emitted token is not cached until its decode step writes it).
+        start_lens = {rid: self.cache.length(rid) for rid in self.running}
+        reserved_ok = True
+        for rid in list(self.running):
+            try:
+                for _ in range(n):
+                    self.cache.reserve_slot(rid)
+            except MemoryError:
+                reserved_ok = False
+                break
+        if not reserved_ok:
+            for rid in self.running:
+                self.cache.trim(rid, start_lens[rid])
+            return False
+
+        bmax = self.cfg.max_batch
+        batch = list(self.running)
+        tokens = np.zeros((bmax,), np.int32)
+        positions = np.zeros((bmax,), np.int32)
+        active = np.zeros((bmax,), bool)
+        for i, rid in enumerate(batch):
+            req = self.requests[rid]
+            tokens[i] = req.output[-1] if req.output else req.prompt[-1]
+            positions[i] = start_lens[rid]  # first write position
+            active[i] = True
+        seq_ids = batch + [-1] * (bmax - len(batch))
+        _, page_indices = self.cache.batch_view(seq_ids, self.cfg.pages_per_seq)
+        quant = self.cache.config.quantized
+        out, kp, vp, ks, vs = transformer.decode_loop(
+            self.params,
+            jnp.asarray(tokens),
+            jnp.asarray(positions),
+            self.cache.k_pages,
+            self.cache.v_pages,
+            page_indices,
+            cfg=self.model_cfg,
+            n_steps=n,
+            k_scales=self.cache.k_scales if quant else None,
+            v_scales=self.cache.v_scales if quant else None,
+            active=jnp.asarray(active),
+            interpret=self._interpret,
+        )
+        self.cache.set_pools(kp, vp, ks, vs)
+        out = np.asarray(out)
+        for i, rid in enumerate(batch):
+            req = self.requests[rid]
+            for t in out[i]:
+                self._emit(req, int(t))
+                self._n_decode_tokens += 1
+                if req.state == "finished":
+                    break  # finish freed the whole sequence (surplus incl.)
+        return True
 
     def _preempt(self, exclude: int) -> bool:
         """Evict the latest-admitted running request (recompute preemption):

@@ -7,6 +7,10 @@ TPU setups (plain per-call wall clock is dominated by round trips).
 """
 
 import itertools
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -536,3 +536,36 @@ def test_decode_loop_matches_reference(tiny_model):
         want = reference_generate(params, cfg, p, n_new)
         assert int(first[bi]) == want[0]
         assert list(np.asarray(out[bi])) == want[1:], (bi, out[bi], want)
+
+
+@pytest.mark.parametrize("eos", [None, "third"])
+def test_engine_multi_step_matches_single(tiny_model, eos):
+    """run(multi_step=4) == run(multi_step=1) token-for-token, including an
+    eos that lands mid-span (surplus tokens discarded, pages freed)."""
+    params, cfg = tiny_model
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        page_size=8,
+        num_pages=64,
+        dtype="float32",
+    )
+    prompts = [[1, 2, 3], [9, 8, 7, 6]]
+    eos_token = None
+    if eos == "third":
+        probe = Engine(params, cfg, ccfg, EngineConfig(max_batch=4, pages_per_seq=8))
+        rid = probe.add_request(prompts[0], 10)
+        eos_token = probe.run()[rid][2]  # third generated token becomes eos
+    ecfg = EngineConfig(max_batch=4, pages_per_seq=8, eos_token=eos_token)
+
+    outs = []
+    for ms in (1, 4):
+        eng = Engine(params, cfg, ccfg, ecfg)
+        for p in prompts:
+            eng.add_request(p, max_new_tokens=9)  # 9 % 4 != 0: tail fallback
+        outs.append(eng.run(multi_step=ms))
+        assert eng.cache.num_free_pages() == 64  # everything freed
+    assert outs[0] == outs[1], outs
+    if eos_token is not None:
+        assert any(o and o[-1] == eos_token for o in outs[0].values())
