@@ -17,8 +17,9 @@ argv, validated against a CPU golden then benchmarked per block size,
                     non-causal on v5e via the MXU-computed softmax sum).
                     NB: on fp32 inputs the jax kernel silently runs 1-pass
                     bf16 matmuls (err ~8e-3) while rung 4's default meets the
-                    strict 1e-4 gate (3-pass); for an apples-to-apples speed
-                    comparison run both with --dtype bfloat16
+                    strict 1e-4 gate (lane-packed hi/lo emulation at d<=64,
+                    3-pass split otherwise — round 2); for an apples-to-apples
+                    speed comparison run both with --dtype bfloat16
 
 Usage: python lab.py <kernel_num> [--batch ...]   (like `attention_forward 4`)
 Validates vs the fp32 jnp golden at tol 1e-4 (fp32) across block-size configs,

@@ -153,7 +153,7 @@ def train_suite():
         )[0]
         ms = devtime_ms(f, (qx, kx, vx, o, lse, do), n_hi=5)
         row(
-            f"bwd-only causal {name} S=4096 (fused one-pass)",
+            f"bwd-only causal {name} S=4096 (two-pass dq + dkv)",
             ms,
             flops=int(2.5 * fl),
             note="flops = 2.5x fwd (5 block matmuls)",
