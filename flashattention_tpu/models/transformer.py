@@ -427,6 +427,14 @@ def prefill_chunk(
     VERDICT #6).  When ``ctx_len`` is None the whole table is live (the
     pre-round-2 exact-table behavior).  T must be a multiple of page_size.
 
+    Cost note: the flash kernel skips compute AND DMA past ``ctx_len``, but
+    the page *gather* (``k_pages[li][page_indices]``) materializes the full
+    capacity-sized context first, so right after a bucket boundary up to
+    ~2x the live context's bytes move through HBM in the gather — the price
+    of the O(log) compile count.  Folding the gather into the kernel via
+    prefetched page indices (a paged prefill kernel, like ops/decode.py)
+    would remove it; designated follow-up.
+
     Returns (logits (T, V), k_pages, v_pages, k_scales, v_scales).
     """
     (t,) = tokens.shape

@@ -491,18 +491,6 @@ def _kernel(
             m_ref[0] = m_scratch[...].astype(m_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "causal",
-        "scale",
-        "block_sizes",
-        "save_residuals",
-        "precision",
-        "q_seq_len",
-        "interpret",
-    ),
-)
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -519,6 +507,71 @@ def flash_attention(
     precision: str | None = None,
     q_seq_len: int | None = None,
     interpret: bool | None = None,
+) -> Any:
+    """Fused flash attention forward on (BH, S, d) tensors (see _flash_attention).
+
+    Thin un-jitted shim: the triangular-causal-grid eligibility depends on
+    ``q_offset`` being a *concrete* zero, which must be decided OUTSIDE the
+    jit boundary (inside it, an explicitly-passed 0 is a tracer and the check
+    would silently disable the optimization for every caller that names the
+    kwarg — the public dispatch path does; round-2 review finding).
+    """
+    tri_ok = (
+        causal
+        and isinstance(q_offset, int)
+        and q_offset == 0
+        and q_seq_len is None
+        and kv_len is None
+    )
+    return _flash_attention(
+        q,
+        k,
+        v,
+        k_scales,
+        v_scales,
+        causal=causal,
+        scale=scale,
+        block_sizes=block_sizes,
+        kv_len=kv_len,
+        q_offset=q_offset,
+        save_residuals=save_residuals,
+        precision=precision,
+        q_seq_len=q_seq_len,
+        interpret=interpret,
+        tri_ok=tri_ok,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal",
+        "scale",
+        "block_sizes",
+        "save_residuals",
+        "precision",
+        "q_seq_len",
+        "interpret",
+        "tri_ok",
+    ),
+)
+def _flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    k_scales: jax.Array | None = None,
+    v_scales: jax.Array | None = None,
+    *,
+    causal: bool = False,
+    scale: float = 1.0,
+    block_sizes: BlockSizes | None = None,
+    kv_len: int | jax.Array | None = None,
+    q_offset: int | jax.Array = 0,
+    save_residuals: bool = False,
+    precision: str | None = None,
+    q_seq_len: int | None = None,
+    interpret: bool | None = None,
+    tri_ok: bool = False,
 ) -> Any:
     """Fused flash attention forward on (BH, S, d) tensors.
 
@@ -608,14 +661,7 @@ def flash_attention(
     # enumerates only at/below-diagonal (q, kv) block pairs via prefetched
     # index tables — above-diagonal steps vanish instead of cycling through
     # the pipeline as predicated no-ops.
-    tri = (
-        causal
-        and isinstance(q_offset, int)
-        and q_offset == 0
-        and q_seq_blocks is None
-        and kv_len is None
-        and num_q_blocks > 1
-    )
+    tri = tri_ok and num_q_blocks > 1
     if tri:
         pairs = [
             (i, j)

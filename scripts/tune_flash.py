@@ -85,8 +85,6 @@ def cache_q():
 
 
 if __name__ == "__main__":
-    import sys
-
     if len(sys.argv) > 1 and sys.argv[1] == "cache_q":
         cache_q()
     else:

@@ -293,3 +293,26 @@ def test_large_head_dims(d):
         )
         want = attention_reference(q, k, v, causal=causal, scale=scale)
         validate_result(o, want, TOL_FP32)
+
+
+def test_triangular_grid_engages_with_explicit_zero_offset():
+    """The triangular causal grid must activate for q_offset passed as a
+    concrete 0 (the public dispatch path always names the kwarg) — the
+    eligibility check lives OUTSIDE the jit boundary (round-2 review)."""
+    q, k, v = qkv((2, 1024, 64), seed=30)
+    bs = BlockSizes(256, 256, 256)  # nq = 4 -> 10 below-diagonal pairs
+    for fn in (
+        lambda: flash_attention(q, k, v, causal=True, block_sizes=bs),
+        lambda: flash_attention(q, k, v, causal=True, q_offset=0, block_sizes=bs),
+    ):
+        text = str(jax.make_jaxpr(fn)())
+        assert "i32[10]" in text, "pair tables absent: tri grid not engaged"
+    # ...and must NOT activate for a traced offset (falls back cleanly).
+    text = str(
+        jax.make_jaxpr(
+            lambda off: flash_attention(
+                q, k, v, causal=True, q_offset=off, block_sizes=bs
+            )
+        )(jnp.int32(0))
+    )
+    assert "i32[10]" not in text

@@ -569,3 +569,34 @@ def test_engine_multi_step_matches_single(tiny_model, eos):
     assert outs[0] == outs[1], outs
     if eos_token is not None:
         assert any(o and o[-1] == eos_token for o in outs[0].values())
+
+
+def test_engine_multi_step_rollback_under_page_pressure(tiny_model):
+    """When the n-slot up-front reservation cannot be satisfied, the engine
+    must roll back cleanly and fall back to single-step decoding with
+    correct outputs and no leaked pages (round-2 review finding)."""
+    params, cfg = tiny_model
+    # 9 pages: two requests of 8-token prompts (1 page each) + 7 spare;
+    # 2 requests x multi_step=4 needs 8 new slots but only 1 page-boundary
+    # crossing fits -> the bulk reservation hits MemoryError at some point.
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        page_size=8,
+        num_pages=4,
+        dtype="float32",
+    )
+    ecfg = EngineConfig(max_batch=4, pages_per_seq=2)
+    prompts = [[1, 2, 3, 4, 5, 6, 7, 8], [8, 7, 6, 5, 4, 3, 2, 1]]
+
+    outs = []
+    for ms in (1, 8):
+        eng = Engine(params, cfg, ccfg, ecfg)
+        for p in prompts:
+            eng.add_request(p, max_new_tokens=8)
+        outs.append(eng.run(max_steps=200, multi_step=ms))
+        assert eng.cache.num_free_pages() == 4
+    assert outs[0] == outs[1], outs
+    for p, o in zip(prompts, outs[0].values()):
+        assert o == reference_generate(params, cfg, p, 8)
