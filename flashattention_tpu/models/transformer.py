@@ -23,7 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from flashattention_tpu.ops.decode import paged_attention
+from flashattention_tpu.ops.decode import paged_attention, paged_prefill_attention
 from flashattention_tpu.ops.dispatch import attention
 from flashattention_tpu.ops.flash import BlockSizes, flash_attention
 
@@ -475,40 +475,27 @@ def prefill_chunk(
         v_pages = v_pages.at[li, write_pages, :, write_slots, :].set(
             v_pay, mode="drop"
         )
-        # Gather the context (prefix + chunk): (n, KVH, ps, d) -> (KVH, ctx, d)
-        kg = k_pages[li][page_indices].transpose(1, 0, 2, 3).reshape(kvh, ctx, -1)
-        vg = v_pages[li][page_indices].transpose(1, 0, 2, 3).reshape(kvh, ctx, -1)
-        # Kernel blocks are 128-row multiples: pad the chunk rows (per GQA
-        # segment) and the gathered context; pad q rows' outputs are sliced
-        # off, pad KV columns are masked via kv_len.
+        # Attend DIRECTLY over the page pool (round 2, second pass): the
+        # paged prefill kernel streams pages via prefetched table indices —
+        # no capacity-sized gather, pages past ctx_len skipped (compute and
+        # DMA).  See ops.decode.paged_prefill_attention.
         tpad = -(-t // 128) * 128
-        ctx_pad = -(-ctx // 128) * 128
         qf = q[0].transpose(1, 0, 2).reshape(kvh, g, t, cfg.head_dim)
         if tpad != t:
             qf = jnp.pad(qf, ((0, 0), (0, 0), (0, tpad - t), (0, 0)))
         qf = qf.reshape(kvh, g * tpad, cfg.head_dim)
-        if ctx_pad != ctx:
-            kg = jnp.pad(kg, ((0, 0), (0, ctx_pad - ctx), (0, 0)))
-            vg = jnp.pad(vg, ((0, 0), (0, ctx_pad - ctx), (0, 0)))
-        extra = {}
-        if quantized:
-            ksg = k_scales[li][page_indices].transpose(1, 0, 2).reshape(kvh, ctx)
-            vsg = v_scales[li][page_indices].transpose(1, 0, 2).reshape(kvh, ctx)
-            if ctx_pad != ctx:
-                ksg = jnp.pad(ksg, ((0, 0), (0, ctx_pad - ctx)))
-                vsg = jnp.pad(vsg, ((0, 0), (0, ctx_pad - ctx)))
-            extra = dict(k_scales=ksg, v_scales=vsg)
-        o = flash_attention(
+        o = paged_prefill_attention(
             qf.astype(x.dtype),
-            kg,
-            vg,
-            causal=True,
+            k_pages[li],
+            v_pages[li],
+            page_indices,
+            ctx_len,
+            chunk=t,
+            seg=tpad,
+            k_scales_pages=k_scales[li] if quantized else None,
+            v_scales_pages=v_scales[li] if quantized else None,
             scale=cfg.head_dim**-0.5,
-            q_offset=ctx_len - t,
-            q_seq_len=tpad if g > 1 else None,
-            kv_len=ctx_len,
             interpret=interpret,
-            **extra,
         )  # (KVH, G*tpad, d)
         o = o.reshape(kvh, g, tpad, cfg.head_dim)[:, :, :t]
         o = (

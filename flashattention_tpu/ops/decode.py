@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
 
-__all__ = ["paged_attention", "paged_attention_reference"]
+__all__ = ["paged_attention", "paged_attention_reference", "paged_prefill_attention"]
 
 
 def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices, *, scale=1.0):
@@ -316,3 +316,231 @@ def paged_attention(
         k_scales_in,
         v_scales_in,
     )
+
+
+def _paged_prefill_kernel(
+    # scalar prefetch
+    scal_ref,  # [ctx_len]
+    page_indices_ref,  # (pps,)
+    # inputs
+    q_ref,  # (KVH, bq, d) — folded GQA rows
+    k_ref,  # (1, KVH, ps, d) — the page selected by the index map
+    v_ref,
+    ks_ref,  # (1, KVH, ps) scales or dummy
+    vs_ref,
+    # outputs
+    o_ref,  # (KVH, bq, d)
+    # scratch
+    m_scratch,  # (KVH * bq, 128) f32
+    l_scratch,
+    acc_scratch,  # (KVH * bq, d) f32
+    *,
+    page_size: int,
+    chunk: int,  # live tokens per GQA segment (q positions ctx-chunk..ctx-1)
+    seg: int,  # padded segment length (bq divides seg)
+    scale: float,
+    quantized: bool,
+    mask_value: float = DEFAULT_MASK_VALUE,
+):
+    i, j = pl.program_id(0), pl.program_id(1)
+    ctx_len = scal_ref[0]
+    kvh, bq, d = q_ref.shape
+    ps = page_size
+
+    # Row r of q block i sits at segment position (i*bq + r) % seg; its
+    # absolute position is ctx_len - chunk + segpos (pad rows segpos >= chunk
+    # land past the context; their outputs are sliced away by the caller).
+    blk_seg0 = (i * bq) % seg  # bq | seg: all rows of a block share a segment
+    pos0 = ctx_len - chunk + blk_seg0
+
+    # Skip pages entirely past this block's last row or past the context.
+    run = (j * ps <= pos0 + bq - 1) & (j * ps < ctx_len)
+
+    @pl.when(run)
+    def _run():
+        @pl.when(j == 0)
+        def _init():
+            m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+            l_scratch[...] = jnp.zeros_like(l_scratch)
+            acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+        # fp32 pools get exact (HIGHEST) matmuls, everything else runs the
+        # MXU natively in bf16 — same policy as _paged_kernel.
+        exact = k_ref.dtype == jnp.float32
+        mm_prec = (
+            jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
+        )
+        in_dtype = jnp.float32 if exact else jnp.bfloat16
+        q = q_ref[...].astype(in_dtype)  # (KVH, bq, d)
+        k = k_ref[0].astype(in_dtype)  # (KVH, ps, d)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=mm_prec,
+        )  # (KVH, bq, ps)
+        if quantized:
+            s = s * ks_ref[0][:, None, :]
+        if scale != 1.0:
+            s = s * scale
+
+        row_pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (bq, ps), 0)
+        col = j * ps + jax.lax.broadcasted_iota(jnp.int32, (bq, ps), 1)
+        mask = (col <= row_pos) & (col < ctx_len)
+        s = jnp.where(mask[None], s, mask_value)
+        s = s.reshape(kvh * bq, ps)
+
+        m_prev = m_scratch[:, 0:1]
+        l_prev = l_scratch[:, 0:1]
+        m_curr = jnp.max(s, axis=1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_scratch[...] = jnp.broadcast_to(
+            alpha * l_prev + jnp.sum(p, axis=1, keepdims=True), l_scratch.shape
+        )
+        m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+
+        p3 = p.reshape(kvh, bq, ps)
+        v = v_ref[0].astype(in_dtype)
+        if quantized:
+            p3 = p3 * vs_ref[0][:, None, :]
+        pv = jax.lax.dot_general(
+            p3.astype(in_dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=mm_prec,
+        )
+        acc_scratch[...] = acc_scratch[...] * alpha + pv.reshape(kvh * bq, d)
+
+    # Last page any row of this block attends: min(last live page, page of
+    # the block's maximum row position).
+    last = jnp.minimum(
+        (ctx_len - 1) // ps, jnp.maximum(pos0 + bq - 1, 0) // ps
+    )
+
+    @pl.when(j == last)
+    def _epilogue():
+        l = l_scratch[:, 0:1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[...] = (
+            (acc_scratch[...] * l_inv).reshape(kvh, bq, d).astype(o_ref.dtype)
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "seg", "scale", "block_q", "interpret")
+)
+def paged_prefill_attention(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    page_indices: jax.Array,
+    ctx_len: jax.Array | int,
+    *,
+    chunk: int,
+    seg: int | None = None,
+    k_scales_pages: jax.Array | None = None,
+    v_scales_pages: jax.Array | None = None,
+    scale: float = 1.0,
+    block_q: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Chunked-prefill attention DIRECTLY over the paged KV pool.
+
+    The round-2 chunked prefill gathered the (capacity-padded) context into a
+    dense array before calling the flash kernel — up to ~2x the live bytes
+    through HBM per layer.  This kernel streams the pages themselves: the
+    page table rides scalar prefetch into the KV index maps (exactly like
+    :func:`paged_attention`), pages past the live context or a q block's
+    causal extent are skipped (compute AND DMA, traced ``ctx_len``), and the
+    head-major pool layout gives the same all-heads-per-DMA behavior that
+    makes decode run near HBM speed of light.  Also the building block for
+    speculative-decoding verification (multi-token q against a paged cache).
+
+    Args:
+      q: (KVH, R, d) — GQA row folding: R = G * seg rows, G query groups per
+        KV head, each a ``seg``-row segment whose first ``chunk`` rows are
+        real (segment position p => absolute position ctx_len - chunk + p;
+        pad rows' outputs are garbage for the caller to slice off).
+      k_pages / v_pages: (P, KVH, page_size, d) head-major pool (quantized
+        int8/fp8 payloads when the scale pools are given).
+      page_indices: (pps,) int32 fixed-capacity table for THIS request.
+      ctx_len: live context tokens INCLUDING this chunk (traced ok).
+      chunk: live tokens per segment.  seg: padded segment length — PASS IT
+        whenever q carries G > 1 group segments (R = G * seg); the default
+        (None) treats ALL rows as one segment (G = 1).
+
+    Returns (KVH, R, d).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kvh, rows, d = q.shape
+    ps = k_pages.shape[2]
+    pps = page_indices.shape[0]
+    seg = seg or rows
+    if rows % seg:
+        raise ValueError(f"q rows ({rows}) must be a multiple of seg ({seg})")
+    bq = min(block_q, seg)
+    while seg % bq:
+        bq -= 8
+    quantized = k_scales_pages is not None
+
+    def page_for(i, j, scal, pi):
+        last_live = jnp.maximum(pl.cdiv(scal[0], ps) - 1, 0)
+        return pi[jnp.minimum(j, last_live)]
+
+    in_specs = [
+        pl.BlockSpec((kvh, bq, d), lambda i, j, s_, pi: (0, i, 0)),
+        pl.BlockSpec(
+            (1, kvh, ps, d), lambda i, j, s_, pi: (page_for(i, j, s_, pi), 0, 0, 0)
+        ),
+        pl.BlockSpec(
+            (1, kvh, ps, d), lambda i, j, s_, pi: (page_for(i, j, s_, pi), 0, 0, 0)
+        ),
+        pl.BlockSpec(
+            (1, kvh, ps),
+            lambda i, j, s_, pi: (
+                (page_for(i, j, s_, pi), 0, 0) if quantized else (0, 0, 0)
+            ),
+        ),
+        pl.BlockSpec(
+            (1, kvh, ps),
+            lambda i, j, s_, pi: (
+                (page_for(i, j, s_, pi), 0, 0) if quantized else (0, 0, 0)
+            ),
+        ),
+    ]
+    if quantized:
+        ks_in, vs_in = k_scales_pages, v_scales_pages
+    else:
+        ks_in = jnp.zeros((1, kvh, ps), jnp.float32)
+        vs_in = jnp.zeros((1, kvh, ps), jnp.float32)
+
+    kernel = functools.partial(
+        _paged_prefill_kernel,
+        page_size=ps,
+        chunk=chunk,
+        seg=seg,
+        scale=scale,
+        quantized=quantized,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(rows // bq, pps),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((kvh, bq, d), lambda i, j, s_, pi: (0, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((kvh * bq, 128), jnp.float32),
+                pltpu.VMEM((kvh * bq, 128), jnp.float32),
+                pltpu.VMEM((kvh * bq, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((kvh, rows, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(ctx_len, jnp.int32).reshape(1), page_indices, q, k_pages,
+      v_pages, ks_in, vs_in)

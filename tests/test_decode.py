@@ -126,3 +126,54 @@ def test_mismatched_pages_raises():
     q, kp, vp, pi = make_paged(7, b, kvh, g, d, ps, pps, 4)
     with pytest.raises(ValueError):
         paged_attention(q, kp, vp[:, :, :, :16], jnp.array([1], jnp.int32), pi)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_paged_prefill_attention_vs_oracle(quantized):
+    """Chunked-prefill attention DIRECTLY over shuffled pool pages (round 2):
+    GQA folded q, capacity-padded tables with garbage pages masked by the
+    traced ctx_len, causal offset = context minus chunk."""
+    from flashattention_tpu.ops.decode import paged_prefill_attention
+    from flashattention_tpu.ops.quant import quantize
+    from flashattention_tpu.ops.reference import attention_reference
+
+    ps, kvh, g, d = 8, 2, 2, 32
+    for ctx, chunk in [(24, 8), (32, 16), (24, 24)]:
+        ks = jax.random.split(jax.random.key(ctx), 3)
+        kd = make_random(ks[0], (kvh, ctx, d))
+        vd = make_random(ks[1], (kvh, ctx, d))
+        cap = -(-ctx // ps) + 2  # capacity-padded table (garbage tail pages)
+        total = cap + 3
+        perm = np.random.RandomState(1).permutation(total)[:cap]
+        kp = make_random(jax.random.key(99), (total, kvh, ps, d))
+        vp = make_random(jax.random.key(98), (total, kvh, ps, d))
+        for t in range(ctx):
+            pg, sl = perm[t // ps], t % ps
+            kp = kp.at[pg, :, sl].set(kd[:, t])
+            vp = vp.at[pg, :, sl].set(vd[:, t])
+        extra, tol = {}, 1e-4
+        kref, vref = kd, vd
+        if quantized:
+            kq, vq = quantize(kp, "int8"), quantize(vp, "int8")
+            kp, vp = kq.payload, vq.payload
+            extra = dict(k_scales_pages=kq.scales, v_scales_pages=vq.scales)
+            tol = 5e-2
+            deq = lambda qt, t_: qt.payload[perm[t_ // ps], :, t_ % ps].astype(
+                jnp.float32
+            ) * qt.scales[perm[t_ // ps], :, t_ % ps][:, None]
+            kref = jnp.stack([deq(kq, t_) for t_ in range(ctx)], axis=1)
+            vref = jnp.stack([deq(vq, t_) for t_ in range(ctx)], axis=1)
+        q = make_random(ks[2], (kvh, g * chunk, d))
+        o = paged_prefill_attention(
+            q, kp, vp, jnp.asarray(perm, jnp.int32), jnp.int32(ctx),
+            chunk=chunk, seg=chunk, block_q=8, **extra,
+        )
+        for h in range(kvh):
+            for gi in range(g):
+                sl_ = slice(gi * chunk, (gi + 1) * chunk)
+                want = attention_reference(
+                    q[h, sl_][None], kref[h][None], vref[h][None],
+                    causal=True, q_offset=ctx - chunk,
+                )
+                err = float(jnp.max(jnp.abs(o[h, sl_][None] - want)))
+                assert err < tol, (ctx, chunk, h, gi, err)
