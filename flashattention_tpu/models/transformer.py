@@ -34,6 +34,8 @@ __all__ = [
     "prefill_chunk",
     "decode_step",
     "decode_loop",
+    "verify_step",
+    "speculative_accept",
 ]
 
 
@@ -320,6 +322,120 @@ def decode_step(
         params, tokens, positions, k_pages, v_pages, lengths, page_indices,
         write_pages, write_slots, cfg, k_scales, v_scales, interpret,
     )
+
+
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "interpret"),
+    donate_argnums=(3, 4),
+    donate_argnames=("k_scales", "v_scales"),
+)
+def verify_step(
+    params,
+    tokens: jax.Array,  # (B, k) — [current token, draft_1 .. draft_{k-1}]
+    positions: jax.Array,  # (B,) position of tokens[:, 0]
+    k_pages: jax.Array,  # (L, P, KVH, ps, d) head-major, donated
+    v_pages: jax.Array,
+    page_indices: jax.Array,  # (B, pages_per_seq) covering positions + k
+    write_pages: jax.Array,  # (B, k) page per fed token
+    write_slots: jax.Array,  # (B, k)
+    cfg: ModelConfig,
+    k_scales: jax.Array | None = None,
+    v_scales: jax.Array | None = None,
+    interpret=None,
+):
+    """Speculative-decoding verification: score k fed tokens in ONE pass.
+
+    Feeds ``tokens[:, j]`` at positions ``positions + j`` (scattering their
+    K/V like decode does) and returns logits (B, k, V): ``logits[:, j]``
+    is the model's next-token distribution AFTER token j — compare against
+    the drafts with :func:`speculative_accept`.  Attention runs the paged
+    decode kernel with ``draft_k=k`` (per-row causal offsets), so
+    verification costs one decode-bandwidth sweep of the KV cache instead
+    of k sequential steps.
+
+    Rejected drafts' K/V rows land in the cache; the caller MUST trim the
+    sequence back to the accepted length (the engine's recompute machinery:
+    ``cache.trim``) before the next step.
+    """
+    b, kk = tokens.shape
+    x = params["embed"][tokens.reshape(-1)].reshape(b, kk, -1)
+    pos = positions[:, None] + jnp.arange(kk)[None]  # (B, k)
+    lengths = positions + kk  # includes every fed token
+    quantized = k_scales is not None
+    for li, layer in enumerate(params["layers"]):
+        h = _rmsnorm(x, layer["attn_norm"])
+        q, k, v = _qkv(h, layer, cfg, pos)  # (B, k, H, d)
+        k_rows = k.reshape(b * kk, cfg.num_kv_heads, cfg.head_dim)
+        v_rows = v.reshape(b * kk, cfg.num_kv_heads, cfg.head_dim)
+        wp = write_pages.reshape(-1)
+        ws = write_slots.reshape(-1)
+        if quantized:
+            k_pay, k_sc = _quantize_row(k_rows, k_pages.dtype)
+            v_pay, v_sc = _quantize_row(v_rows, v_pages.dtype)
+            k_scales = k_scales.at[li, wp, :, ws].set(k_sc, mode="drop")
+            v_scales = v_scales.at[li, wp, :, ws].set(v_sc, mode="drop")
+        else:
+            k_pay = k_rows.astype(k_pages.dtype)
+            v_pay = v_rows.astype(v_pages.dtype)
+        k_pages = k_pages.at[li, wp, :, ws, :].set(k_pay, mode="drop")
+        v_pages = v_pages.at[li, wp, :, ws, :].set(v_pay, mode="drop")
+        # (B, k, H, d) -> (B, KVH, G*k, d) k-minor per query group.
+        qg = (
+            q.reshape(b, kk, cfg.num_kv_heads, cfg.group_size, cfg.head_dim)
+            .transpose(0, 2, 3, 1, 4)
+            .reshape(b, cfg.num_kv_heads, cfg.group_size * kk, cfg.head_dim)
+        )
+        o = paged_attention(
+            qg,
+            k_pages[li],
+            v_pages[li],
+            lengths,
+            page_indices,
+            k_scales_pages=None if k_scales is None else k_scales[li],
+            v_scales_pages=None if v_scales is None else v_scales[li],
+            scale=cfg.head_dim**-0.5,
+            draft_k=kk,
+            interpret=interpret,
+        )  # (B, KVH, G*k, d)
+        o = (
+            o.reshape(b, cfg.num_kv_heads, cfg.group_size, kk, cfg.head_dim)
+            .transpose(0, 3, 1, 2, 4)
+            .reshape(b, kk, cfg.num_q_heads * cfg.head_dim)
+        )
+        x = x + o @ layer["wo"]
+        x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer)
+    x = _rmsnorm(x, params["final_norm"])
+    logits = x @ params["lm_head"]
+    return logits, k_pages, v_pages, k_scales, v_scales
+
+
+def speculative_accept(drafts: jax.Array, logits: jax.Array):
+    """Greedy accept/reject for speculative decoding.
+
+    drafts: (B, k-1) proposed tokens d_1..d_{k-1} (the continuations of the
+    k tokens fed to :func:`verify_step`); logits: (B, k, V) from it.
+    Greedy acceptance: d_j is accepted iff it equals argmax(logits[:, j-1]);
+    the first mismatch is replaced by the model's own argmax.  Returns
+    (n_emitted (B,), emitted (B, k)): for each row, ``emitted[:n_emitted]``
+    are the tokens to append — the accepted prefix plus the model's
+    correction/extension token (so 1 <= n_emitted <= k).
+    """
+    b, km1 = drafts.shape
+    preds = jnp.argmax(logits, axis=-1).astype(drafts.dtype)  # (B, k)
+    match = preds[:, :km1] == drafts  # (B, k-1)
+    n_accept = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+    # Emit the accepted drafts then the model's token at the first mismatch
+    # (or its extension token if everything matched).
+    idx = jnp.arange(km1 + 1)[None]
+    emitted = jnp.where(
+        idx < n_accept[:, None],
+        jnp.pad(drafts, ((0, 0), (0, 1))),
+        jnp.take_along_axis(preds, jnp.minimum(n_accept, km1)[:, None], axis=1),
+    )
+    return n_accept + 1, emitted
 
 
 @functools.partial(

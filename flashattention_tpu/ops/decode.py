@@ -101,6 +101,7 @@ def _paged_kernel(
     page_size: int,
     scale: float,
     quantized: bool,
+    draft_k: int = 1,
     mask_value: float = DEFAULT_MASK_VALUE,
 ):
     b, i = pl.program_id(0), pl.program_id(1)
@@ -147,7 +148,15 @@ def _paged_kernel(
         s = s.reshape(kvh * g8, ps)
 
         col_ids = i * ps + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col_ids < length, s, mask_value)
+        if draft_k > 1:
+            # Speculative verification: the within-head rows are (G, k)
+            # k-minor — draft position dp's row attends cols
+            # <= length - k + dp (lengths INCLUDE all k draft tokens).
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            dp = jax.lax.rem(jax.lax.rem(row, g8), draft_k)
+            s = jnp.where(col_ids <= length - draft_k + dp, s, mask_value)
+        else:
+            s = jnp.where(col_ids < length, s, mask_value)
 
         m_prev = m_scratch[:, 0:1]
         l_prev = l_scratch[:, 0:1]
@@ -185,7 +194,7 @@ def _paged_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "pages_per_compute_block", "interpret"),
+    static_argnames=("scale", "pages_per_compute_block", "draft_k", "interpret"),
 )
 def paged_attention(
     q: jax.Array,
@@ -198,13 +207,18 @@ def paged_attention(
     v_scales_pages: jax.Array | None = None,
     scale: float = 1.0,
     pages_per_compute_block: int = 1,  # compat; compute block == one page
+    draft_k: int = 1,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Decode attention over a paged KV cache.
 
     Args:
       q: (B, KVH, G, d) — current-token queries, grouped by KV head (GQA;
-        G = num_q_heads // num_kv_heads).
+        G = num_q_heads // num_kv_heads).  With ``draft_k`` = k > 1
+        (speculative verification), G carries G_heads * k rows laid out
+        k-minor: row (g, j) is query-group g at draft position j, attending
+        cols <= length - k + j — all k draft tokens verified in ONE pass at
+        the decode kernel's HBM bandwidth.
       k_pages, v_pages: (P, KVH, page_size, d) head-major page pool in HBM
         (one page spans all KV heads; see module docstring); quantized
         (int8/fp8) payloads if ``k_scales_pages``/``v_scales_pages`` (each
@@ -250,11 +264,14 @@ def paged_attention(
         idx = jnp.minimum(i_, last_active)
         return page_indices_ref[b_ * pps + idx]
 
+    if draft_k > 1 and g % draft_k:
+        raise ValueError(f"q group rows ({g}) must be a multiple of draft_k ({draft_k})")
     kernel = functools.partial(
         _paged_kernel,
         page_size=page_size,
         scale=scale,
         quantized=quantized,
+        draft_k=draft_k,
     )
 
     in_specs = [

@@ -600,3 +600,65 @@ def test_engine_multi_step_rollback_under_page_pressure(tiny_model):
     assert outs[0] == outs[1], outs
     for p, o in zip(prompts, outs[0].values()):
         assert o == reference_generate(params, cfg, p, 8)
+
+
+def test_verify_step_matches_prefill_logits(tiny_model):
+    """Speculative verification (one kernel pass over k fed tokens) produces
+    the same logits as a full prefill at those positions (round 2)."""
+    params, cfg = tiny_model
+    ps, kk = 8, 4
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    s = len(prompt)
+    b = 2
+    toks = jnp.asarray([prompt, prompt[::-1]], jnp.int32)
+    logits0, k_rows, v_rows = transformer.prefill(params, toks, cfg=cfg)
+    pps = 2
+    kp = jnp.zeros(
+        (cfg.num_layers, b * pps + 1, cfg.num_kv_heads, ps, cfg.head_dim),
+        jnp.float32,
+    )
+    vp = jnp.zeros_like(kp)
+    page_indices = jnp.arange(b * pps, dtype=jnp.int32).reshape(b, pps)
+    for bi in range(b):
+        kp = kp.at[:, bi * pps, :, :s, :].set(jnp.moveaxis(k_rows[:, bi], 2, 1))
+        vp = vp.at[:, bi * pps, :, :s, :].set(jnp.moveaxis(v_rows[:, bi], 2, 1))
+    # Feed tokens: current token (model's own argmax) + 3 drafts (arbitrary).
+    first = jnp.argmax(logits0[:, s - 1], axis=-1).astype(jnp.int32)
+    drafts = jnp.asarray([[7, 7, 7], [1, 2, 3]], jnp.int32)
+    fed = jnp.concatenate([first[:, None], drafts], axis=1)  # (B, 4)
+    pos = jnp.arange(s, s + kk)
+    wp = jnp.asarray(
+        [[int(page_indices[bi, p // ps]) for p in pos] for bi in range(b)],
+        jnp.int32,
+    )
+    wslots = jnp.broadcast_to(pos % ps, (b, kk)).astype(jnp.int32)
+    vlogits, *_ = transformer.verify_step(
+        params, fed, jnp.full((b,), s, jnp.int32), kp, vp, page_indices,
+        wp, wslots, cfg=cfg,
+    )
+    # Ground truth: full prefill over prompt + fed tokens.
+    full = jnp.concatenate([toks, fed], axis=1)
+    pad = -(-full.shape[1] // 8) * 8 - full.shape[1]
+    want_logits, _, _ = transformer.prefill(
+        params, jnp.pad(full, ((0, 0), (0, pad))), cfg=cfg
+    )
+    for j in range(kk):
+        # verify logits[:, j] = distribution after prompt + fed[0..j]
+        # = prefill row (s + j) of the concatenated sequence.
+        validate_result(
+            vlogits[:, j], want_logits[:, s + j], 2e-3, name=f"logits[{j}]"
+        )
+    # Acceptance: self-drafted (model argmax) tokens accept fully.
+    self_drafts = jnp.argmax(vlogits[:, :-1], axis=-1).astype(jnp.int32)
+    n, emitted = transformer.speculative_accept(self_drafts, vlogits)
+    assert list(np.asarray(n)) == [kk, kk]
+    # A wrong draft at index 1 caps acceptance at 1 draft + 1 correction.
+    bad = self_drafts.at[:, 1].set(self_drafts[:, 1] + 1)
+    n2, emitted2 = transformer.speculative_accept(bad, vlogits)
+    assert list(np.asarray(n2)) == [2, 2]
+    np.testing.assert_array_equal(
+        np.asarray(emitted2[:, 0]), np.asarray(self_drafts[:, 0])
+    )
+    np.testing.assert_array_equal(  # correction = the model's own token
+        np.asarray(emitted2[:, 1]), np.asarray(self_drafts[:, 1])
+    )
