@@ -530,6 +530,125 @@ class Engine:
                     break  # finish freed the whole sequence (surplus incl.)
         return True
 
+    def step_speculative(self, draft_fn, k: int) -> None:
+        """One continuous-batching step with speculative decoding.
+
+        ``draft_fn(request, n) -> list[int]`` proposes n draft tokens for a
+        running request (from any cheap source: a small model, n-gram cache,
+        prompt lookup).  Each request's [last token, k-1 drafts] are scored
+        in ONE device call (:func:`transformer.verify_step`); the greedy-
+        consistent prefix plus the model's correction token are emitted
+        (1..k tokens per request per step), and rejected drafts' cache rows
+        are trimmed so the cache invariant (rows cached = emitted length - 1)
+        holds.  Greedy sampling only; falls back to a normal step when slots
+        cannot be reserved up-front.
+        """
+        if not self.cfg.greedy or k < 2:
+            raise ValueError("speculative decoding requires greedy=True, k >= 2")
+        self._n_steps += 1
+        self._admit_and_prefill()
+        if not self.running:
+            return
+        ps_ = self.cache.config.page_size
+        cap_tokens = self.cfg.pages_per_seq * ps_
+        for rid in self.running:
+            req = self.requests[rid]
+            if req.max_new_tokens - len(req.output) < 1:
+                self._decode_batch()
+                return
+            if self.cache.length(rid) + k > cap_tokens:
+                # The transient k-row reservation would overflow the
+                # per-request page-table view near max length.
+                self._decode_batch()
+                return
+        start_lens = {rid: self.cache.length(rid) for rid in self.running}
+        try:
+            for rid in list(self.running):
+                for _ in range(k):
+                    self.cache.reserve_slot(rid)
+        except MemoryError:
+            for rid in self.running:
+                self.cache.trim(rid, start_lens[rid])
+            self._decode_batch()
+            return
+
+        bmax = self.cfg.max_batch
+        batch = list(self.running)
+        fed = np.zeros((bmax, k), np.int32)
+        positions = np.zeros((bmax,), np.int32)
+        write_pages = np.full((bmax, k), self.cache.config.num_pages, np.int32)
+        write_slots = np.zeros((bmax, k), np.int32)
+        ps = self.cache.config.page_size
+        for i, rid in enumerate(batch):
+            req = self.requests[rid]
+            drafts = list(draft_fn(req, k - 1))[: k - 1]
+            drafts += [0] * (k - 1 - len(drafts))  # short drafts pad benignly
+            fed[i, 0] = req.output[-1] if req.output else req.prompt[-1]
+            fed[i, 1:] = drafts
+            positions[i] = start_lens[rid]
+            pages = self.cache.pages(rid)
+            for j in range(k):
+                p = start_lens[rid] + j
+                write_pages[i, j] = pages[p // ps]
+                write_slots[i, j] = p % ps
+        seq_ids = batch + [-1] * (bmax - len(batch))
+        _, page_indices = self.cache.batch_view(seq_ids, self.cfg.pages_per_seq)
+        quant = self.cache.config.quantized
+        logits, kp, vp, ks, vs = transformer.verify_step(
+            self.params,
+            jnp.asarray(fed),
+            jnp.asarray(positions),
+            self.cache.k_pages,
+            self.cache.v_pages,
+            page_indices,
+            jnp.asarray(write_pages),
+            jnp.asarray(write_slots),
+            cfg=self.model_cfg,
+            k_scales=self.cache.k_scales if quant else None,
+            v_scales=self.cache.v_scales if quant else None,
+            interpret=self._interpret,
+        )
+        self.cache.set_pools(kp, vp, ks, vs)
+        n_emit, emitted = transformer.speculative_accept(
+            jnp.asarray(fed[:, 1:]), logits
+        )
+        n_emit, emitted = np.asarray(n_emit), np.asarray(emitted)
+        for i, rid in enumerate(batch):
+            req = self.requests[rid]
+            budget = req.max_new_tokens - len(req.output)
+            n = min(int(n_emit[i]), budget)
+            accepted = n - 1  # drafts whose K/V rows are valid in the cache
+            for t in emitted[i, :n]:
+                self._emit(req, int(t))
+                self._n_decode_tokens += 1
+                if req.state == "finished":
+                    break
+            if req.state != "finished":
+                # Keep fed[0..accepted]'s rows; drop rejected/surplus rows so
+                # cached rows == emitted length - 1 again.
+                self.cache.trim(rid, start_lens[rid] + accepted + 1)
+
+    def run_speculative(
+        self, draft_fn, k: int = 4, max_steps: int = 10_000
+    ) -> dict[int, list]:
+        """Drive :meth:`step_speculative` until all requests finish."""
+        for _ in range(max_steps):
+            if not self.has_work():
+                break
+            was_empty = not self.running
+            self.step_speculative(draft_fn, k)
+            if (
+                was_empty
+                and self._last_admitted == 0
+                and self.scheduler.num_waiting() > 0
+            ):
+                raise RuntimeError(
+                    f"{self.scheduler.num_waiting()} waiting request(s) "
+                    "cannot be admitted (insufficient free pages even with "
+                    "an empty batch)"
+                )
+        return {rid: r.output for rid, r in self.requests.items()}
+
     def _preempt(self, exclude: int) -> bool:
         """Evict the latest-admitted running request (recompute preemption):
         free its pages and requeue it with prompt = everything generated so

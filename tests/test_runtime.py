@@ -662,3 +662,48 @@ def test_verify_step_matches_prefill_logits(tiny_model):
     np.testing.assert_array_equal(  # correction = the model's own token
         np.asarray(emitted2[:, 1]), np.asarray(self_drafts[:, 1])
     )
+
+
+def test_engine_speculative_matches_plain(tiny_model):
+    """run_speculative == plain run token-for-token, with (a) oracle drafts
+    (everything accepted, few steps) and (b) adversarial drafts (everything
+    rejected, still correct — one corrected token per step)."""
+    params, cfg = tiny_model
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        page_size=8,
+        num_pages=64,
+        dtype="float32",
+    )
+    ecfg = EngineConfig(max_batch=4, pages_per_seq=8)
+    prompts = [[1, 2, 3], [9, 8, 7, 6]]
+
+    plain = Engine(params, cfg, ccfg, ecfg)
+    for p in prompts:
+        plain.add_request(p, max_new_tokens=9)
+    want = plain.run()
+    truth = {  # rid -> full greedy continuation for the oracle draft_fn
+        rid: list(prompt) + out
+        for (rid, out), prompt in zip(want.items(), prompts)
+    }
+
+    def oracle_drafts(req, n):
+        done = req.length
+        full = truth[req.req_id]
+        return full[done : done + n]  # the true continuation (then pads)
+
+    def garbage_drafts(req, n):
+        return [(req.length * 7 + j) % cfg.vocab_size for j in range(n)]
+
+    for name, fn in (("oracle", oracle_drafts), ("garbage", garbage_drafts)):
+        eng = Engine(params, cfg, ccfg, ecfg)
+        for p in prompts:
+            eng.add_request(p, max_new_tokens=9)
+        got = eng.run_speculative(fn, k=4)
+        assert got == want, (name, got, want)
+        assert eng.cache.num_free_pages() == 64, name
+        if name == "oracle":
+            # All drafts accepted: far fewer steps than tokens generated.
+            assert eng.stats()["steps"] <= 5, eng.stats()
