@@ -35,7 +35,7 @@ from flashattention_tpu.models.transformer import (
 )
 from flashattention_tpu.ops.backward import attention_vjp
 
-__all__ = ["param_specs", "shard_params", "make_train_step"]
+__all__ = ["param_specs", "shard_params", "make_train_step", "make_train_step_optax"]
 
 
 # ── Megatron collective pair ─────────────────────────────────────────────────
@@ -192,6 +192,72 @@ def make_train_step(
         check_vma=False,
     )
     return jax.jit(step)
+
+
+def make_train_step_optax(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    optimizer,
+    *,
+    dp: str = "dp",
+    tp: str = "tp",
+):
+    """DP x TP training step with an arbitrary optax optimizer (round 2).
+
+    Same sharded forward/backward as :func:`make_train_step` (Megatron f/g
+    TP, pmean-ed DP grads), but the parameter update runs OUTSIDE shard_map
+    through ``optimizer.update`` — the optimizer state tree (e.g. AdamW's
+    mu/nu moments) mirrors the parameter tree, so GSPMD shards it exactly
+    like the parameters with no per-state spec plumbing.
+
+    Usage::
+
+        opt = optax.adamw(3e-4, weight_decay=0.01)
+        step = make_train_step_optax(mesh, cfg, opt)
+        opt_state = jax.jit(opt.init)(params)   # params already sharded
+        loss, params, opt_state = step(params, opt_state, tokens)
+    """
+    import optax  # deferred: training-only dependency
+
+    del optax  # imported for the docstring contract; any optax-like works
+    tp_size = mesh.shape[tp]
+    if cfg.num_kv_heads % tp_size:
+        raise ValueError(
+            f"tp={tp_size} must divide num_kv_heads={cfg.num_kv_heads}"
+        )
+    specs = param_specs(cfg, tp)
+
+    def local_grads(params, tokens):
+        def loss_fn(params):
+            logits = _forward_local(params, tokens, cfg, tp_size, tp)
+            targets = tokens[:, 1:]
+            logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+            return jnp.mean(nll)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss = jax.lax.pmean(loss, dp)
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, dp), grads)
+        return loss, grads
+
+    grad_step = jax.shard_map(
+        local_grads,
+        mesh=mesh,
+        in_specs=(specs, P(dp, None)),
+        out_specs=(P(), specs),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(params, opt_state, tokens):
+        loss, grads = grad_step(params, tokens)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        new_params = jax.tree.map(
+            lambda p, u: (p + u.astype(p.dtype)), params, updates
+        )
+        return loss, new_params, opt_state
+
+    return step
 
 
 def make_train_step_sp(

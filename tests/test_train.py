@@ -157,3 +157,47 @@ def test_sp_train_step_matches_single_device(zigzag):
     np.testing.assert_allclose(float(loss1), float(loss4), rtol=2e-4)
     for a, b in zip(jax.tree.leaves(new1), jax.tree.leaves(new4)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_optax_train_step_matches_single_device_adamw():
+    """DP x TP optax step (optimizer state sharded by GSPMD) == a plain
+    single-device optax run.  Param equality is pinned with SGD (well-
+    conditioned); AdamW is pinned on the loss trajectory (its sign-like
+    early updates amplify fp32 reduction-order noise into ~2*lr flips on
+    near-zero-gradient coordinates, so raw-param equality is the wrong
+    oracle there)."""
+    import optax
+    from flashattention_tpu.models.train import make_train_step_optax
+
+    cfg, params = make_model(4)
+    tokens = jax.random.randint(jax.random.key(5), (4, 128), 0, cfg.vocab_size)
+
+    def run(mesh, opt, t, p):
+        p = shard_params(p, mesh, cfg)
+        step = make_train_step_optax(mesh, cfg, opt)
+        st = jax.jit(opt.init)(p)
+        losses = []
+        for _ in range(3):
+            l, p, st = step(p, st, t)
+            losses.append(float(l))
+        return losses, p
+
+    mesh1, mesh8 = make_mesh(1, 1), make_mesh(2, 4)
+    t8 = jax.device_put(
+        jnp.concatenate([tokens, tokens]), NamedSharding(mesh8, P("dp", None))
+    )
+
+    sgd = optax.sgd(5e-2)
+    losses1, p1 = run(mesh1, sgd, tokens, params)
+    losses8, p8 = run(mesh8, sgd, t8, params)
+    for a, b in zip(losses1, losses8):
+        np.testing.assert_allclose(a, b, rtol=3e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+    adamw = optax.adamw(1e-2, weight_decay=0.01)
+    al1, _ = run(mesh1, adamw, tokens, params)
+    al8, _ = run(mesh8, adamw, t8, params)
+    assert al1[-1] < al1[0]  # it actually learns
+    for a, b in zip(al1, al8):
+        np.testing.assert_allclose(a, b, rtol=1e-3)
