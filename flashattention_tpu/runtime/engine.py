@@ -296,7 +296,9 @@ class Engine:
             req = self.requests[req_id]
             req.state = "running"
             self.running.append(req_id)
-            if chunk and req.length > chunk:
+            toks = req.prompt + req.output
+            shared = chunk and self.cache.match_prefix(toks)[0] > 0
+            if chunk and (req.length > chunk or shared):
                 longs.append(req)
             else:
                 short.setdefault(_bucket(req.length), []).append(req)
@@ -320,7 +322,9 @@ class Engine:
         prompt = np.asarray(req.prompt + req.output, np.int32)
         s = len(prompt)
         chunk = self.cfg.prefill_chunk
-        if chunk and s > chunk:
+        if chunk and (
+            s > chunk or self.cache.match_prefix(prompt.tolist())[0] > 0
+        ):
             self._prefill_chunked(req, prompt)
             return
         self._prefill_batch([req], _bucket(s))
@@ -350,6 +354,10 @@ class Engine:
         for i, req in enumerate(reqs):
             s = lens[i]
             self.cache.append(req.req_id, k_rows[:, i, :s], v_rows[:, i, :s])
+            if self.cfg.prefill_chunk:  # prefix caching rides the chunk path
+                self.cache.register_prefix(
+                    req.req_id, req.prompt + req.output
+                )
             first = self._sample(logits[i, s - 1])
             self._emit(req, int(first))
 
@@ -372,8 +380,20 @@ class Engine:
         chunk = self.cfg.prefill_chunk
         rid = req.req_id
         s = len(prompt)
-        padded = -(-s // chunk) * chunk
-        toks = np.pad(prompt, (0, padded - s))
+        # Prefix caching: adopt any resident full-page prefix (refcounted
+        # shared pages; match guarantees >= 1 token remains to prefill) and
+        # compute only the remainder against that adopted context.
+        skip = 0
+        if not self.cache.has(rid):
+            n_shared, shared_pages = self.cache.match_prefix(
+                np.asarray(prompt).tolist()
+            )
+            if n_shared:
+                self.cache.adopt_prefix(rid, shared_pages, n_shared)
+                skip = n_shared
+        rem = s - skip
+        padded = -(-rem // chunk) * chunk
+        toks = np.pad(prompt[skip:], (0, padded - rem))
         quant = c.quantized
         logits = None
         for start in range(0, padded, chunk):
@@ -382,7 +402,8 @@ class Engine:
                 pg, sl = self._reserve_or_preempt(rid)
                 pages.append(pg)
                 slots.append(sl)
-            ctx_pages = (start + chunk) // c.page_size
+            ctx = skip + start + chunk
+            ctx_pages = ctx // c.page_size
             # Fixed-capacity table: pad to a power-of-two page count so the
             # jitted program is shared across chunk indices (pad entries are
             # read-only garbage masked out by ctx_len inside the kernel).
@@ -394,20 +415,21 @@ class Engine:
                 jnp.asarray(toks[start : start + chunk]),
                 self.cache.k_pages,
                 self.cache.v_pages,
-                jnp.arange(start, start + chunk, dtype=jnp.int32),
+                jnp.arange(skip + start, ctx, dtype=jnp.int32),
                 jnp.asarray(table),
                 jnp.asarray(pages, jnp.int32),
                 jnp.asarray(slots, jnp.int32),
                 cfg=self.model_cfg,
                 k_scales=self.cache.k_scales if quant else None,
                 v_scales=self.cache.v_scales if quant else None,
-                ctx_len=jnp.int32(start + chunk),
+                ctx_len=jnp.int32(ctx),
                 interpret=self._interpret,
             )
             self.cache.set_pools(kp, vp, ks, vs)
         self.cache.trim(rid, s)
-        self._n_prefill_tokens += s
-        first = self._sample(logits[(s - 1) % chunk])
+        self.cache.register_prefix(rid, np.asarray(prompt).tolist())
+        self._n_prefill_tokens += rem
+        first = self._sample(logits[(rem - 1) % chunk])
         self._emit(req, int(first))
 
     def _decode_batch(self) -> None:

@@ -123,6 +123,14 @@ class PagedKVCache:
             self.k_scales = self.v_scales = None
         self.allocator = PageAllocator(c.num_pages)
         self._seqs: dict[int, _Seq] = {}
+        # Prefix caching (round 2): full prompt pages are content-addressed
+        # by a chain hash (key_i = hash(key_{i-1}, tokens of page i)) so
+        # concurrent requests sharing a prompt prefix share physical pages.
+        # Only FULL pages are ever shared — partial pages stay private, so
+        # shared pages are immutable and no copy-on-write is needed.
+        self._refs: dict[int, int] = {}  # page -> refcount (absent == 1-owner)
+        self._prefix_index: dict[tuple, int] = {}  # chain key -> page
+        self._page_keys: dict[int, list] = {}  # page -> keys it backs
 
     # ── sequence lifecycle ────────────────────────────────────────────────
 
@@ -150,7 +158,76 @@ class PagedKVCache:
     def free_sequence(self, seq_id: int) -> None:
         seq = self._seqs.pop(seq_id, None)
         if seq is not None:
-            self.allocator.free(seq.pages)
+            self._release(seq.pages)
+
+    # ── prefix caching ────────────────────────────────────────────────────
+
+    def _release(self, pages: list) -> None:
+        """Decref-aware free: a page returns to the allocator only when its
+        last owner releases it; its prefix-index entries die with it."""
+        really_free = []
+        for pg in pages:
+            n = self._refs.get(pg, 1) - 1
+            if n > 0:
+                self._refs[pg] = n
+                continue
+            self._refs.pop(pg, None)
+            for key in self._page_keys.pop(pg, ()):
+                if self._prefix_index.get(key) == pg:
+                    del self._prefix_index[key]
+            really_free.append(pg)
+        if really_free:
+            self.allocator.free(really_free)
+
+    @staticmethod
+    def _chain_keys(tokens, page_size):
+        """Chain-hash key per FULL page of ``tokens``."""
+        keys, prev = [], 0
+        for i in range(len(tokens) // page_size):
+            page_toks = tuple(tokens[i * page_size : (i + 1) * page_size])
+            prev = hash((prev, page_toks))
+            keys.append(prev)
+        return keys
+
+    def match_prefix(self, tokens) -> tuple[int, list]:
+        """Longest shared full-page prefix of ``tokens`` already resident.
+
+        Returns (n_tokens, page_ids); n_tokens is a page multiple and at
+        most len(tokens) - 1 (at least one token must remain to prefill, so
+        the request produces logits)."""
+        ps = self.config.page_size
+        n, pages = 0, []
+        for key in self._chain_keys(tokens, ps):
+            pg = self._prefix_index.get(key)
+            if pg is None or n + ps > len(tokens) - 1:
+                break
+            pages.append(pg)
+            n += ps
+        return n, pages
+
+    def adopt_prefix(self, seq_id: int, pages: list, n_tokens: int) -> None:
+        """Start ``seq_id`` sharing ``pages`` (refcounted) as its first
+        ``n_tokens`` (a page multiple) of context."""
+        if seq_id in self._seqs:
+            raise ValueError(f"sequence {seq_id} already exists")
+        for pg in pages:
+            self._refs[pg] = self._refs.get(pg, 1) + 1
+        self._seqs[seq_id] = _Seq(n_tokens, list(pages))
+
+    def register_prefix(self, seq_id: int, tokens) -> None:
+        """Publish ``seq_id``'s full prompt pages into the prefix index so
+        later requests with the same prefix share them."""
+        seq = self._seqs.get(seq_id)
+        if seq is None:
+            return
+        ps = self.config.page_size
+        for i, key in enumerate(self._chain_keys(tokens, ps)):
+            if i >= len(seq.pages) or (i + 1) * ps > seq.length:
+                break
+            if key not in self._prefix_index:
+                pg = seq.pages[i]
+                self._prefix_index[key] = pg
+                self._page_keys.setdefault(pg, []).append(key)
 
     # ── writes ────────────────────────────────────────────────────────────
 
@@ -211,7 +288,7 @@ class PagedKVCache:
         ps = self.config.page_size
         keep = -(-new_length // ps)
         if len(seq.pages) > keep:
-            self.allocator.free(seq.pages[keep:])
+            self._release(seq.pages[keep:])
             seq.pages = seq.pages[:keep]
         seq.length = new_length
 

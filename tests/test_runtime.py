@@ -707,3 +707,43 @@ def test_engine_speculative_matches_plain(tiny_model):
         if name == "oracle":
             # All drafts accepted: far fewer steps than tokens generated.
             assert eng.stats()["steps"] <= 5, eng.stats()
+
+
+def test_prefix_caching_shares_pages_and_stays_correct(tiny_model):
+    """Concurrent requests with a common prompt prefix share physical pages
+    (refcounted, full pages only) and still generate exactly the reference
+    tokens; all pages return when everything finishes (round 2)."""
+    params, cfg = tiny_model
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        page_size=8,
+        num_pages=64,
+        dtype="float32",
+    )
+    ecfg = EngineConfig(max_batch=4, pages_per_seq=8, prefill_chunk=8)
+    base = [7, 1, 8, 2, 8, 1, 8, 2, 3, 1, 4, 1, 5, 9, 2, 6]  # two full pages
+    prompts = [
+        base + [2, 7],            # shares both pages
+        base + [9, 9, 9],         # shares both pages, diverges after
+        base[:8] + [5, 5, 5, 5],  # shares only the first page
+    ]
+    eng = Engine(params, cfg, ccfg, ecfg)
+    r0 = eng.add_request(base + [1], 4)
+    eng.step()  # r0 prefilled; its full pages registered
+    assert eng.cache._prefix_index  # something is published
+    tokens_before = eng._n_prefill_tokens
+    rids = [eng.add_request(p, 4) for p in prompts]
+    eng.step()  # the new requests admit and adopt the shared prefix
+    shared_counts = [n for n in eng.cache._refs.values() if n > 1]
+    assert shared_counts, "no page ended up shared"
+    # Prefill work done for the three new prompts excludes the shared pages.
+    new_prefill = eng._n_prefill_tokens - tokens_before
+    full = sum(len(p) for p in prompts)
+    assert new_prefill <= full - 2 * 8 - 2 * 8 - 8 + 3 * 0 + 8  # >=3 pages saved
+    outs = eng.run()
+    for rid, p in zip(rids, prompts):
+        assert outs[rid] == reference_generate(params, cfg, p, 4), rid
+    assert eng.cache.num_free_pages() == 64
+    assert not eng.cache._refs and not eng.cache._prefix_index
