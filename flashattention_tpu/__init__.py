@@ -8,7 +8,7 @@ attention.
 """
 
 from flashattention_tpu.ops.backward import attention_vjp, flash_attention_bwd
-from flashattention_tpu.ops.decode import paged_attention
+from flashattention_tpu.ops.decode import paged_attention, paged_prefill_attention
 from flashattention_tpu.ops.dispatch import attention, sdpa
 from flashattention_tpu.ops.flash import BlockSizes, flash_attention, flash_attention_naive
 from flashattention_tpu.ops.quant import (
@@ -34,6 +34,7 @@ __all__ = [
     "attention_vjp",
     "flash_attention_bwd",
     "paged_attention",
+    "paged_prefill_attention",
     "QuantizedTensor",
     "attention_quantized",
     "quantize",
