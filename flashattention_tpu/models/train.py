@@ -268,6 +268,7 @@ def make_train_step_sp(
     sp: str = "sp",
     lr: float = 1e-3,
     zigzag: bool = False,
+    optimizer=None,
 ):
     """Sequence-parallel training step: sequences shard over the ``sp`` axis
     and attention runs through the *differentiable ring* (parallel/ring.py),
@@ -289,6 +290,12 @@ def make_train_step_sp(
     order (device i holds half-chunks i and 2N-1-i), so under causal masking
     every device does constant work instead of the last shard doing N times
     the first's.  Tokens require S % (2 * sp_size * 128) == 0.
+
+    ``optimizer`` (round 2): an optax optimizer; when given, the returned
+    step has signature (params, opt_state, tokens) -> (loss, params,
+    opt_state), with the update applied OUTSIDE shard_map so the state tree
+    shards like the (replicated) params; otherwise plain SGD at ``lr`` with
+    the original (params, tokens) -> (loss, params) signature.
     """
     from flashattention_tpu.parallel.ring import (
         ring_attention_vjp_local,
@@ -357,7 +364,7 @@ def make_train_step_sp(
         x = _rmsnorm(x, params["final_norm"])
         return x @ params["lm_head"]
 
-    def local_step(params, tokens, targets, valid):
+    def local_grads(params, tokens, targets, valid):
         def loss_fn(params):
             logits = forward_local(params, tokens)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
@@ -371,6 +378,10 @@ def make_train_step_sp(
         loss, grads = jax.value_and_grad(loss_fn)(params)
         loss = jax.lax.psum(loss, (dp, sp))
         grads = jax.tree.map(lambda g_: jax.lax.psum(g_, (dp, sp)), grads)
+        return loss, grads
+
+    def local_step(params, tokens, targets, valid):
+        loss, grads = local_grads(params, tokens, targets, valid)
         new_params = jax.tree.map(
             lambda p, g_: p - lr * g_.astype(p.dtype), params, grads
         )
@@ -403,4 +414,37 @@ def make_train_step_sp(
             check_vma=False,
         )(params, tokens, targets, valid)
 
-    return jax.jit(step)
+    if optimizer is None:
+        return jax.jit(step)
+
+    grad_map = jax.shard_map(
+        local_grads,
+        mesh=mesh,
+        in_specs=(specs, P(dp, sp), P(dp, sp), P(dp, sp)),
+        out_specs=(P(), specs),
+        check_vma=False,
+    )
+
+    def opt_step(params, opt_state, tokens):
+        targets = jnp.concatenate(
+            [tokens[:, 1:], jnp.zeros_like(tokens[:, :1])], axis=1
+        )
+        valid = jnp.concatenate(
+            [
+                jnp.ones(tokens[:, 1:].shape, jnp.float32),
+                jnp.zeros_like(tokens[:, :1], dtype=jnp.float32),
+            ],
+            axis=1,
+        )
+        if zigzag:
+            tokens, targets, valid = (
+                zigzag_shard(t, sp_size, axis=1) for t in (tokens, targets, valid)
+            )
+        loss, grads = grad_map(params, tokens, targets, valid)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        new_params = jax.tree.map(
+            lambda p, u: p + u.astype(p.dtype), params, updates
+        )
+        return loss, new_params, opt_state
+
+    return jax.jit(opt_step)

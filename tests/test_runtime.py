@@ -747,3 +747,43 @@ def test_prefix_caching_shares_pages_and_stays_correct(tiny_model):
         assert outs[rid] == reference_generate(params, cfg, p, 4), rid
     assert eng.cache.num_free_pages() == 64
     assert not eng.cache._refs and not eng.cache._prefix_index
+
+
+def test_durable_checkpoint_roundtrip(tiny_model, tmp_path):
+    """Orbax params + engine-state sidecar round-trip: a restored process
+    (fresh Engine.from_state with loaded params) continues identically."""
+    from flashattention_tpu.utils.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    params, cfg = tiny_model
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        page_size=8,
+        num_pages=64,
+        dtype="float32",
+    )
+    ecfg = EngineConfig(max_batch=4, pages_per_seq=8)
+    eng = Engine(params, cfg, ccfg, ecfg)
+    eng.add_request([3, 1, 4, 1], max_new_tokens=8)
+    for _ in range(3):
+        eng.step()
+    want = dict(eng.run())  # finish the original for ground truth... 
+    # (run() mutates; snapshot was taken before, so re-run a twin instead)
+    eng2 = Engine(params, cfg, ccfg, ecfg)
+    eng2.add_request([3, 1, 4, 1], max_new_tokens=8)
+    for _ in range(3):
+        eng2.step()
+    save_checkpoint(
+        str(tmp_path / "ckpt"), params, engine_state=eng2.state_dict()
+    )
+
+    restored_params, engine_state = load_checkpoint(str(tmp_path / "ckpt"))
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    resumed = Engine.from_state(engine_state, restored_params, cfg, ccfg, ecfg)
+    got = resumed.run()
+    assert got == want, (got, want)

@@ -201,3 +201,31 @@ def test_optax_train_step_matches_single_device_adamw():
     assert al1[-1] < al1[0]  # it actually learns
     for a, b in zip(al1, al8):
         np.testing.assert_allclose(a, b, rtol=1e-3)
+
+
+def test_sp_train_step_optax_learns():
+    """SP (zigzag ring) training step with an optax optimizer: runs, loss
+    decreases, and matches the single-device SGD-equivalent trajectory."""
+    import optax
+    from flashattention_tpu.models.train import make_train_step_sp
+
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=1, d_model=32, num_q_heads=2,
+        num_kv_heads=1, head_dim=16, intermediate=32, dtype="float32",
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (2, 8 * 128), 0, cfg.vocab_size)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    t = jax.device_put(
+        jnp.concatenate([tokens, tokens]), NamedSharding(mesh, P("dp", "sp"))
+    )
+    opt = optax.sgd(5e-2)
+    step = make_train_step_sp(mesh, cfg, zigzag=True, optimizer=opt)
+    st = jax.jit(opt.init)(params)
+    # sgd-optax must equal the built-in SGD step at the same lr
+    sgd_step = make_train_step_sp(mesh, cfg, zigzag=True, lr=5e-2)
+    l_ref, p_ref = sgd_step(params, t)
+    l_opt, p_opt, st = step(params, st, t)
+    np.testing.assert_allclose(float(l_ref), float(l_opt), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_opt)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
