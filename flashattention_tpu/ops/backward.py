@@ -42,12 +42,14 @@ from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
 __all__ = ["flash_attention_bwd", "attention_vjp"]
 
 
-def _masks(s_shape, q_start, kv_start, causal, kv_len, q_offset):
+def _masks(s_shape, q_start, kv_start, causal, kv_len, q_offset, window=None):
     mask = None
     if causal:
         row_ids = q_offset + q_start + jax.lax.broadcasted_iota(jnp.int32, s_shape, 0)
         col_ids = kv_start + jax.lax.broadcasted_iota(jnp.int32, s_shape, 1)
         mask = col_ids <= row_ids
+        if window is not None:
+            mask = mask & (col_ids > row_ids - window)
     if kv_len is not None:
         col_ids = kv_start + jax.lax.broadcasted_iota(jnp.int32, s_shape, 1)
         len_mask = col_ids < kv_len
@@ -72,6 +74,8 @@ def _dq_kernel(
     num_kv_blocks,
     precision,
     q_seq_blocks,
+    window=None,
+    logit_softcap=None,
 ):
     q_offset = qoff_ref[0]  # prefetched traced scalar (one program, any offset)
     q_idx, kv_idx = pl.program_id(1), pl.program_id(2)
@@ -87,6 +91,11 @@ def _dq_kernel(
 
     if causal:
         should_run = (q_offset + (q_pos + 1) * block_q - 1) >= (kv_idx * block_kv)
+        if window is not None:
+            should_run = should_run & (
+                ((kv_idx + 1) * block_kv - 1)
+                >= (q_offset + q_pos * block_q - window + 1)
+            )
     else:
         should_run = True
 
@@ -102,13 +111,19 @@ def _dq_kernel(
         s = _dot_g(q, k, (((1,), (1,)), ((), ())), precision)
         if scale != 1.0:
             s = s * scale
-        mask = _masks(s.shape, q_pos * block_q, kv_idx * block_kv, causal, kv_len, q_offset)
+        cap_factor = None
+        if logit_softcap is not None:
+            s = logit_softcap * jnp.tanh(s * (1.0 / logit_softcap))
+            cap_factor = 1.0 - (s * (1.0 / logit_softcap)) ** 2
+        mask = _masks(s.shape, q_pos * block_q, kv_idx * block_kv, causal, kv_len, q_offset, window)
         if mask is not None:
             s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
         p = jnp.exp(s - lse)  # (bq, bkv)
 
         dp = _dot_g(do, v, (((1,), (1,)), ((), ())), precision)
         ds = p * (dp - di) * scale
+        if cap_factor is not None:
+            ds = ds * cap_factor
         dq_scratch[...] += _dot_g(ds, k, (((1,), (0,)), ((), ())), precision)
 
     @pl.when(kv_idx == num_kv_blocks - 1)
@@ -135,6 +150,8 @@ def _dkv_kernel(
     num_q_blocks,
     precision,
     q_seq_blocks,
+    window=None,
+    logit_softcap=None,
 ):
     q_offset = qoff_ref[0]  # prefetched traced scalar (one program, any offset)
     kv_idx, q_idx = pl.program_id(1), pl.program_id(2)
@@ -166,7 +183,11 @@ def _dkv_kernel(
         s = _dot_g(q, k, (((1,), (1,)), ((), ())), precision)
         if scale != 1.0:
             s = s * scale
-        mask = _masks(s.shape, q_pos * block_q, kv_idx * block_kv, causal, kv_len, q_offset)
+        cap_factor = None
+        if logit_softcap is not None:
+            s = logit_softcap * jnp.tanh(s * (1.0 / logit_softcap))
+            cap_factor = 1.0 - (s * (1.0 / logit_softcap)) ** 2
+        mask = _masks(s.shape, q_pos * block_q, kv_idx * block_kv, causal, kv_len, q_offset, window)
         if mask is not None:
             s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
         p = jnp.exp(s - lse)  # (bq, bkv)
@@ -175,6 +196,8 @@ def _dkv_kernel(
         dv_scratch[...] += _dot_g(p, do, (((0,), (0,)), ((), ())), precision)
         dp = _dot_g(do, v, (((1,), (1,)), ((), ())), precision)
         ds = p * (dp - di) * scale  # (bq, bkv)
+        if cap_factor is not None:
+            ds = ds * cap_factor
         # dK_j = sum_i dS_ij Q_i  -> dS^T @ Q
         dk_scratch[...] += _dot_g(ds, q, (((0,), (0,)), ((), ())), precision)
 
@@ -206,6 +229,8 @@ def _fused_bwd_kernel(
     num_kv_blocks,
     precision,
     q_seq_blocks,
+    window=None,
+    logit_softcap=None,
 ):
     """Single-pass fused backward: grid (bh, num_kv, num_q), kv-major.
 
@@ -233,6 +258,11 @@ def _fused_bwd_kernel(
 
     if causal:
         should_run = (q_offset + (q_pos + 1) * block_q - 1) >= (kv_idx * block_kv)
+        if window is not None:
+            should_run = should_run & (
+                ((kv_idx + 1) * block_kv - 1)
+                >= (q_offset + q_pos * block_q - window + 1)
+            )
     else:
         should_run = True
 
@@ -248,8 +278,13 @@ def _fused_bwd_kernel(
         s = _dot_g(q, k, (((1,), (1,)), ((), ())), precision)
         if scale != 1.0:
             s = s * scale
+        cap_factor = None
+        if logit_softcap is not None:
+            s = logit_softcap * jnp.tanh(s * (1.0 / logit_softcap))
+            cap_factor = 1.0 - (s * (1.0 / logit_softcap)) ** 2
         mask = _masks(
-            s.shape, q_pos * block_q, kv_idx * block_kv, causal, kv_len, q_offset
+            s.shape, q_pos * block_q, kv_idx * block_kv, causal, kv_len,
+            q_offset, window,
         )
         if mask is not None:
             s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
@@ -259,6 +294,8 @@ def _fused_bwd_kernel(
         dv_scratch[...] += _dot_g(p, do, (((0,), (0,)), ((), ())), precision)
         dp = _dot_g(do, v, (((1,), (1,)), ((), ())), precision)
         ds = p * (dp - di) * scale
+        if cap_factor is not None:
+            ds = ds * cap_factor
         dk_scratch[...] += _dot_g(ds, q, (((0,), (0,)), ((), ())), precision)
         dq_all[pl.ds(q_raw * block_q, block_q), :] += _dot_g(
             ds, k, (((1,), (0,)), ((), ())), precision
@@ -278,7 +315,7 @@ def _fused_bwd_kernel(
     jax.jit,
     static_argnames=(
         "causal", "scale", "block_sizes", "kv_len", "precision",
-        "q_seq_len", "interpret", "fused",
+        "q_seq_len", "interpret", "fused", "window", "logit_softcap",
     ),
 )
 def flash_attention_bwd(
@@ -298,6 +335,8 @@ def flash_attention_bwd(
     q_seq_len: int | None = None,
     interpret=None,
     fused: bool | None = None,
+    window: int | None = None,
+    logit_softcap: float | None = None,
 ):
     """dQ, dK, dV from saved output + logsumexp residuals.
 
@@ -352,17 +391,31 @@ def flash_attention_bwd(
             if q_seq_blocks is not None:
                 i = jax.lax.rem(i, q_seq_blocks)
             last = jnp.minimum(num_kv - 1, (qoff[0] + (i + 1) * bq - 1) // bkv)
-            return jnp.minimum(j, last)
+            j = jnp.minimum(j, last)
+            if window is not None:
+                first = jnp.maximum(0, (qoff[0] + i * bq - window + 1) // bkv)
+                j = jnp.maximum(j, jnp.minimum(first, last))
+            return j
 
         def dkv_q_index(j, i, qoff):
             # For KV block j, q blocks at segment position < first_pos are
-            # skipped; clamp the *within-segment* position up to first_pos.
+            # skipped; clamp the *within-segment* position up to first_pos
+            # (and, under a sliding window, down to the last position whose
+            # window still reaches this KV block).
             first_pos = jnp.maximum(0, (j * bkv - qoff[0]) // bq)
             if q_seq_blocks is None:
-                return jnp.minimum(jnp.maximum(i, first_pos), num_q - 1)
+                i = jnp.minimum(jnp.maximum(i, first_pos), num_q - 1)
+                if window is not None:
+                    last_pos = ((j + 1) * bkv + window - 2 - qoff[0]) // bq
+                    i = jnp.minimum(i, jnp.maximum(last_pos, first_pos))
+                return i
             seg = jax.lax.div(i, q_seq_blocks)
             pos = jnp.maximum(jax.lax.rem(i, q_seq_blocks), first_pos)
-            return seg * q_seq_blocks + jnp.minimum(pos, q_seq_blocks - 1)
+            pos = jnp.minimum(pos, q_seq_blocks - 1)
+            if window is not None:
+                last_pos = ((j + 1) * bkv + window - 2 - qoff[0]) // bq
+                pos = jnp.minimum(pos, jnp.maximum(last_pos, first_pos))
+            return seg * q_seq_blocks + pos
 
     else:
         dq_kv_index = lambda i, j, qoff: j
@@ -394,6 +447,8 @@ def flash_attention_bwd(
                 num_kv_blocks=num_kv,
                 precision=precision,
                 q_seq_blocks=q_seq_blocks,
+                window=window,
+                logit_softcap=logit_softcap,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -441,6 +496,8 @@ def flash_attention_bwd(
             num_kv_blocks=num_kv,
             precision=precision,
             q_seq_blocks=q_seq_blocks,
+            window=window,
+            logit_softcap=logit_softcap,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -476,6 +533,8 @@ def flash_attention_bwd(
             num_q_blocks=num_q,
             precision=precision,
             q_seq_blocks=q_seq_blocks,
+            window=window,
+            logit_softcap=logit_softcap,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -508,7 +567,9 @@ def flash_attention_bwd(
 # ── differentiable public op ─────────────────────────────────────────────────
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10)
+)
 def attention_vjp(
     q,
     k,
@@ -519,6 +580,8 @@ def attention_vjp(
     precision: str | None = None,
     interpret: bool | None = None,
     q_seq_len: int | None = None,
+    window: int | None = None,
+    logit_softcap: float | None = None,
 ):
     """Differentiable fused attention on (BH, S, d) (block-aligned shapes).
 
@@ -529,25 +592,29 @@ def attention_vjp(
     return flash_attention(
         q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
         precision=precision, q_seq_len=q_seq_len, interpret=interpret,
+        window=window, logit_softcap=logit_softcap,
     )
 
 
-def _vjp_fwd(q, k, v, causal, scale, block_sizes, precision, interpret, q_seq_len):
+def _vjp_fwd(q, k, v, causal, scale, block_sizes, precision, interpret,
+             q_seq_len, window, logit_softcap):
     o, l, m = flash_attention(
         q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
         save_residuals=True, precision=precision, q_seq_len=q_seq_len,
-        interpret=interpret,
+        interpret=interpret, window=window, logit_softcap=logit_softcap,
     )
     lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
     return o, (q, k, v, o, lse)
 
 
-def _vjp_bwd(causal, scale, block_sizes, precision, interpret, q_seq_len, res, do):
+def _vjp_bwd(causal, scale, block_sizes, precision, interpret, q_seq_len,
+             window, logit_softcap, res, do):
     q, k, v, o, lse = res
     dq, dk, dv = flash_attention_bwd(
         q, k, v, o, lse, do,
         causal=causal, scale=scale, block_sizes=block_sizes,
         precision=precision, q_seq_len=q_seq_len, interpret=interpret,
+        window=window, logit_softcap=logit_softcap,
     )
     return dq, dk, dv
 

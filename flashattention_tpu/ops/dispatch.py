@@ -44,6 +44,8 @@ def _round_up(x: int, m: int) -> int:
         "implementation",
         "precision",
         "interpret",
+        "window",
+        "logit_softcap",
     ),
 )
 def attention(
@@ -58,6 +60,8 @@ def attention(
     implementation: str = "pallas",
     precision: str | None = None,
     interpret: bool | None = None,
+    window: int | None = None,
+    logit_softcap: float | None = None,
 ):
     """Fused attention ``O = softmax(scale * Q K^T) V``.
 
@@ -75,6 +79,10 @@ def attention(
         "float32"); see :func:`ops.flash.flash_attention`.
       save_residuals: also return softmax stats ``(l, m)`` shaped like
         ``q[..., 0]`` — needed by ring attention and the backward pass.
+      window: sliding-window attention (causal only): query i attends keys
+        in ``(i - window, i]`` — Mistral-style local attention; out-of-window
+        KV blocks skip compute AND DMA.
+      logit_softcap: Gemma-2-style score capping ``cap * tanh(s / cap)``.
 
     Returns:
       ``o`` with q's shape (and dtype), or ``(o, l, m)``.
@@ -127,7 +135,8 @@ def attention(
             )
             q3 = q3.reshape(bh * groups, s_q, d)
         out = reference.attention_reference_with_stats(
-            q3, k3, v3, causal=causal, scale=scale, q_offset=q_offset
+            q3, k3, v3, causal=causal, scale=scale, q_offset=q_offset,
+            window=window, logit_softcap=logit_softcap,
         )
         o, l, m = out
         if groups > 1:
@@ -166,6 +175,8 @@ def attention(
             precision=precision,
             q_seq_len=s_q_pad if groups > 1 else None,
             interpret=interpret,
+            window=window,
+            logit_softcap=logit_softcap,
         )
         o, l, m = out if save_residuals else (out, None, None)
         if groups > 1 and s_q_pad != s_q:

@@ -253,6 +253,8 @@ def _kernel(
     q_seq_blocks: int | None,
     packed: bool = False,
     tri: bool = False,
+    window: int | None = None,
+    logit_softcap: float | None = None,
 ):
     """Grid = (batch*heads, num_q_blocks, num_kv_blocks); kv dim is sequential.
 
@@ -325,6 +327,13 @@ def _kernel(
         should_run = (q_offset + (q_idx + 1) * block_q - 1) >= (kv_idx * block_kv)
     else:
         should_run = True
+    if window is not None:
+        # Sliding window: the tile is dead when its last kv col falls before
+        # the window of the block's FIRST row.
+        win_run = ((kv_idx + 1) * block_kv - 1) >= (
+            q_offset + q_idx * block_q - window + 1
+        )
+        should_run = win_run if should_run is True else (should_run & win_run)
     if has_kv_len:
         # Blocks entirely past the (traced) KV length contribute nothing:
         # skip their compute too (their DMA is already clamped away).
@@ -384,6 +393,9 @@ def _kernel(
                 s = _dot_g(q, k, dims_nt, precision, a_split=q_split)
             if scale != 1.0:
                 s = s * scale
+            if logit_softcap is not None:
+                # Gemma-2-style capping: s -> cap * tanh(s / cap).
+                s = logit_softcap * jnp.tanh(s * (1.0 / logit_softcap))
 
             kv_start = kv_idx * block_kv + start
             mask = None
@@ -399,6 +411,8 @@ def _kernel(
                 )
                 col_ids = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                 mask = col_ids <= row_ids
+                if window is not None:
+                    mask = mask & (col_ids > row_ids - window)
             if has_kv_len:
                 col_ids = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                 len_mask = col_ids < kv_len
@@ -464,6 +478,11 @@ def _kernel(
                     run_sub = (q_offset + (q_idx + 1) * block_q - 1) >= (
                         kv_idx * block_kv + start
                     )
+                if window is not None:
+                    win_sub = (kv_idx * block_kv + start + block_kv_compute - 1) >= (
+                        q_offset + q_idx * block_q - window + 1
+                    )
+                    run_sub = win_sub if run_sub is True else (run_sub & win_sub)
                 if has_kv_len:
                     len_sub = kv_idx * block_kv + start < kv_len
                     run_sub = len_sub if run_sub is True else (run_sub & len_sub)
@@ -507,6 +526,8 @@ def flash_attention(
     precision: str | None = None,
     q_seq_len: int | None = None,
     interpret: bool | None = None,
+    window: int | None = None,
+    logit_softcap: float | None = None,
 ) -> Any:
     """Fused flash attention forward on (BH, S, d) tensors (see _flash_attention).
 
@@ -522,6 +543,7 @@ def flash_attention(
         and q_offset == 0
         and q_seq_len is None
         and kv_len is None
+        and window is None
     )
     return _flash_attention(
         q,
@@ -539,6 +561,8 @@ def flash_attention(
         q_seq_len=q_seq_len,
         interpret=interpret,
         tri_ok=tri_ok,
+        window=window,
+        logit_softcap=logit_softcap,
     )
 
 
@@ -553,6 +577,8 @@ def flash_attention(
         "q_seq_len",
         "interpret",
         "tri_ok",
+        "window",
+        "logit_softcap",
     ),
 )
 def _flash_attention(
@@ -572,6 +598,8 @@ def _flash_attention(
     q_seq_len: int | None = None,
     interpret: bool | None = None,
     tri_ok: bool = False,
+    window: int | None = None,
+    logit_softcap: float | None = None,
 ) -> Any:
     """Fused flash attention forward on (BH, S, d) tensors.
 
@@ -728,6 +756,8 @@ def _flash_attention(
         q_seq_blocks=q_seq_blocks,
         packed=packed,
         tri=tri,
+        window=window,
+        logit_softcap=logit_softcap,
     )
 
     out_shape = [jax.ShapeDtypeStruct((bh, s_q, d), q.dtype)]  # o
@@ -737,7 +767,7 @@ def _flash_attention(
         kv_scale_map = lambda b, p, sc, qi, kj: (b, 0, kj[p])
     else:
         q_map = lambda b, i, j, qoff: (b, i, 0)
-        if causal or kv_len is not None:
+        if causal or kv_len is not None or window is not None:
             # KV blocks skipped by ``pl.when`` in the kernel (above the
             # diagonal, or past the traced kv_len) would still be DMA'd by
             # the BlockSpec pipeline.  Clamping the KV block index to the
@@ -755,7 +785,16 @@ def _flash_attention(
                     last = jnp.minimum(last, (qoff[0] + (i + 1) * bq - 1) // bkv)
                 if kv_len is not None:
                     last = jnp.minimum(last, jnp.maximum((qoff[1] - 1) // bkv, 0))
-                return jnp.minimum(j, last)
+                j = jnp.minimum(j, last)
+                if window is not None:
+                    # Lower-side clamp: blocks fully before the sliding
+                    # window of the block's first row repeat the first needed
+                    # index, so the pipeline elides their DMA too.
+                    first = jnp.maximum(
+                        0, (qoff[0] + i * bq - window + 1) // bkv
+                    )
+                    j = jnp.maximum(j, jnp.minimum(first, last))
+                return j
 
         else:
 

@@ -54,6 +54,8 @@ def attention_reference(
     scale: float = 1.0,
     kv_len: int | None = None,
     q_offset: int = 0,
+    window: int | None = None,
+    logit_softcap: float | None = None,
 ):
     """Dense reference attention ``O = softmax(scale * Q K^T) V``.
 
@@ -63,7 +65,8 @@ def attention_reference(
     lacks except in ``attention_forward_torch.cu:162-168``).
     """
     o, _, _ = attention_reference_with_stats(
-        q, k, v, causal=causal, scale=scale, kv_len=kv_len, q_offset=q_offset
+        q, k, v, causal=causal, scale=scale, kv_len=kv_len, q_offset=q_offset,
+        window=window, logit_softcap=logit_softcap,
     )
     return o
 
@@ -77,6 +80,8 @@ def attention_reference_with_stats(
     scale: float = 1.0,
     kv_len: int | None = None,
     q_offset: int = 0,
+    window: int | None = None,
+    logit_softcap: float | None = None,
 ):
     """Reference attention returning ``(o, l, m)``.
 
@@ -93,11 +98,19 @@ def attention_reference_with_stats(
 
     # HIGHEST precision so the oracle stays a valid fp32 golden on TPU MXUs.
     s = jnp.einsum("...qd,...kd->...qk", qf, kf, precision="highest") * scale
+    if logit_softcap is not None:
+        # Gemma-2-style score capping: s -> cap * tanh(s / cap).
+        s = logit_softcap * jnp.tanh(s / logit_softcap)
 
     s_q, s_kv = s.shape[-2], s.shape[-1]
     mask = None
     if causal:
         mask = causal_mask(s_q, s_kv, q_offset=q_offset)
+        if window is not None:
+            # Sliding window: query i sees keys in (i - window, i].
+            q_ids = jnp.arange(s_q)[:, None] + q_offset
+            kv_ids = jnp.arange(s_kv)[None, :]
+            mask = mask & (kv_ids > q_ids - window)
     if kv_len is not None:
         len_mask = jnp.arange(s_kv)[None, :] < kv_len
         mask = len_mask if mask is None else (mask & len_mask)

@@ -316,3 +316,55 @@ def test_triangular_grid_engages_with_explicit_zero_offset():
         )(jnp.int32(0))
     )
     assert "i32[10]" not in text
+
+
+# ── sliding-window attention + logit softcap (round 2) ──────────────────────
+
+
+@pytest.mark.parametrize("window,cap", [(160, None), (None, 25.0), (160, 25.0)])
+def test_window_and_softcap_forward(window, cap):
+    """Sliding window (Mistral-style) and logit softcap (Gemma-2-style) vs
+    the oracle, incl. the combined case and a decode-suffix offset."""
+    q, k, v = qkv((2, 512, 64), seed=41)
+    bs = BlockSizes(128, 128, 128)
+    kw = dict(causal=True, scale=0.125, window=window, logit_softcap=cap)
+    o = flash_attention(q, k, v, block_sizes=bs, **kw)
+    want = attention_reference(q, k, v, **kw)
+    validate_result(o, want, TOL_FP32)
+    o2 = flash_attention(q[:, :128], k, v, q_offset=384, block_sizes=bs, **kw)
+    want2 = attention_reference(q[:, :128], k, v, q_offset=384, **kw)
+    validate_result(o2, want2, TOL_FP32)
+
+
+def test_window_softcap_dispatch_and_gqa():
+    """Public API: 4D GQA + window + softcap against the repeated-KV oracle."""
+    b, hq, hkv, s, d = 2, 4, 2, 300, 64
+    ks = jax.random.split(jax.random.key(42), 3)
+    q = make_random(ks[0], (b, hq, s, d))
+    k = make_random(ks[1], (b, hkv, s, d))
+    v = make_random(ks[2], (b, hkv, s, d))
+    kw = dict(causal=True, scale=d**-0.5, window=130, logit_softcap=40.0)
+    o = attention(q, k, v, **kw)
+    want = attention(q, k, v, implementation="xla", **kw)
+    validate_result(o, want, TOL_FP32)
+
+
+def test_window_softcap_gradients_match_oracle_autodiff():
+    from flashattention_tpu.ops.backward import attention_vjp
+
+    q, k, v = qkv((2, 256, 32), seed=43)
+    do = make_random(jax.random.key(44), q.shape)
+    bs = BlockSizes(128, 128, 128)
+    f = lambda q, k, v: (
+        attention_vjp(q, k, v, True, 0.125, bs, None, None, None, 140, 25.0) * do
+    ).sum()
+    fr = lambda q, k, v: (
+        attention_reference(
+            q, k, v, causal=True, scale=0.125, window=140, logit_softcap=25.0
+        )
+        * do
+    ).sum()
+    g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("dq dk dv".split(), g, gr):
+        validate_result(a, b, 5e-4, name=name)
