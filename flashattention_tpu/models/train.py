@@ -131,7 +131,7 @@ def _forward_local(params, tokens, cfg: ModelConfig, tp_size: int, tp_axis: str)
         vf = v.transpose(0, 2, 1, 3).reshape(b * hkv_local, s, cfg.head_dim)
         o = attention_vjp(
             qf, kf, vf, True, cfg.head_dim**-0.5, None, None, None,
-            s if g > 1 else None,
+            s if g > 1 else None, cfg.sliding_window, cfg.logit_softcap,
         )
         o = (
             o.reshape(b, hq_local, s, cfg.head_dim)
@@ -303,6 +303,11 @@ def make_train_step_sp(
         zigzag_shard,
     )
 
+    if cfg.sliding_window is not None or cfg.logit_softcap is not None:
+        raise NotImplementedError(
+            "sliding_window/logit_softcap are not implemented on the ring "
+            "SP training path; use make_train_step (DP x TP) for such models"
+        )
     sp_size = mesh.shape[sp]
     g = cfg.group_size
     specs = param_specs(cfg, tp="__none__")  # no tp axis: replicate weights

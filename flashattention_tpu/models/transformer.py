@@ -50,6 +50,8 @@ class ModelConfig:
     intermediate: int = 1408
     rope_theta: float = 10000.0
     dtype: str = "bfloat16"
+    sliding_window: int | None = None  # Mistral-style local attention
+    logit_softcap: float | None = None  # Gemma-2-style score capping
 
     @property
     def group_size(self) -> int:
@@ -184,7 +186,9 @@ def prefill(params, tokens: jax.Array, cfg: ModelConfig, interpret=None):
         # q projection orders heads h = kvh * G + g already (contiguous
         # reshape of (B, S, KVH*G*d)), matching dispatch's (KVH, G) split.
         o = attention(
-            qf, kf, vf, causal=True, scale=cfg.head_dim**-0.5, interpret=interpret
+            qf, kf, vf, causal=True, scale=cfg.head_dim**-0.5,
+            window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
+            interpret=interpret,
         )
         o = o.transpose(0, 2, 1, 3)
         x = x + o.reshape(b, s, -1) @ layer["wo"]
@@ -271,6 +275,8 @@ def decode_step_impl(
             k_scales_pages=None if k_scales is None else k_scales[li],
             v_scales_pages=None if v_scales is None else v_scales[li],
             scale=cfg.head_dim**-0.5,
+            window=cfg.sliding_window,
+            logit_softcap=cfg.logit_softcap,
             interpret=interpret,
         )  # (B, KVH, G, d)
         o = o.reshape(b, 1, cfg.num_q_heads * cfg.head_dim)
@@ -398,6 +404,8 @@ def verify_step(
             v_scales_pages=None if v_scales is None else v_scales[li],
             scale=cfg.head_dim**-0.5,
             draft_k=kk,
+            window=cfg.sliding_window,
+            logit_softcap=cfg.logit_softcap,
             interpret=interpret,
         )  # (B, KVH, G*k, d)
         o = (
@@ -611,6 +619,8 @@ def prefill_chunk(
             k_scales_pages=k_scales[li] if quantized else None,
             v_scales_pages=v_scales[li] if quantized else None,
             scale=cfg.head_dim**-0.5,
+            window=cfg.sliding_window,
+            logit_softcap=cfg.logit_softcap,
             interpret=interpret,
         )  # (KVH, G*tpad, d)
         o = o.reshape(kvh, g, tpad, cfg.head_dim)[:, :, :t]

@@ -102,15 +102,28 @@ def _paged_kernel(
     scale: float,
     quantized: bool,
     draft_k: int = 1,
+    window: int | None = None,
+    logit_softcap: float | None = None,
     mask_value: float = DEFAULT_MASK_VALUE,
 ):
     b, i = pl.program_id(0), pl.program_id(1)
     length = lengths_ref[b]
     is_active = i * page_size < length
+    if window is not None:
+        # Sliding window: pages entirely before the earliest attending
+        # query row's window are dead (earliest row pos = length - draft_k).
+        is_active = is_active & (
+            (i + 1) * page_size - 1 >= length - draft_k - window + 1
+        )
+
+    if window is not None:
+        first_active = jnp.maximum(0, (length - draft_k - window + 1) // page_size)
+    else:
+        first_active = 0
 
     @pl.when(is_active)
     def _run():
-        @pl.when(i == 0)
+        @pl.when(i == first_active)
         def _init():
             m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
             l_scratch[...] = jnp.zeros_like(l_scratch)
@@ -141,6 +154,8 @@ def _paged_kernel(
             s = s * ks_ref[0][:, None, :]
         if scale != 1.0:
             s = s * scale
+        if logit_softcap is not None:
+            s = logit_softcap * jnp.tanh(s * (1.0 / logit_softcap))
         if g8 != g:
             # Pad query-group rows to the sublane quantum so scratch updates
             # are full-shape (padded rows carry harmless junk).
@@ -148,6 +163,12 @@ def _paged_kernel(
         s = s.reshape(kvh * g8, ps)
 
         col_ids = i * ps + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        if window is not None:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            dp = jax.lax.rem(jax.lax.rem(row, g8), draft_k) if draft_k > 1 else 0
+            row_pos = length - draft_k + dp  # absolute position per row
+            win_mask = col_ids > row_pos - window
+            s = jnp.where(win_mask, s, mask_value)
         if draft_k > 1:
             # Speculative verification: the within-head rows are (G, k)
             # k-minor — draft position dp's row attends cols
@@ -194,7 +215,10 @@ def _paged_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "pages_per_compute_block", "draft_k", "interpret"),
+    static_argnames=(
+        "scale", "pages_per_compute_block", "draft_k", "window",
+        "logit_softcap", "interpret",
+    ),
 )
 def paged_attention(
     q: jax.Array,
@@ -208,6 +232,8 @@ def paged_attention(
     scale: float = 1.0,
     pages_per_compute_block: int = 1,  # compat; compute block == one page
     draft_k: int = 1,
+    window: int | None = None,
+    logit_softcap: float | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Decode attention over a paged KV cache.
@@ -257,11 +283,15 @@ def paged_attention(
     ps = page_size
 
     def page_for(b_, i_, lengths_ref, page_indices_ref):
-        # Clamp inactive tail steps to the last active page: the unchanged
-        # block index lets the pipeline skip the (useless) re-fetch.
+        # Clamp inactive steps to the active page range: an unchanged block
+        # index lets the pipeline skip the (useless) re-fetch — tail pages
+        # past the length, and (with a sliding window) head pages before it.
         length = lengths_ref[b_]
         last_active = jnp.maximum(pl.cdiv(length, ps) - 1, 0)
         idx = jnp.minimum(i_, last_active)
+        if window is not None:
+            first = jnp.maximum(0, (length - draft_k - window + 1) // ps)
+            idx = jnp.maximum(idx, jnp.minimum(first, last_active))
         return page_indices_ref[b_ * pps + idx]
 
     if draft_k > 1 and g % draft_k:
@@ -272,6 +302,8 @@ def paged_attention(
         scale=scale,
         quantized=quantized,
         draft_k=draft_k,
+        window=window,
+        logit_softcap=logit_softcap,
     )
 
     in_specs = [
@@ -357,6 +389,8 @@ def _paged_prefill_kernel(
     seg: int,  # padded segment length (bq divides seg)
     scale: float,
     quantized: bool,
+    window: int | None = None,
+    logit_softcap: float | None = None,
     mask_value: float = DEFAULT_MASK_VALUE,
 ):
     i, j = pl.program_id(0), pl.program_id(1)
@@ -370,12 +404,18 @@ def _paged_prefill_kernel(
     blk_seg0 = (i * bq) % seg  # bq | seg: all rows of a block share a segment
     pos0 = ctx_len - chunk + blk_seg0
 
-    # Skip pages entirely past this block's last row or past the context.
+    # Skip pages entirely past this block's last row or past the context
+    # (and, under a sliding window, before the first row's window).
     run = (j * ps <= pos0 + bq - 1) & (j * ps < ctx_len)
+    if window is not None:
+        run = run & ((j + 1) * ps - 1 >= pos0 - window + 1)
+        first_j = jnp.maximum(0, (pos0 - window + 1) // ps)
+    else:
+        first_j = 0
 
     @pl.when(run)
     def _run():
-        @pl.when(j == 0)
+        @pl.when(j == first_j)
         def _init():
             m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
             l_scratch[...] = jnp.zeros_like(l_scratch)
@@ -399,10 +439,14 @@ def _paged_prefill_kernel(
             s = s * ks_ref[0][:, None, :]
         if scale != 1.0:
             s = s * scale
+        if logit_softcap is not None:
+            s = logit_softcap * jnp.tanh(s * (1.0 / logit_softcap))
 
         row_pos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (bq, ps), 0)
         col = j * ps + jax.lax.broadcasted_iota(jnp.int32, (bq, ps), 1)
         mask = (col <= row_pos) & (col < ctx_len)
+        if window is not None:
+            mask = mask & (col > row_pos - window)
         s = jnp.where(mask[None], s, mask_value)
         s = s.reshape(kvh * bq, ps)
 
@@ -444,7 +488,11 @@ def _paged_prefill_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("chunk", "seg", "scale", "block_q", "interpret")
+    jax.jit,
+    static_argnames=(
+        "chunk", "seg", "scale", "block_q", "window", "logit_softcap",
+        "interpret",
+    ),
 )
 def paged_prefill_attention(
     q: jax.Array,
@@ -459,6 +507,8 @@ def paged_prefill_attention(
     v_scales_pages: jax.Array | None = None,
     scale: float = 1.0,
     block_q: int = 512,
+    window: int | None = None,
+    logit_softcap: float | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Chunked-prefill attention DIRECTLY over the paged KV pool.
@@ -503,7 +553,12 @@ def paged_prefill_attention(
 
     def page_for(i, j, scal, pi):
         last_live = jnp.maximum(pl.cdiv(scal[0], ps) - 1, 0)
-        return pi[jnp.minimum(j, last_live)]
+        j = jnp.minimum(j, last_live)
+        if window is not None:
+            pos0 = scal[0] - chunk + (i * bq) % seg
+            first = jnp.maximum(0, (pos0 - window + 1) // ps)
+            j = jnp.maximum(j, jnp.minimum(first, last_live))
+        return pi[j]
 
     in_specs = [
         pl.BlockSpec((kvh, bq, d), lambda i, j, s_, pi: (0, i, 0)),
@@ -539,6 +594,8 @@ def paged_prefill_attention(
         seg=seg,
         scale=scale,
         quantized=quantized,
+        window=window,
+        logit_softcap=logit_softcap,
     )
     return pl.pallas_call(
         kernel,

@@ -787,3 +787,43 @@ def test_durable_checkpoint_roundtrip(tiny_model, tmp_path):
     resumed = Engine.from_state(engine_state, restored_params, cfg, ccfg, ecfg)
     got = resumed.run()
     assert got == want, (got, want)
+
+
+def test_engine_sliding_window_softcap_model():
+    """A Mistral/Gemma-class model (sliding window + logit softcap) serves
+    end-to-end — batch prefill, chunked prefill, decode, multi-step, and
+    speculative — matching the full-forward reference (round 2)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        transformer.ModelConfig.tiny(),
+        dtype="float32",
+        sliding_window=12,
+        logit_softcap=30.0,
+    )
+    params = transformer.init_params(jax.random.key(2), cfg)
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        page_size=8,
+        num_pages=64,
+        dtype="float32",
+    )
+    prompts = [[3, 1, 4, 1, 5, 9, 2, 6], list(range(1, 19))]  # 2nd: chunked
+    want = {
+        tuple(p): reference_generate(params, cfg, p, 6) for p in prompts
+    }
+    for mode in ("plain", "multi", "spec"):
+        eng = Engine(
+            params, cfg, ccfg, EngineConfig(max_batch=4, pages_per_seq=8)
+        )
+        rids = {eng.add_request(p, 6): tuple(p) for p in prompts}
+        if mode == "plain":
+            outs = eng.run()
+        elif mode == "multi":
+            outs = eng.run(multi_step=3)
+        else:
+            outs = eng.run_speculative(lambda req, n: [1] * n, k=3)
+        for rid, key in rids.items():
+            assert outs[rid] == want[key], (mode, outs[rid], want[key])
