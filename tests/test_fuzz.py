@@ -31,32 +31,38 @@ def sample_config(rng):
     causal = bool(rng.random() < 0.6)
     dtype = jnp.float32 if rng.random() < 0.5 else jnp.bfloat16
     scale = float(rng.choice([1.0, d**-0.5]))
-    return b, hq, hkv, d, s_q, s_kv, causal, dtype, scale
+    # Round-2 dims: sliding window (causal only) and logit softcap.
+    window = int(rng.integers(8, s_kv + 1)) if causal and rng.random() < 0.4 else None
+    cap = float(rng.choice([20.0, 50.0])) if rng.random() < 0.3 else None
+    return b, hq, hkv, d, s_q, s_kv, causal, dtype, scale, window, cap
 
 
 @pytest.mark.parametrize("case", CASES)
 def test_fuzz_attention_vs_oracle(case):
     rng = np.random.default_rng(1000 + case)
-    b, hq, hkv, d, s_q, s_kv, causal, dtype, scale = sample_config(rng)
+    b, hq, hkv, d, s_q, s_kv, causal, dtype, scale, window, cap = sample_config(rng)
     ks = jax.random.split(jax.random.key(case), 3)
     q = make_random(ks[0], (b, hq, s_q, d), dtype)
     k = make_random(ks[1], (b, hkv, s_kv, d), dtype)
     v = make_random(ks[2], (b, hkv, s_kv, d), dtype)
 
-    o = attention(q, k, v, causal=causal, scale=scale)
+    o = attention(
+        q, k, v, causal=causal, scale=scale, window=window, logit_softcap=cap
+    )
 
     gq = hq // hkv
     kr = jnp.repeat(k, gq, axis=1).reshape(b * hq, s_kv, d)
     vr = jnp.repeat(v, gq, axis=1).reshape(b * hq, s_kv, d)
     want = attention_reference(
         q.reshape(b * hq, s_q, d), kr, vr, causal=causal, scale=scale,
-        q_offset=s_kv - s_q if causal else 0,
+        q_offset=s_kv - s_q if causal else 0, window=window, logit_softcap=cap,
     )
     tol = 1e-3 if dtype == jnp.float32 else 5e-2
     err = max_abs_err(o.astype(jnp.float32).reshape(b * hq, s_q, d), want)
     assert err <= tol, (
         f"case {case}: b={b} hq={hq} hkv={hkv} d={d} s_q={s_q} s_kv={s_kv} "
-        f"causal={causal} dtype={dtype.__name__} scale={scale}: err={err}"
+        f"causal={causal} dtype={dtype.__name__} scale={scale} "
+        f"window={window} cap={cap}: err={err}"
     )
 
 
