@@ -161,30 +161,73 @@ def make_ulysses_attention(
     vs ring attention: two all-to-alls of O(S*d/N) per device instead of N-1
     ppermutes, no partial-merge numerics, but requires H % axis_size == 0 and
     peak memory holds the full sequence for the local heads.
+
+    GQA (round 2): grouped-query inputs (KVH != H, even KVH < axis_size)
+    all-gather the small KV along the sequence and slice each device's KV
+    head range; q still head-scatters.  Requires the per-device q-head count
+    to align with the group size.
     """
     axis_size = mesh.shape[axis_name]
     spec = P(None, None, axis_name, None)
 
     def local(q, k, v):
         b, h, s_local, d = q.shape
+        kvh = k.shape[1]
         if h % axis_size:
             raise ValueError(f"heads ({h}) must divide over {axis_name}={axis_size}")
-        # (B, H, S/N, d) -> (B, H/N, S, d): scatter heads, gather sequence.
-        qh, kh, vh = (
-            jax.lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2, tiled=True)
-            for x in (q, k, v)
-        )
         h_local = h // axis_size
         s = s_local * axis_size
-        o = flash_attention(
-            qh.reshape(b * h_local, s, d),
-            kh.reshape(b * h_local, s, d),
-            vh.reshape(b * h_local, s, d),
-            causal=causal,
-            scale=scale,
-            block_sizes=block_sizes,
-            interpret=interpret,
-        ).reshape(b, h_local, s, d)
+        # (B, H, S/N, d) -> (B, H/N, S, d): scatter heads, gather sequence.
+        qh = jax.lax.all_to_all(
+            q, axis_name, split_axis=1, concat_axis=2, tiled=True
+        )
+        if kvh == h:
+            kh, vh = (
+                jax.lax.all_to_all(
+                    x, axis_name, split_axis=1, concat_axis=2, tiled=True
+                )
+                for x in (k, v)
+            )
+            o = flash_attention(
+                qh.reshape(b * h_local, s, d),
+                kh.reshape(b * h_local, s, d),
+                vh.reshape(b * h_local, s, d),
+                causal=causal,
+                scale=scale,
+                block_sizes=block_sizes,
+                interpret=interpret,
+            ).reshape(b, h_local, s, d)
+        else:
+            # GQA (round 2): KV heads are G-times fewer, possibly fewer than
+            # the axis — all-gather the (small) KV along the sequence instead
+            # of head-scattering it, then slice the KV heads this device's
+            # contiguous q-head range maps to.  Comm: O(KVH*S*d) KV gather +
+            # O(H*S*d/N) q all-to-all — the KV side is G-times smaller than
+            # the q side, which is the GQA point.
+            g = h // kvh
+            if h_local % g and g % h_local:
+                raise ValueError(
+                    f"local q heads ({h_local}) must align with GQA groups "
+                    f"({g}): need h_local % g == 0 or g % h_local == 0"
+                )
+            kf = jax.lax.all_gather(k, axis_name, axis=2, tiled=True)
+            vf = jax.lax.all_gather(v, axis_name, axis=2, tiled=True)
+            idx = jax.lax.axis_index(axis_name)
+            kv_count = max(1, h_local // g)
+            kv_start = (idx * h_local) // g
+            ks_ = jax.lax.dynamic_slice_in_dim(kf, kv_start, kv_count, axis=1)
+            vs_ = jax.lax.dynamic_slice_in_dim(vf, kv_start, kv_count, axis=1)
+            from flashattention_tpu.ops.dispatch import attention as _attn
+
+            o = _attn(
+                qh,
+                ks_,
+                vs_,
+                causal=causal,
+                scale=scale,
+                block_sizes=block_sizes,
+                interpret=interpret,
+            )
         # (B, H/N, S, d) -> (B, H, S/N, d): scatter sequence, gather heads.
         return jax.lax.all_to_all(
             o, axis_name, split_axis=2, concat_axis=1, tiled=True

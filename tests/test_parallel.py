@@ -433,3 +433,29 @@ def test_zigzag_ring_vjp_matches_dense_grads():
     got = jax.grad(loss_z, argnums=(0, 1, 2))(qz, kz, vz)
     for name, a, b in zip("dq dk dv".split(), got, want):
         validate_result(zigzag_unshard(a, n), b, 5e-3, name=name)
+
+
+@pytest.mark.parametrize("hq,hkv", [(8, 2), (16, 4), (8, 8)])
+def test_ulysses_gqa(hq, hkv):
+    """GQA-aware Ulysses (round 2): KV heads fewer than the axis size
+    all-gather along sequence while q heads scatter; == repeated-KV oracle."""
+    from flashattention_tpu.parallel.sharded import make_ulysses_attention
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(1, 8), ("dp", "sp"))
+    b, s, d = 2, 8 * 128, 64
+    ks = jax.random.split(jax.random.key(hq), 3)
+    q = make_random(ks[0], (b, hq, s, d))
+    k = make_random(ks[1], (b, hkv, s, d))
+    v = make_random(ks[2], (b, hkv, s, d))
+    spec = NamedSharding(mesh, P(None, None, "sp", None))
+    qd, kd, vd = (jax.device_put(x, spec) for x in (q, k, v))
+    fn = make_ulysses_attention(mesh, axis_name="sp", causal=True)
+    o = fn(qd, kd, vd)
+    g = hq // hkv
+    want = attention_reference(
+        q.reshape(b * hq, s, d),
+        jnp.repeat(k, g, 1).reshape(b * hq, s, d),
+        jnp.repeat(v, g, 1).reshape(b * hq, s, d),
+        causal=True,
+    )
+    validate_result(o.reshape(b * hq, s, d), want, 2e-4)
