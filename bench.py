@@ -33,17 +33,32 @@ B, H, D, S = 2, 8, 64, 8192
 DTYPE = jnp.float32  # the reference benchmarks FP32
 
 
-def _decode_tokens_per_s(b=8, kvh=8, g=4, d=128, s=2048, ps=256):
-    """Paged-decode tokens/s (bf16 KV, the serving north-star metric)."""
+def _decode_tokens_per_s(b=8, kvh=8, g=4, d=128, s=2048, ps=256, kv="bf16"):
+    """Paged-decode tokens/s (the serving north-star metric).
+
+    kv="int8" uses int8 payload pools with per-token scales and the
+    bandwidth-optimal 1024-token pages (round 2: int8 pages carry half the
+    bytes, so the optimal page is larger)."""
+    if kv == "int8":
+        ps = 1024
     pps = s // ps
     ks = jax.random.split(jax.random.key(0), 3)
     q = make_random(ks[0], (b, kvh, g, d), jnp.float32)
-    kp = make_random(ks[1], (b * pps + 8, kvh, ps, d), jnp.bfloat16)
-    vp = make_random(ks[2], (b * pps + 8, kvh, ps, d), jnp.bfloat16)
+    extra = {}
+    if kv == "int8":
+        from flashattention_tpu.ops.quant import quantize
+
+        kq = quantize(make_random(ks[1], (b * pps + 2, kvh, ps, d), jnp.float32), "int8")
+        vq = quantize(make_random(ks[2], (b * pps + 2, kvh, ps, d), jnp.float32), "int8")
+        kp, vp = kq.payload, vq.payload
+        extra = dict(k_scales_pages=kq.scales, v_scales_pages=vq.scales)
+    else:
+        kp = make_random(ks[1], (b * pps + 8, kvh, ps, d), jnp.bfloat16)
+        vp = make_random(ks[2], (b * pps + 8, kvh, ps, d), jnp.bfloat16)
     lengths = jnp.full((b,), s, jnp.int32)
     pi = jnp.asarray(np.arange(b * pps, dtype=np.int32).reshape(b, pps))
     ms = devtime_ms(
-        lambda q: paged_attention(q, kp, vp, lengths, pi), (q,), n_hi=257
+        lambda q: paged_attention(q, kp, vp, lengths, pi, **extra), (q,), n_hi=257
     )
     return round(b / ms * 1e3)
 
@@ -67,6 +82,7 @@ def main():
         lambda q, k, v: flash_attention(q, k, v, causal=True), (qb, kb, vb)
     )
     decode_tps = _decode_tokens_per_s()
+    decode_tps_int8 = _decode_tokens_per_s(kv="int8")
     print(
         json.dumps(
             {
@@ -81,6 +97,7 @@ def main():
                 "bf16_tflops_per_s": round(flops / ms_bf16 / 1e9, 1),
                 "causal_bf16_ms": round(ms_causal_bf16, 3),
                 "decode_tokens_per_s_bf16": decode_tps,
+                "decode_tokens_per_s_int8": decode_tps_int8,
             }
         )
     )
