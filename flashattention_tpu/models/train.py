@@ -150,6 +150,39 @@ def _forward_local(params, tokens, cfg: ModelConfig, tp_size: int, tp_axis: str)
     return x @ params["lm_head"]
 
 
+def _make_grad_map(mesh, cfg, *, dp, tp):
+    """shard_mapped (params, tokens) -> (loss, grads): the DP x TP forward/
+    backward shared by the SGD and optax training steps (one copy to keep
+    loss masking / grad reductions in sync — round-2 review)."""
+    tp_size = mesh.shape[tp]
+    if cfg.num_kv_heads % tp_size:
+        raise ValueError(
+            f"tp={tp_size} must divide num_kv_heads={cfg.num_kv_heads}"
+        )
+    specs = param_specs(cfg, tp)
+
+    def local_grads(params, tokens):
+        def loss_fn(params):
+            logits = _forward_local(params, tokens, cfg, tp_size, tp)
+            targets = tokens[:, 1:]
+            logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+            return jnp.mean(nll)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss = jax.lax.pmean(loss, dp)
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, dp), grads)
+        return loss, grads
+
+    return jax.shard_map(
+        local_grads,
+        mesh=mesh,
+        in_specs=(specs, P(dp, None)),
+        out_specs=(P(), specs),
+        check_vma=False,
+    )
+
+
 def make_train_step(
     mesh: Mesh,
     cfg: ModelConfig,
@@ -163,35 +196,17 @@ def make_train_step(
     tokens: (B, S) int32 sharded over dp; params sharded per param_specs.
     Next-token causal-LM cross-entropy; grads pmean-ed over dp.
     """
-    tp_size = mesh.shape[tp]
-    if cfg.num_kv_heads % tp_size:
-        raise ValueError(
-            f"tp={tp_size} must divide num_kv_heads={cfg.num_kv_heads}"
+    grad_map = _make_grad_map(mesh, cfg, dp=dp, tp=tp)
+
+    @jax.jit
+    def step(params, tokens):
+        loss, grads = grad_map(params, tokens)
+        new_params = jax.tree.map(
+            lambda p, g: p - lr * g.astype(p.dtype), params, grads
         )
-    specs = param_specs(cfg, tp)
-
-    def local_step(params, tokens):
-        def loss_fn(params):
-            logits = _forward_local(params, tokens, cfg, tp_size, tp)
-            targets = tokens[:, 1:]
-            logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
-            nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
-            return jnp.mean(nll)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        loss = jax.lax.pmean(loss, dp)
-        grads = jax.tree.map(lambda g: jax.lax.pmean(g, dp), grads)
-        new_params = jax.tree.map(lambda p, g: p - lr * g.astype(p.dtype), params, grads)
         return loss, new_params
 
-    step = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(specs, P(dp, None)),
-        out_specs=(P(), specs),
-        check_vma=False,
-    )
-    return jax.jit(step)
+    return step
 
 
 def make_train_step_optax(
@@ -217,40 +232,11 @@ def make_train_step_optax(
         opt_state = jax.jit(opt.init)(params)   # params already sharded
         loss, params, opt_state = step(params, opt_state, tokens)
     """
-    import optax  # deferred: training-only dependency
-
-    del optax  # imported for the docstring contract; any optax-like works
-    tp_size = mesh.shape[tp]
-    if cfg.num_kv_heads % tp_size:
-        raise ValueError(
-            f"tp={tp_size} must divide num_kv_heads={cfg.num_kv_heads}"
-        )
-    specs = param_specs(cfg, tp)
-
-    def local_grads(params, tokens):
-        def loss_fn(params):
-            logits = _forward_local(params, tokens, cfg, tp_size, tp)
-            targets = tokens[:, 1:]
-            logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
-            nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
-            return jnp.mean(nll)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        loss = jax.lax.pmean(loss, dp)
-        grads = jax.tree.map(lambda g: jax.lax.pmean(g, dp), grads)
-        return loss, grads
-
-    grad_step = jax.shard_map(
-        local_grads,
-        mesh=mesh,
-        in_specs=(specs, P(dp, None)),
-        out_specs=(P(), specs),
-        check_vma=False,
-    )
+    grad_map = _make_grad_map(mesh, cfg, dp=dp, tp=tp)
 
     @jax.jit
     def step(params, opt_state, tokens):
-        loss, grads = grad_step(params, tokens)
+        loss, grads = grad_map(params, tokens)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         new_params = jax.tree.map(
             lambda p, u: (p + u.astype(p.dtype)), params, updates
@@ -392,7 +378,7 @@ def make_train_step_sp(
         )
         return loss, new_params
 
-    def step(params, tokens):
+    def _prep(tokens):
         # Next-token targets and validity computed on the global view, then
         # sharded alongside the tokens (zigzag: all three get the same global
         # permutation first, so each local row's target stays its own next
@@ -411,15 +397,20 @@ def make_train_step_sp(
             tokens, targets, valid = (
                 zigzag_shard(t, sp_size, axis=1) for t in (tokens, targets, valid)
             )
-        return jax.shard_map(
-            local_step,
-            mesh=mesh,
-            in_specs=(specs, P(dp, sp), P(dp, sp), P(dp, sp)),
-            out_specs=(P(), specs),
-            check_vma=False,
-        )(params, tokens, targets, valid)
+        return tokens, targets, valid
 
     if optimizer is None:
+
+        def step(params, tokens):
+            tokens, targets, valid = _prep(tokens)
+            return jax.shard_map(
+                local_step,
+                mesh=mesh,
+                in_specs=(specs, P(dp, sp), P(dp, sp), P(dp, sp)),
+                out_specs=(P(), specs),
+                check_vma=False,
+            )(params, tokens, targets, valid)
+
         return jax.jit(step)
 
     grad_map = jax.shard_map(
@@ -431,20 +422,7 @@ def make_train_step_sp(
     )
 
     def opt_step(params, opt_state, tokens):
-        targets = jnp.concatenate(
-            [tokens[:, 1:], jnp.zeros_like(tokens[:, :1])], axis=1
-        )
-        valid = jnp.concatenate(
-            [
-                jnp.ones(tokens[:, 1:].shape, jnp.float32),
-                jnp.zeros_like(tokens[:, :1], dtype=jnp.float32),
-            ],
-            axis=1,
-        )
-        if zigzag:
-            tokens, targets, valid = (
-                zigzag_shard(t, sp_size, axis=1) for t in (tokens, targets, valid)
-            )
+        tokens, targets, valid = _prep(tokens)
         loss, grads = grad_map(params, tokens, targets, valid)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         new_params = jax.tree.map(

@@ -547,17 +547,27 @@ def paged_prefill_attention(
     if rows % seg:
         raise ValueError(f"q rows ({rows}) must be a multiple of seg ({seg})")
     bq = min(block_q, seg)
-    while seg % bq:
+    while bq > 8 and seg % bq:
         bq -= 8
+    if bq <= 0 or seg % bq:
+        raise ValueError(
+            f"seg ({seg}) needs a divisor <= block_q ({block_q}) that is a "
+            "multiple of 8; pad the segment length"
+        )
     quantized = k_scales_pages is not None
 
     def page_for(i, j, scal, pi):
         last_live = jnp.maximum(pl.cdiv(scal[0], ps) - 1, 0)
-        j = jnp.minimum(j, last_live)
+        pos0 = scal[0] - chunk + (i * bq) % seg
+        # Clamp to the q block's causal extent too (not just the live range):
+        # pages past its last row repeat an index, so their DMA is elided —
+        # without this, early q blocks of a large chunk stream ~chunk^2/(2*bq)
+        # tokens of dead K/V per layer (round-2 review finding).
+        last_needed = jnp.clip((pos0 + bq - 1) // ps, 0, last_live)
+        j = jnp.minimum(j, last_needed)
         if window is not None:
-            pos0 = scal[0] - chunk + (i * bq) % seg
             first = jnp.maximum(0, (pos0 - window + 1) // ps)
-            j = jnp.maximum(j, jnp.minimum(first, last_live))
+            j = jnp.maximum(j, jnp.minimum(first, last_needed))
         return pi[j]
 
     in_specs = [

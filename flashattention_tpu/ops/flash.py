@@ -537,6 +537,8 @@ def flash_attention(
     would silently disable the optimization for every caller that names the
     kwarg — the public dispatch path does; round-2 review finding).
     """
+    if window is not None and not causal:
+        raise ValueError("window (sliding-window attention) requires causal=True")
     tri_ok = (
         causal
         and isinstance(q_offset, int)

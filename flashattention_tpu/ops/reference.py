@@ -102,6 +102,8 @@ def attention_reference_with_stats(
         # Gemma-2-style score capping: s -> cap * tanh(s / cap).
         s = logit_softcap * jnp.tanh(s / logit_softcap)
 
+    if window is not None and not causal:
+        raise ValueError("window (sliding-window attention) requires causal=True")
     s_q, s_kv = s.shape[-2], s.shape[-1]
     mask = None
     if causal:

@@ -297,7 +297,16 @@ class Engine:
             req.state = "running"
             self.running.append(req_id)
             toks = req.prompt + req.output
-            shared = chunk and self.cache.match_prefix(toks)[0] > 0
+            shared = 0
+            if chunk:
+                # Adopt any resident shared prefix IMMEDIATELY (refcounted):
+                # matching now and adopting later would race preemptions
+                # freeing the matched pages mid-step, and hashing once here
+                # avoids recomputing the chain in the prefill path.
+                n_sh, pages_sh = self.cache.match_prefix(toks)
+                if n_sh:
+                    self.cache.adopt_prefix(req_id, pages_sh, n_sh)
+                    shared = n_sh
             if chunk and (req.length > chunk or shared):
                 longs.append(req)
             else:
@@ -383,8 +392,10 @@ class Engine:
         # Prefix caching: adopt any resident full-page prefix (refcounted
         # shared pages; match guarantees >= 1 token remains to prefill) and
         # compute only the remainder against that adopted context.
-        skip = 0
-        if not self.cache.has(rid):
+        if self.cache.has(rid):
+            skip = self.cache.length(rid)  # prefix adopted at admission
+        else:
+            skip = 0
             n_shared, shared_pages = self.cache.match_prefix(
                 np.asarray(prompt).tolist()
             )

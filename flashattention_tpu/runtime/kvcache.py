@@ -181,11 +181,24 @@ class PagedKVCache:
 
     @staticmethod
     def _chain_keys(tokens, page_size):
-        """Chain-hash key per FULL page of ``tokens``."""
-        keys, prev = [], 0
+        """SHA-256 chain digest per FULL page of ``tokens``.
+
+        A cryptographic chain (digest_i = H(digest_{i-1} || page_i tokens))
+        makes collisions negligible, so a digest match IS a content match —
+        Python's unkeyed ``hash()`` would let two different prompts silently
+        share pages on a collision (round-2 review finding)."""
+        import hashlib
+
+        keys, prev = [], b""
         for i in range(len(tokens) // page_size):
-            page_toks = tuple(tokens[i * page_size : (i + 1) * page_size])
-            prev = hash((prev, page_toks))
+            h = hashlib.sha256(prev)
+            h.update(
+                b"".join(
+                    int(t).to_bytes(8, "little", signed=True)
+                    for t in tokens[i * page_size : (i + 1) * page_size]
+                )
+            )
+            prev = h.digest()
             keys.append(prev)
         return keys
 
