@@ -121,6 +121,8 @@ def attention_quantized(
     precision: str | None = None,
     q_seq_len: int | None = None,
     interpret: bool | None = None,
+    window: int | None = None,
+    logit_softcap: float | None = None,
 ) -> Any:
     """Flash attention over a quantized KV pair (fused in-kernel dequant).
 
@@ -199,6 +201,8 @@ def attention_quantized(
         precision=precision,
         q_seq_len=q_seq_len,
         interpret=interpret,
+        window=window,
+        logit_softcap=logit_softcap,
     )
     if s_q_pad == s_q:
         return out
