@@ -289,11 +289,6 @@ def make_train_step_sp(
         zigzag_shard,
     )
 
-    if cfg.sliding_window is not None or cfg.logit_softcap is not None:
-        raise NotImplementedError(
-            "sliding_window/logit_softcap are not implemented on the ring "
-            "SP training path; use make_train_step (DP x TP) for such models"
-        )
     sp_size = mesh.shape[sp]
     g = cfg.group_size
     specs = param_specs(cfg, tp="__none__")  # no tp axis: replicate weights
@@ -315,6 +310,7 @@ def make_train_step_sp(
             ring = zigzag_ring_attention_vjp_local(
                 axis_name=sp, axis_size=sp_size, scale=cfg.head_dim**-0.5,
                 q_seq_len=s_local if g > 1 else None,
+                window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
             )
         else:
             positions = s_local * sp_idx + jnp.broadcast_to(
@@ -324,6 +320,7 @@ def make_train_step_sp(
                 axis_name=sp, axis_size=sp_size, causal=True,
                 scale=cfg.head_dim**-0.5,
                 q_seq_len=s_local if g > 1 else None,
+                window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
             )
         kvh = cfg.num_kv_heads
         x = params["embed"][tokens]

@@ -193,16 +193,24 @@ class BlockSizes:
     ) -> "BlockSizes":
         """Pick defaults that divide the (padded) problem and fit VMEM.
 
-        Caps tuned empirically on TPU v5e (scripts/tune_flash.py).  Large
-        blocks amortize per-grid-step overhead; block_q=1024 needs the raised
-        scoped-VMEM limit the kernels request (vmem_limit_bytes) for the
-        multi-pass precisions.  Causal caps block_kv at 1024: with the
+        Caps tuned empirically on TPU v5e (scripts/tune_flash.py,
+        scripts/probe_d128.py).  Large blocks amortize per-grid-step
+        overhead; block_q=1024 needs the raised scoped-VMEM limit the
+        kernels request (vmem_limit_bytes) for the multi-pass precisions.
+        At head_dim >= 128 the VPU softmax work per score element is the
+        binding overhead and block_q=512 wins the measured sweep
+        (d=128 S=2048: 1.92 ms @ 512/2048 vs 2.03 @ 1024/2048); sub-tiling
+        (block_kv_compute < block_kv) LOSES everywhere at d=128 — the
+        scratch-accumulator dependency serializes sub-tiles, so smaller
+        matmuls only add overhead.  Causal caps block_kv at 1024: with the
         triangular pair grid the diagonal block's wasted compute scales with
         block_kv, and finer sub-tile (block_kv_compute) predication costs
         more than it saves (measured v5e S=8192 bf16: 2.24 ms @ 1024/1024
         or 2048/1024-substripes, 3.2 ms @ x/512).
         """
-        del head_dim, precision
+        del precision
+        if head_dim >= 128:
+            max_block_q = min(max_block_q, 512)
 
         def largest_dividing(s, cap):
             # Largest MIN_BLOCK multiple <= cap dividing s (halving could land
@@ -343,18 +351,19 @@ def _kernel(
     @pl.when(should_run)
     def _run():
         q = q_ref[0]  # (block_q, d); packed: (block_q, 2d) bf16 [qh|ql]
+        if packed and head_dim <= NUM_LANES // 4:
+            # 4-group layout: [qh|ql|qh|ql] vs [kh|kl|kl|kh] yields all four
+            # hi/lo partial products in ONE full-width contraction.
+            q = jnp.concatenate([q, q], axis=1)
         # Q's (hi, lo) split is KV-loop-invariant: hoist it (bf16_3x only).
         q_split = (
             _split_bf16(q)
             if precision == "bf16_3x" and q.dtype == jnp.float32
             else None
         )
-        if packed and head_dim <= NUM_LANES // 4:
-            # 4-group layout: [qh|ql|qh|ql] vs [kh|kl|kl|kh] yields all four
-            # hi/lo partial products in ONE full-width contraction.
-            q = jnp.concatenate([q, q], axis=1)
         dims_nt = (((1,), (1,)), ((), ()))  # contract last dims (q . k^T)
         dims_nn = (((1,), (0,)), ((), ()))  # plain matmul (p @ v)
+
         def _sub_tile(start):
             k = k_ref[0, start : start + block_kv_compute, :]
             if packed:
@@ -424,6 +433,11 @@ def _kernel(
             m_curr = jnp.max(s, axis=1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp(m_prev - m_next)  # rescale of old state
+            # NB (round 3): exponentiating on half-width bf16 vregs
+            # (p = exp((s - m).astype(bf16))) was measured and LOSES ~10%
+            # end-to-end on v5e despite touching half the data — the extra
+            # convert breaks the fused sub+exp chain and bf16 VPU transcend-
+            # entals are not 2x rate.  Keep the f32 softmax pipeline.
             p = jnp.exp(s - m_next)
             m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
 
@@ -456,7 +470,7 @@ def _kernel(
                 pv = _dot_g(p, v, dims_nn, precision)
             if l_scratch is not None:
                 if l_add is None:
-                    l_add = jnp.sum(p, axis=1, keepdims=True)
+                    l_add = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
                 l_next = alpha * l_scratch[:, 0:1] + l_add
                 l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
             # Unnormalized accumulator; rescale old contribution by alpha and
@@ -465,6 +479,12 @@ def _kernel(
             # recurrence.
             acc_scratch[...] = acc_scratch[...] * alpha + pv
 
+        # NB (round 3): splitting the q rows into independent per-sub-tile
+        # online-softmax chains (shorter VPU live ranges, interleavable
+        # MXU/VPU chains) was built and measured: it LOSES monotonically
+        # (d=128 S=2048: 1.99/2.09/2.37 ms at 1/2/4-way; d=64 S=8192:
+        # 3.35/3.46/3.69).  Mosaic already pipelines across sub-tiles; the
+        # split only adds scratch-indexing overhead.  Reverted.
         for start in range(0, block_kv, block_kv_compute):
             if (causal or has_kv_len) and block_kv_compute < block_kv:
                 # Sub-tile diagonal skip: predicate each block_kv_compute

@@ -459,3 +459,214 @@ def test_ulysses_gqa(hq, hkv):
         causal=True,
     )
     validate_result(o.reshape(b * hq, s, d), want, 2e-4)
+
+
+# ── sliding window / logit softcap on the rings (round 3; VERDICT #6) ─────────
+
+
+@pytest.mark.parametrize("window,softcap", [(200, None), (300, 30.0), (None, 25.0)])
+def test_ring_attention_window_softcap(window, softcap):
+    """Windowed / capped ring attention == dense oracle.
+
+    The window intersects each ring step's chunk at a traced q_offset (chunks
+    fully behind the window are skipped), so window=200 at 4x128-chunk shards
+    exercises live-diagonal, live-past, and dead-past chunks."""
+    n = 4
+    mesh = mesh_1d(n, "sp")
+    bh, s, d = 2, 4 * 128, 32
+    q, k, v = qkv((bh, s, d), seed=51)
+    fn = make_ring_attention(
+        mesh, axis_name="sp", causal=True, window=window, logit_softcap=softcap
+    )
+    o = fn(q, k, v)
+    want = attention_reference(
+        q, k, v, causal=True, window=window, logit_softcap=softcap
+    )
+    validate_result(o, want, TOL_FP32)
+
+
+@pytest.mark.parametrize("window", [150, 500])
+def test_zigzag_ring_window(window):
+    """Windowed zigzag ring (per-half traced offsets) == dense oracle."""
+    from flashattention_tpu.parallel.ring import (
+        make_zigzag_ring_attention,
+        zigzag_shard,
+        zigzag_unshard,
+    )
+
+    n = 4
+    mesh = mesh_1d(n, "sp")
+    bh, s, d = 2, 8 * 128, 32
+    q, k, v = qkv((bh, s, d), seed=52)
+    qz, kz, vz = (zigzag_shard(x, n) for x in (q, k, v))
+    ring = make_zigzag_ring_attention(
+        mesh, axis_name="sp", window=window, logit_softcap=20.0
+    )
+    oz = ring(qz, kz, vz)
+    want = attention_reference(
+        q, k, v, causal=True, window=window, logit_softcap=20.0
+    )
+    validate_result(zigzag_unshard(oz, n), want, TOL_FP32)
+
+
+def test_ring_attention_vjp_window_matches_dense_grads():
+    """Differentiable windowed ring: grads == dense-oracle autodiff."""
+    from flashattention_tpu.parallel import make_ring_attention_vjp
+
+    n = 4
+    mesh = Mesh(np.array(jax.devices()[:n]), ("sp",))
+    bh, s, d = 2, 4 * 128, 32
+    ks = jax.random.split(jax.random.key(53), 4)
+    q, k, v = (make_random(kk, (bh, s, d)) for kk in ks[:3])
+    t = make_random(ks[3], (bh, s, d))
+    window, cap = 200, 30.0
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            attention_reference(
+                q, k, v, causal=True, window=window, logit_softcap=cap
+            ) * t
+        )
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    spec = NamedSharding(mesh, P(None, "sp", None))
+    qs, ks_, vs = (jax.device_put(x, spec) for x in (q, k, v))
+    ring = make_ring_attention_vjp(
+        mesh, axis_name="sp", causal=True, window=window, logit_softcap=cap
+    )
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ring(q, k, v) * t)
+
+    got = jax.grad(loss_ring, argnums=(0, 1, 2))(qs, ks_, vs)
+    for name, a, b in zip("dq dk dv".split(), got, want):
+        validate_result(a, b, 5e-3, name=name)
+
+
+def test_zigzag_ring_vjp_window_matches_dense_grads():
+    """Differentiable windowed zigzag ring: grads == dense-oracle autodiff."""
+    from flashattention_tpu.parallel import (
+        make_zigzag_ring_attention_vjp,
+        zigzag_shard,
+        zigzag_unshard,
+    )
+
+    n = 4
+    mesh = Mesh(np.array(jax.devices()[:n]), ("sp",))
+    bh, s, d = 2, 8 * 128, 32
+    ks = jax.random.split(jax.random.key(54), 4)
+    q, k, v = (make_random(kk, (bh, s, d)) for kk in ks[:3])
+    t = make_random(ks[3], (bh, s, d))
+    window = 300
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            attention_reference(q, k, v, causal=True, window=window) * t
+        )
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    qz, kz, vz, tz = (zigzag_shard(x, n) for x in (q, k, v, t))
+    spec = NamedSharding(mesh, P(None, "sp", None))
+    qz, kz, vz = (jax.device_put(x, spec) for x in (qz, kz, vz))
+    zring = make_zigzag_ring_attention_vjp(mesh, axis_name="sp", window=window)
+
+    def loss_z(q, k, v):
+        return jnp.sum(zring(q, k, v) * tz)
+
+    got = jax.grad(loss_z, argnums=(0, 1, 2))(qz, kz, vz)
+    for name, a, b in zip("dq dk dv".split(), got, want):
+        validate_result(zigzag_unshard(a, n), b, 5e-3, name=name)
+
+
+# ── quantized KV on the ring (round 3; VERDICT #7) ────────────────────────────
+
+
+@pytest.mark.parametrize("causal,window", [(False, None), (True, None), (True, 200)])
+def test_ring_attention_quantized_kv(causal, window):
+    """int8 KV ring == single-chip fused-dequant kernel (and the dequantized
+    dense oracle at the fused path's quant tolerance).
+
+    The ring rotates QuantizedTensor (payload + scales) through ppermute —
+    half the ICI bytes per hop vs bf16 — and every partial dequantizes fused
+    in-kernel, so the only divergence vs the single-chip quantized kernel is
+    the fp32 merge ordering."""
+    from flashattention_tpu.ops.quant import (
+        attention_quantized,
+        dequantize,
+        quantize_kv,
+    )
+
+    n = 4
+    mesh = mesh_1d(n, "sp")
+    bh, s, d = 2, 4 * 128, 32
+    q, k, v = qkv((bh, s, d), seed=60)
+    kq, vq = quantize_kv(k, v, "int8")
+    fn = make_ring_attention(
+        mesh, axis_name="sp", causal=causal, window=window, kv_quant=True
+    )
+    o = fn(q, kq, vq)
+    want_fused = attention_quantized(
+        q, kq, vq, causal=causal, window=window
+    )
+    validate_result(o, want_fused, 6e-3, name="vs single-chip fused")
+    want_oracle = attention_reference(
+        q, dequantize(kq), dequantize(vq), causal=causal, window=window
+    )
+    validate_result(o, want_oracle, 5e-2, name="vs dequant oracle")
+
+
+def test_ring_attention_quantized_kv_gqa():
+    """Quantized ring composes with GQA row folding: unrepeated int8 KV on
+    the wire, G query groups folded along rows."""
+    from flashattention_tpu.ops.quant import QuantizedTensor, dequantize, quantize_kv
+    from flashattention_tpu.parallel.ring import ring_attention_local
+
+    n = 4
+    mesh = mesh_1d(n, "sp")
+    b, hq, hkv, s, d = 1, 4, 2, 4 * 128, 32
+    g = hq // hkv
+    ks = jax.random.split(jax.random.key(61), 3)
+    q = make_random(ks[0], (b * hq, s, d))
+    k = make_random(ks[1], (b * hkv, s, d))
+    v = make_random(ks[2], (b * hkv, s, d))
+    kq, vq = quantize_kv(k, v, "int8")
+
+    # Fold SHARD-MAJOR: each "sp" shard must hold (g * s_local) rows laid out
+    # [group0 local rows ; group1 local rows] — i.e. global row order is
+    # (shard, group, s_local), not (group, s).
+    s_local = s // n
+    qf = (
+        q.reshape(b, hkv, g, n, s_local, d)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b * hkv, g * s, d)
+    )
+    kv_spec = QuantizedTensor(P(None, "sp", None), P(None, "sp"))
+    fn = jax.jit(
+        jax.shard_map(
+            lambda q, kq, vq: ring_attention_local(
+                q, kq, vq, axis_name="sp", axis_size=n, causal=True,
+                q_seq_len=s // n,
+            ),
+            mesh=mesh,
+            in_specs=(P(None, "sp", None), kv_spec, kv_spec),
+            out_specs=P(None, "sp", None),
+            check_vma=False,
+        )
+    )
+    of = fn(qf, kq, vq)
+    o = (
+        of.reshape(b, hkv, n, g, s_local, d)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b * hq, s, d)
+    )
+    kd = dequantize(kq)
+    vd = dequantize(vq)
+    want = attention_reference(
+        q,
+        jnp.repeat(kd, g, axis=0),
+        jnp.repeat(vd, g, axis=0),
+        causal=True,
+    )
+    validate_result(o, want, 5e-2)

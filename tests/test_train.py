@@ -229,3 +229,44 @@ def test_sp_train_step_optax_learns():
     np.testing.assert_allclose(float(l_ref), float(l_opt), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_opt)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+@pytest.mark.parametrize("zigzag", [False, True])
+def test_sp_train_step_window_softcap_matches_single_device(zigzag):
+    """SP ring training of a sliding-window + logit-softcap GQA model
+    (Mistral/Gemma-2-class) == single-device step (round 3; VERDICT #6).
+    window=300 at 256-token shards spans ~1.2 chunks: live-diagonal,
+    live-past, and dead-past ring steps all occur."""
+    from flashattention_tpu.models.train import make_train_step_sp
+
+    cfg = transformer.ModelConfig(
+        vocab_size=64,
+        num_layers=2,
+        d_model=32,
+        num_q_heads=2,
+        num_kv_heads=1,
+        head_dim=16,
+        intermediate=32,
+        dtype="float32",
+        sliding_window=300,
+        logit_softcap=30.0,
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+    seq = 8 * 128
+    tokens = jax.random.randint(jax.random.key(1), (2, seq), 0, cfg.vocab_size)
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("dp", "sp"))
+    step1 = make_train_step_sp(mesh1, cfg)
+    t1 = jax.device_put(tokens, NamedSharding(mesh1, P("dp", "sp")))
+    loss1, new1 = step1(params, t1)
+
+    mesh4 = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    step4 = make_train_step_sp(mesh4, cfg, zigzag=zigzag)
+    t4 = jax.device_put(
+        jnp.concatenate([tokens, tokens]),
+        NamedSharding(mesh4, P("dp", "sp")),
+    )
+    loss4, new4 = step4(params, t4)
+    np.testing.assert_allclose(float(loss1), float(loss4), rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(new1), jax.tree.leaves(new4)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
