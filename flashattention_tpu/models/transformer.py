@@ -448,7 +448,7 @@ def speculative_accept(drafts: jax.Array, logits: jax.Array):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_steps", "interpret"),
+    static_argnames=("cfg", "n_steps", "interpret", "temperature", "top_k", "top_p"),
     donate_argnums=(3, 4),
     donate_argnames=("k_scales", "v_scales"),
 )
@@ -465,15 +465,27 @@ def decode_loop(
     k_scales: jax.Array | None = None,
     v_scales: jax.Array | None = None,
     active: jax.Array | None = None,
+    sample_key: jax.Array | None = None,
+    temperature: float = 1.0,
+    top_k: int | None = None,
+    top_p: float | None = None,
     interpret=None,
 ):
-    """``n_steps`` greedy decode tokens in ONE jit: a ``fori_loop`` over the
-    full model step (:func:`decode_step`), each iteration feeding its argmax
+    """``n_steps`` decode tokens in ONE jit: a ``fori_loop`` over the full
+    model step (:func:`decode_step`), each iteration feeding its next token
     back in and scattering K/V into the (donated) page pools.
 
     ``active``: optional (B,) bool — padded batch rows marked False never
     write to the pools (their derived write page is clamped out of range, so
     the scatter drops; their reads hit table row values harmlessly).
+
+    ``sample_key`` (round 3; VERDICT #8): None -> greedy argmax.  Otherwise a
+    PRNG key threaded through the loop: each iteration splits it exactly like
+    the engine's per-token path (``key, sub = split(key)``; one batch-wide
+    categorical draw per step from the temperature/top-k/top-p-filtered
+    logits), so a ``decode_loop`` over n steps consumes the SAME key stream
+    and produces the SAME tokens as n per-token engine steps — non-greedy
+    serving amortizes host work without changing its sampling semantics.
 
     This is both the honest on-chip serving-throughput measurement (host-
     driven step loops are unmeasurable over remote-TPU tunnels — every step
@@ -485,14 +497,19 @@ def decode_loop(
     the running position (page_indices[b, pos // ps], pos % ps).
 
     Returns (tokens (B, n_steps) generated, k_pages, v_pages, k_scales,
-    v_scales).
+    v_scales); with ``sample_key`` set, additionally the advanced key as a
+    sixth element (store it back to continue the stream).
     """
+    from flashattention_tpu.ops.sampling import sample_logits
+
     ps = k_pages.shape[3]
     b = tokens.shape[0]
     out0 = jnp.zeros((b, max(n_steps, 1)), jnp.int32)
+    sampled = sample_key is not None
+    key0 = sample_key if sampled else jax.random.key(0)
 
     def body(i, carry):
-        toks, pos, kp, vp, ks, vs, out = carry
+        toks, pos, kp, vp, ks, vs, out, key = carry
         write_pages = jnp.take_along_axis(
             page_indices, (pos // ps)[:, None], axis=1
         )[:, 0]
@@ -502,13 +519,21 @@ def decode_loop(
             params, toks, pos, kp, vp, pos + 1, page_indices,
             write_pages, pos % ps, cfg, ks, vs, interpret,
         )
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (nxt, pos + 1, kp, vp, ks, vs, out.at[:, i].set(nxt))
+        if sampled:
+            key, sub = jax.random.split(key)
+            nxt = sample_logits(
+                sub, logits, temperature=temperature, top_k=top_k, top_p=top_p
+            ).astype(jnp.int32)
+        else:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, pos + 1, kp, vp, ks, vs, out.at[:, i].set(nxt), key)
 
-    _, _, k_pages, v_pages, k_scales, v_scales, out = jax.lax.fori_loop(
+    _, _, k_pages, v_pages, k_scales, v_scales, out, key = jax.lax.fori_loop(
         0, n_steps, body,
-        (tokens, positions, k_pages, v_pages, k_scales, v_scales, out0),
+        (tokens, positions, k_pages, v_pages, k_scales, v_scales, out0, key0),
     )
+    if sampled:
+        return out, k_pages, v_pages, k_scales, v_scales, key
     return out, k_pages, v_pages, k_scales, v_scales
 
 

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from flashattention_tpu.models import transformer
+from flashattention_tpu.ops import sampling
 from flashattention_tpu.runtime.kvcache import CacheConfig, PagedKVCache
 from flashattention_tpu.runtime.kvcache import _bucket as kv_bucket
 from flashattention_tpu.runtime.native import Scheduler
@@ -74,29 +75,11 @@ def _bucket(n: int) -> int:
     return kv_bucket(n, lo=8)
 
 
-@functools.partial(jax.jit, static_argnames=("temperature", "top_k", "top_p"))
-def _sample_logits(key, logits, *, temperature, top_k, top_p):
-    """Temperature + top-k + top-p (nucleus) sampling over the last axis.
-
-    Filters compose in the standard order (top-k first, then nucleus over the
-    survivors); filtered logits are set to -inf so ``categorical`` renormalizes
-    over the kept set.  All-jnp, batch-shaped (..., V).
-    """
-    logits = logits / temperature
-    if top_k is not None and top_k < logits.shape[-1]:
-        kth = jnp.sort(logits, axis=-1)[..., -top_k, None]
-        logits = jnp.where(logits < kth, -jnp.inf, logits)
-    if top_p is not None and top_p < 1.0:
-        desc = jnp.sort(logits, axis=-1)[..., ::-1]
-        probs = jax.nn.softmax(desc, axis=-1)
-        # Keep a sorted token iff the mass strictly before it is < top_p; the
-        # top-1 token is always kept (its exclusive prefix mass is 0).
-        keep = (jnp.cumsum(probs, axis=-1) - probs) < top_p
-        cutoff = jnp.min(
-            jnp.where(keep, desc, jnp.inf), axis=-1, keepdims=True
-        )
-        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
-    return jax.random.categorical(key, logits, axis=-1)
+# Temperature + top-k + top-p sampling; shared with the jitted decode loop
+# and the sampled speculative accept (ops/sampling.py, round 3; VERDICT #8).
+_sample_logits = jax.jit(
+    sampling.sample_logits, static_argnames=("temperature", "top_k", "top_p")
+)
 
 
 class Engine:
@@ -168,11 +151,13 @@ class Engine:
     def run(self, max_steps: int = 10_000, multi_step: int = 1) -> dict[int, list]:
         """Drive steps until all requests finish; returns outputs by id.
 
-        ``multi_step > 1`` (greedy only): when no requests are waiting, the
-        engine decodes up to that many tokens per step in ONE device call
+        ``multi_step > 1``: when no requests are waiting, the engine decodes
+        up to that many tokens per step in ONE device call
         (:func:`transformer.decode_loop`) — multi-token scheduling, which
         amortizes all host work and (on tunneled/remote TPUs) the dispatch
-        round trip over N tokens.  eos/budget semantics are unchanged:
+        round trip over N tokens.  Non-greedy configs thread the engine's
+        PRNG key through the loop (same key stream as per-token sampling;
+        round 3, VERDICT #8).  eos/budget semantics are unchanged:
         surplus tokens past a request's stop are discarded and their cache
         slots freed.  Falls back to per-token stepping whenever a request
         could not absorb the full span (page pressure, short budget) or
@@ -267,7 +252,6 @@ class Engine:
             return
         if (
             multi_step > 1
-            and self.cfg.greedy
             and self.scheduler.num_waiting() == 0
             and self._decode_batch_many(multi_step)
         ):
@@ -538,7 +522,19 @@ class Engine:
         seq_ids = batch + [-1] * (bmax - len(batch))
         _, page_indices = self.cache.batch_view(seq_ids, self.cfg.pages_per_seq)
         quant = self.cache.config.quantized
-        out, kp, vp, ks, vs = transformer.decode_loop(
+        # Non-greedy (round 3; VERDICT #8): thread the engine's PRNG key
+        # through the jitted loop — it splits per step exactly like the
+        # per-token path, so n multi-step tokens == n per-token steps under
+        # the same key stream; the advanced key is stored back.
+        sample_kw = {}
+        if not self.cfg.greedy:
+            sample_kw = dict(
+                sample_key=self.sample_key,
+                temperature=self.cfg.temperature,
+                top_k=self.cfg.top_k,
+                top_p=self.cfg.top_p,
+            )
+        res = transformer.decode_loop(
             self.params,
             jnp.asarray(tokens),
             jnp.asarray(positions),
@@ -551,7 +547,12 @@ class Engine:
             v_scales=self.cache.v_scales if quant else None,
             active=jnp.asarray(active),
             interpret=self._interpret,
+            **sample_kw,
         )
+        if self.cfg.greedy:
+            out, kp, vp, ks, vs = res
+        else:
+            out, kp, vp, ks, vs, self.sample_key = res
         self.cache.set_pools(kp, vp, ks, vs)
         out = np.asarray(out)
         for i, rid in enumerate(batch):
@@ -569,15 +570,21 @@ class Engine:
         ``draft_fn(request, n) -> list[int]`` proposes n draft tokens for a
         running request (from any cheap source: a small model, n-gram cache,
         prompt lookup).  Each request's [last token, k-1 drafts] are scored
-        in ONE device call (:func:`transformer.verify_step`); the greedy-
-        consistent prefix plus the model's correction token are emitted
-        (1..k tokens per request per step), and rejected drafts' cache rows
-        are trimmed so the cache invariant (rows cached = emitted length - 1)
-        holds.  Greedy sampling only; falls back to a normal step when slots
-        cannot be reserved up-front.
+        in ONE device call (:func:`transformer.verify_step`); the accepted
+        prefix plus a correction token are emitted (1..k tokens per request
+        per step), and rejected drafts' cache rows are trimmed so the cache
+        invariant (rows cached = emitted length - 1) holds.
+
+        Greedy configs accept by argmax match; sampled configs (round 3;
+        VERDICT #8) use the speculative rejection rule
+        (:func:`sampling.speculative_accept_sampled`) — exact for the
+        deterministic draft sources this engine takes, so every emitted
+        token is distributed as a per-token sample from the same filtered
+        distribution.  Falls back to a normal step when slots cannot be
+        reserved up-front.
         """
-        if not self.cfg.greedy or k < 2:
-            raise ValueError("speculative decoding requires greedy=True, k >= 2")
+        if k < 2:
+            raise ValueError("speculative decoding requires k >= 2")
         self._n_steps += 1
         self._admit_and_prefill()
         if not self.running:
@@ -642,9 +649,18 @@ class Engine:
             interpret=self._interpret,
         )
         self.cache.set_pools(kp, vp, ks, vs)
-        n_emit, emitted = transformer.speculative_accept(
-            jnp.asarray(fed[:, 1:]), logits
-        )
+        if self.cfg.greedy:
+            n_emit, emitted = transformer.speculative_accept(
+                jnp.asarray(fed[:, 1:]), logits
+            )
+        else:
+            self.sample_key, sub = jax.random.split(self.sample_key)
+            n_emit, emitted = sampling.speculative_accept_sampled(
+                sub, jnp.asarray(fed[:, 1:]), logits,
+                temperature=self.cfg.temperature,
+                top_k=self.cfg.top_k,
+                top_p=self.cfg.top_p,
+            )
         n_emit, emitted = np.asarray(n_emit), np.asarray(emitted)
         for i, rid in enumerate(batch):
             req = self.requests[rid]

@@ -827,3 +827,104 @@ def test_engine_sliding_window_softcap_model():
             outs = eng.run_speculative(lambda req, n: [1] * n, k=3)
         for rid, key in rids.items():
             assert outs[rid] == want[key], (mode, outs[rid], want[key])
+
+
+# ── sampled multi-step + sampled speculative decoding (round 3; VERDICT #8) ──
+
+
+def test_engine_sampled_multi_step_matches_per_token(tiny_model):
+    """Non-greedy run(multi_step=4) == per-token run under the SAME key
+    stream: decode_loop threads the engine PRNG key through its fori_loop,
+    splitting once per step exactly like the per-token path."""
+    params, cfg = tiny_model
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        page_size=8,
+        num_pages=64,
+        dtype="float32",
+    )
+    ecfg = EngineConfig(
+        max_batch=4, pages_per_seq=8, greedy=False, temperature=0.8, top_k=24
+    )
+    prompts = [[3, 1, 4, 1], [5, 9, 2, 6, 5, 3]]
+    outs = []
+    for ms in (1, 4):
+        eng = Engine(params, cfg, ccfg, ecfg)
+        for p in prompts:
+            eng.add_request(p, max_new_tokens=8)
+        outs.append(eng.run(multi_step=ms))
+    assert outs[0] == outs[1]
+    assert all(len(o) == 8 for o in outs[0].values())
+
+
+def test_speculative_accept_sampled_marginal_is_exact():
+    """The point-mass rejection rule emits first tokens distributed EXACTLY
+    as the filtered target (accept w.p. p(d); reject -> renormalized rest),
+    checked empirically over many keys against the analytic distribution."""
+    from flashattention_tpu.ops.sampling import (
+        filter_logits,
+        speculative_accept_sampled,
+    )
+
+    logits = jnp.asarray(
+        [[[2.0, 1.0, 0.5, -0.5, 0.0], [0.0, 2.0, 1.0, 0.0, -1.0],
+          [1.0, 0.0, 0.0, 2.0, 0.5]]]
+    )  # (1, k=3, V=5)
+    drafts = jnp.asarray([[2, 1]])  # propose token 2 then token 1
+    kw = dict(temperature=0.7, top_k=4, top_p=0.95)
+
+    keys = jax.random.split(jax.random.key(7), 4096)
+    n_emit, emitted = jax.vmap(
+        lambda k: speculative_accept_sampled(k, drafts, logits, **kw)
+    )(keys)
+    first = np.asarray(emitted[:, 0, 0])
+    want = np.asarray(
+        jax.nn.softmax(filter_logits(logits, **kw), axis=-1)[0, 0]
+    )
+    got = np.bincount(first, minlength=5) / len(keys)
+    np.testing.assert_allclose(got, want, atol=0.03)
+    # Contract invariants: 1 <= n_emit <= k; accepted prefix == the drafts.
+    n = np.asarray(n_emit[:, 0])
+    assert n.min() >= 1 and n.max() <= 3
+    em = np.asarray(emitted[:, 0])
+    for i in range(len(keys)):
+        for j in range(n[i] - 1):
+            assert em[i, j] == np.asarray(drafts)[0, j]
+
+
+def test_engine_speculative_sampled_near_greedy_limit(tiny_model):
+    """Sampled speculative decoding at temperature -> 0 reproduces the greedy
+    speculative engine token-for-token (p collapses to the argmax point mass,
+    so accept/reject and corrections all become deterministic)."""
+    params, cfg = tiny_model
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        page_size=8,
+        num_pages=64,
+        dtype="float32",
+    )
+    prompts = [[1, 2, 3], [9, 8, 7, 6]]
+
+    def drafts(req, n):
+        return [(req.length * 3 + j) % cfg.vocab_size for j in range(n)]
+
+    runs = {}
+    for name, ecfg in (
+        ("greedy", EngineConfig(max_batch=4, pages_per_seq=8)),
+        (
+            "sampled",
+            EngineConfig(
+                max_batch=4, pages_per_seq=8, greedy=False, temperature=1e-4
+            ),
+        ),
+    ):
+        eng = Engine(params, cfg, ccfg, ecfg)
+        for p in prompts:
+            eng.add_request(p, max_new_tokens=9)
+        runs[name] = eng.run_speculative(drafts, k=3)
+        assert eng.cache.num_free_pages() == 64, name
+    assert runs["greedy"] == runs["sampled"]
