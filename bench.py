@@ -64,6 +64,17 @@ def _decode_tokens_per_s(b=8, kvh=8, g=4, d=128, s=2048, ps=256, kv="bf16"):
 
 
 def main():
+    # Compiled-kernel differential gate (round 3; VERDICT #9): the pytest
+    # suite exercises the interpreter on CPU; this re-runs the same
+    # kernel-vs-oracle checks through the Mosaic compiler at the strict
+    # suite tolerances, so every recorded bench doubles as a compiled-mode
+    # correctness pass (also runnable as `pytest tests -m tpu`).
+    from flashattention_tpu.utils import selftest
+
+    st_pass, st_fail, st_errs = selftest.run(verbose=False)
+    for name, err in st_errs:
+        print(f"selftest FAIL {name}: {err}", flush=True)
+
     ks = jax.random.split(jax.random.key(0), 3)
     q, k, v = (make_random(kk, (B * H, S, D), DTYPE) for kk in ks)
     flops = attention_flops(B * H, S, S, D)
@@ -98,6 +109,7 @@ def main():
                 "causal_bf16_ms": round(ms_causal_bf16, 3),
                 "decode_tokens_per_s_bf16": decode_tps,
                 "decode_tokens_per_s_int8": decode_tps_int8,
+                "compiled_selftest": f"{st_pass}/{st_pass + st_fail} pass",
             }
         )
     )

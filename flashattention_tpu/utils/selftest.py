@@ -1,0 +1,202 @@
+"""Compiled-kernel differential gate (round 3; VERDICT #9).
+
+Every differential test in ``tests/`` runs the Pallas *interpreter* on the
+8-CPU virtual mesh (tests/conftest.py) — the identical kernel code, but not
+the Mosaic compiler.  Interpreter-vs-Mosaic divergence (layout, clamping,
+scalar-prefetch edge cases) is a real bug class that suite cannot catch, so
+this module re-runs a compact battery of the same kernel-vs-oracle checks
+**compiled** (``interpret=False``) on whatever accelerator is present.
+
+Two entry points:
+
+- ``run(verbose=...)`` → ``(passed, failed, failures)`` — called by
+  ``bench.py`` on every driver bench run, so a compiled-mode pass is recorded
+  in each round's ``BENCH_r{N}.json`` (the ``compiled_selftest`` key).
+- ``tests/test_compiled.py`` wraps each check as a pytest test marked
+  ``tpu`` (``pytest tests -m tpu`` on a TPU host runs them; the CPU CI suite
+  deselects them because compiled Pallas needs the accelerator backend).
+
+Checks mirror the strict interpreter-suite tolerances (utils/testing.py:
+TOL_FP32=1e-4 kernel-lab gate, ~``/root/reference/src/llm.c/attention_forward.cu:1262``;
+TOL_BF16=2e-2 BASELINE.json gate) — NOT the loose atol=1e-1 allclose the
+reference's public harness uses (``/root/reference/bench_flashattention.py:74``),
+which until round 3 was the only compiled-path gate here.
+
+Shapes are kept small (S<=1024) so the whole battery is a handful of ~20-40 s
+remote compiles; correctness coverage, not perf.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from flashattention_tpu.utils.testing import (
+    TOL_BF16,
+    TOL_FP32,
+    make_random,
+    validate_result,
+)
+
+__all__ = ["run", "CHECKS"]
+
+
+def _qkv(shape, dtype=jnp.float32, seed=0, n=3):
+    ks = jax.random.split(jax.random.key(seed), n)
+    return tuple(make_random(k, shape, dtype) for k in ks[:n])
+
+
+def check_fwd_fp32_default():
+    """fp32 default precision (bf16_3x 3-pass emulation), non-causal."""
+    from flashattention_tpu.ops.flash import flash_attention
+    from flashattention_tpu.ops.reference import attention_reference
+
+    q, k, v = _qkv((4, 1024, 64), seed=1)
+    o = flash_attention(q, k, v, interpret=False)
+    validate_result(o, attention_reference(q, k, v), TOL_FP32)
+
+
+def check_fwd_bf16_causal():
+    """Native bf16, causal (triangular pair grid on the compiled path)."""
+    from flashattention_tpu.ops.flash import flash_attention
+    from flashattention_tpu.ops.reference import attention_reference
+
+    q, k, v = _qkv((4, 1024, 64), jnp.bfloat16, seed=2)
+    o = flash_attention(q, k, v, causal=True, interpret=False)
+    validate_result(o, attention_reference(q, k, v, causal=True), TOL_BF16)
+
+
+def check_fwd_window_softcap_gqa():
+    """Sliding window + logit softcap + GQA row folding, one kernel."""
+    from flashattention_tpu.ops.flash import flash_attention
+    from flashattention_tpu.ops.reference import attention_reference
+
+    b, kvh, g, s, d = 1, 2, 2, 512, 64
+    q = make_random(jax.random.key(3), (b * kvh, g * s, d))
+    k, v = _qkv((b * kvh, s, d), seed=4, n=2)
+    o = flash_attention(
+        q, k, v, causal=True, window=200, logit_softcap=30.0,
+        q_seq_len=s, interpret=False,
+    )
+    # Unfold and compare per group segment against the dense oracle.
+    want = attention_reference(
+        q.reshape(b * kvh * g, s, d),
+        jnp.repeat(k, g, axis=0),
+        jnp.repeat(v, g, axis=0),
+        causal=True, window=200, logit_softcap=30.0,
+    )
+    validate_result(o.reshape(b * kvh * g, s, d), want, TOL_FP32)
+
+
+def check_fwd_traced_offsets():
+    """Traced q_offset + kv_len (scalar-prefetch) with poisoned padding."""
+    from flashattention_tpu.ops.flash import flash_attention
+    from flashattention_tpu.ops.reference import attention_reference
+
+    q, k, v = _qkv((2, 512, 64), seed=5)
+    kv_len, q_offset = 700, 444
+    kbad = k.at[:, kv_len:].set(jnp.nan)
+    vbad = v.at[:, kv_len:].set(jnp.nan)
+    o = flash_attention(
+        q[:, :256], kbad, vbad, causal=True,
+        q_offset=jnp.int32(q_offset), kv_len=jnp.int32(kv_len),
+        interpret=False,
+    )
+    want = attention_reference(
+        q[:, :256], k[:, :kv_len], v[:, :kv_len],
+        causal=True, q_offset=q_offset,
+    )
+    validate_result(o, want, TOL_FP32)
+
+
+def check_fwd_lane_packed_d32():
+    """Lane-packed fp32 (hi/lo pairs in idle MXU lanes) at d=32 (4-group)."""
+    from flashattention_tpu.ops.flash import flash_attention
+    from flashattention_tpu.ops.reference import attention_reference
+
+    q, k, v = _qkv((4, 1024, 32), seed=6)
+    o = flash_attention(q, k, v, interpret=False)
+    validate_result(o, attention_reference(q, k, v), TOL_FP32)
+
+
+def check_backward():
+    """Two-pass backward dQ/dK/dV vs oracle autodiff, causal fp32."""
+    from flashattention_tpu.ops.backward import flash_attention_bwd
+    from flashattention_tpu.ops.flash import flash_attention
+    from flashattention_tpu.ops.reference import attention_reference
+
+    q, k, v = _qkv((2, 512, 64), seed=7)
+    t = make_random(jax.random.key(8), (2, 512, 64))
+    o, l, m = flash_attention(
+        q, k, v, causal=True, save_residuals=True, interpret=False
+    )
+    lse = m + jnp.log(l)
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, o, lse, t, causal=True, interpret=False
+    )
+    want = jax.grad(
+        lambda q, k, v: jnp.sum(attention_reference(q, k, v, causal=True) * t),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    validate_result(dq, want[0], 5e-4, name="dq")
+    validate_result(dk, want[1], 5e-4, name="dk")
+    validate_result(dv, want[2], 5e-4, name="dv")
+
+
+def check_paged_decode_int8():
+    """Paged decode with fused int8 dequant vs the dense paged oracle."""
+    from flashattention_tpu.ops.decode import (
+        paged_attention,
+        paged_attention_reference,
+    )
+    from flashattention_tpu.ops.quant import dequantize, quantize
+
+    b, kvh, g, d, ps, pps = 2, 2, 2, 128, 256, 2
+    ks = jax.random.split(jax.random.key(9), 3)
+    q = make_random(ks[0], (b, kvh, g, d))
+    kq = quantize(make_random(ks[1], (b * pps + 1, kvh, ps, d)), "int8")
+    vq = quantize(make_random(ks[2], (b * pps + 1, kvh, ps, d)), "int8")
+    lengths = jnp.array([ps * pps, ps + 17], jnp.int32)
+    pi = jnp.arange(b * pps, dtype=jnp.int32).reshape(b, pps)
+    o = paged_attention(
+        q, kq.payload, vq.payload, lengths, pi,
+        k_scales_pages=kq.scales, v_scales_pages=vq.scales,
+    )
+    want = paged_attention_reference(q, dequantize(kq), dequantize(vq), lengths, pi)
+    validate_result(o, want, 5e-2)
+
+
+CHECKS = [
+    check_fwd_fp32_default,
+    check_fwd_bf16_causal,
+    check_fwd_window_softcap_gqa,
+    check_fwd_traced_offsets,
+    check_fwd_lane_packed_d32,
+    check_backward,
+    check_paged_decode_int8,
+]
+
+
+def run(verbose: bool = True):
+    """Run the battery; returns (passed, failed, [(name, error), ...])."""
+    passed, failures = 0, []
+    for fn in CHECKS:
+        name = fn.__name__
+        try:
+            fn()
+            passed += 1
+            if verbose:
+                print(f"  selftest {name}: PASS", flush=True)
+        except Exception as e:  # noqa: BLE001 — report, don't mask, any failure
+            failures.append((name, f"{type(e).__name__}: {e}"))
+            if verbose:
+                print(f"  selftest {name}: FAIL {type(e).__name__}: {e}", flush=True)
+    return passed, len(failures), failures
+
+
+if __name__ == "__main__":
+    import sys
+
+    p, f, errs = run()
+    print(f"compiled selftest: {p} passed, {f} failed")
+    sys.exit(1 if f else 0)

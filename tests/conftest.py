@@ -32,6 +32,12 @@ def _needs_reexec() -> bool:
 
 
 def pytest_configure(config):
+    if "tpu" in (config.getoption("markexpr", "") or "") and "not tpu" not in (
+        config.getoption("markexpr", "") or ""
+    ):
+        # `-m tpu`: the compiled-kernel gate (tests/test_compiled.py) wants
+        # the REAL accelerator backend — skip the CPU re-exec entirely.
+        return
     if not _needs_reexec():
         return
     capman = config.pluginmanager.getplugin("capturemanager")
