@@ -31,8 +31,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flashattention_tpu.ops.flash import (
+    NUM_LANES,
     BlockSizes,
     _dot_g,
+    _pack2,
     flash_attention,
     resolve_precision,
     resolve_q_seq_blocks,
@@ -40,6 +42,53 @@ from flashattention_tpu.ops.flash import (
 from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
 
 __all__ = ["flash_attention_bwd", "attention_vjp"]
+
+
+# ── lane-packed fp32 emulation (round 3; VERDICT #5) ─────────────────────────
+# The forward's packed schedule (ops.flash:~727): fp32 operands stream as
+# [hi|lo] bf16 pairs (same HBM bytes), so a d-contraction runs at full MXU
+# width in 2 passes (4 at d<=32 collapse into 1 via the 4-group layout)
+# instead of bf16_3x's 3 — and keeps the lo*lo term, so it is MORE accurate.
+# These helpers port it to the backward's five block matmuls.
+
+
+def _packed_nt(a, b, head_dim):
+    """Full-product a . b^T for [hi|lo]-packed operands (contracts 2d lanes).
+
+    a: (m, 2d), b: (n, 2d) bf16 packed.  a@b^T gives ah.bh + al.bl; the
+    swapped copy pairs each half against the other's opposite half
+    (ah.bl + al.bh) — the sum is the exact 4-term product.  At 4d <= 128
+    both passes fuse into ONE full-width contraction.
+    """
+    dims = (((1,), (1,)), ((), ()))
+    b_swap = jnp.concatenate([b[:, head_dim:], b[:, :head_dim]], axis=1)
+    if 4 * head_dim <= NUM_LANES:
+        a2 = jnp.concatenate([a, a], axis=1)
+        return jax.lax.dot_general(
+            a2,
+            jnp.concatenate([b, b_swap], axis=1),
+            dims,
+            preferred_element_type=jnp.float32,
+        )
+    return jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(a, b_swap, dims, preferred_element_type=jnp.float32)
+
+
+def _packed_fold(x, packed, dims, head_dim):
+    """fp32 score-tile x against a packed operand; fold the [hi|lo] halves.
+
+    x is split (hi, lo) on the fly (it is freshly computed, not streamed);
+    each half contracts against the full packed operand in one pass, and the
+    two output lane-halves sum to the exact product — 2 full-width passes
+    instead of 3 half-width ones.
+    """
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        xh, packed, dims, preferred_element_type=jnp.float32
+    ) + jax.lax.dot_general(xl, packed, dims, preferred_element_type=jnp.float32)
+    return out[..., :head_dim] + out[..., head_dim:]
 
 
 def _masks(s_shape, q_start, kv_start, causal, kv_len, q_offset, window=None):
@@ -76,6 +125,8 @@ def _dq_kernel(
     q_seq_blocks,
     window=None,
     logit_softcap=None,
+    packed=False,
+    head_dim=None,
 ):
     q_offset = qoff_ref[0]  # prefetched traced scalar (one program, any offset)
     q_idx, kv_idx = pl.program_id(1), pl.program_id(2)
@@ -104,11 +155,14 @@ def _dq_kernel(
         q = q_ref[0]
         k = k_ref[0]
         v = v_ref[0]
-        do = do_ref[0].astype(jnp.float32)
+        do = do_ref[0] if packed else do_ref[0].astype(jnp.float32)
         lse = lse_ref[0, 0][:, None]  # (bq, 1)
         di = di_ref[0, 0][:, None]
 
-        s = _dot_g(q, k, (((1,), (1,)), ((), ())), precision)
+        if packed:
+            s = _packed_nt(q, k, head_dim)
+        else:
+            s = _dot_g(q, k, (((1,), (1,)), ((), ())), precision)
         if scale != 1.0:
             s = s * scale
         cap_factor = None
@@ -120,11 +174,19 @@ def _dq_kernel(
             s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
         p = jnp.exp(s - lse)  # (bq, bkv)
 
-        dp = _dot_g(do, v, (((1,), (1,)), ((), ())), precision)
+        if packed:
+            dp = _packed_nt(do, v, head_dim)
+        else:
+            dp = _dot_g(do, v, (((1,), (1,)), ((), ())), precision)
         ds = p * (dp - di) * scale
         if cap_factor is not None:
             ds = ds * cap_factor
-        dq_scratch[...] += _dot_g(ds, k, (((1,), (0,)), ((), ())), precision)
+        if packed:
+            dq_scratch[...] += _packed_fold(
+                ds, k, (((1,), (0,)), ((), ())), head_dim
+            )
+        else:
+            dq_scratch[...] += _dot_g(ds, k, (((1,), (0,)), ((), ())), precision)
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _epilogue():
@@ -152,6 +214,8 @@ def _dkv_kernel(
     q_seq_blocks,
     window=None,
     logit_softcap=None,
+    packed=False,
+    head_dim=None,
 ):
     q_offset = qoff_ref[0]  # prefetched traced scalar (one program, any offset)
     kv_idx, q_idx = pl.program_id(1), pl.program_id(2)
@@ -176,11 +240,14 @@ def _dkv_kernel(
         q = q_ref[0]
         k = k_ref[0]
         v = v_ref[0]
-        do = do_ref[0].astype(jnp.float32)
+        do = do_ref[0] if packed else do_ref[0].astype(jnp.float32)
         lse = lse_ref[0, 0][:, None]
         di = di_ref[0, 0][:, None]
 
-        s = _dot_g(q, k, (((1,), (1,)), ((), ())), precision)
+        if packed:
+            s = _packed_nt(q, k, head_dim)
+        else:
+            s = _dot_g(q, k, (((1,), (1,)), ((), ())), precision)
         if scale != 1.0:
             s = s * scale
         cap_factor = None
@@ -193,13 +260,24 @@ def _dkv_kernel(
         p = jnp.exp(s - lse)  # (bq, bkv)
 
         # dV_j = sum_i P_ij dO_i  -> P^T @ dO
-        dv_scratch[...] += _dot_g(p, do, (((0,), (0,)), ((), ())), precision)
-        dp = _dot_g(do, v, (((1,), (1,)), ((), ())), precision)
+        if packed:
+            dv_scratch[...] += _packed_fold(
+                p, do, (((0,), (0,)), ((), ())), head_dim
+            )
+            dp = _packed_nt(do, v, head_dim)
+        else:
+            dv_scratch[...] += _dot_g(p, do, (((0,), (0,)), ((), ())), precision)
+            dp = _dot_g(do, v, (((1,), (1,)), ((), ())), precision)
         ds = p * (dp - di) * scale  # (bq, bkv)
         if cap_factor is not None:
             ds = ds * cap_factor
         # dK_j = sum_i dS_ij Q_i  -> dS^T @ Q
-        dk_scratch[...] += _dot_g(ds, q, (((0,), (0,)), ((), ())), precision)
+        if packed:
+            dk_scratch[...] += _packed_fold(
+                ds, q, (((0,), (0,)), ((), ())), head_dim
+            )
+        else:
+            dk_scratch[...] += _dot_g(ds, q, (((0,), (0,)), ((), ())), precision)
 
     @pl.when(q_idx == num_q_blocks - 1)
     def _epilogue():
@@ -382,6 +460,23 @@ def flash_attention_bwd(
     lse3 = lse[:, None, :]  # (BH, 1, S_q) for sublane-legal blocks
     di3 = di[:, None, :]
 
+    # Lane-packed fp32 (round 3; VERDICT #5): port of the forward's packed
+    # schedule — q/k/v/do stream as [hi|lo] bf16 pairs (same HBM bytes) and
+    # all five block matmuls run full-width 2-pass (1-pass at d<=32 for the
+    # d-contractions) instead of bf16_3x's 3 half-width passes, keeping the
+    # lo*lo term (more accurate than 3x).  dq/dk/dv outputs stay fp32.
+    out_dtypes = (q.dtype, k.dtype, v.dtype)
+    packed = (
+        precision == "bf16_3x"
+        and not fused
+        and 2 * d <= NUM_LANES
+        and q.dtype == k.dtype == v.dtype == do.dtype == jnp.float32
+    )
+    qk_width = d
+    if packed:
+        q, k, v, do = _pack2(q), _pack2(k), _pack2(v), _pack2(do)
+        qk_width = 2 * d
+
     if causal:
         # Clamp block indices of causally-skipped steps to the last/first
         # needed block: an unchanged index makes the Pallas pipeline elide
@@ -479,10 +574,10 @@ def flash_attention_bwd(
         return dq, dk, dv
 
     row_specs = [
-        pl.BlockSpec((1, bq, d), lambda b, i, j, qo: (b, i, 0)),  # q
-        pl.BlockSpec((1, bkv, d), lambda b, i, j, qo: (b, dq_kv_index(i, j, qo), 0)),  # k
-        pl.BlockSpec((1, bkv, d), lambda b, i, j, qo: (b, dq_kv_index(i, j, qo), 0)),  # v
-        pl.BlockSpec((1, bq, d), lambda b, i, j, qo: (b, i, 0)),  # do
+        pl.BlockSpec((1, bq, qk_width), lambda b, i, j, qo: (b, i, 0)),  # q
+        pl.BlockSpec((1, bkv, qk_width), lambda b, i, j, qo: (b, dq_kv_index(i, j, qo), 0)),  # k
+        pl.BlockSpec((1, bkv, qk_width), lambda b, i, j, qo: (b, dq_kv_index(i, j, qo), 0)),  # v
+        pl.BlockSpec((1, bq, qk_width), lambda b, i, j, qo: (b, i, 0)),  # do
         pl.BlockSpec((1, 1, bq), lambda b, i, j, qo: (b, 0, i)),  # lse
         pl.BlockSpec((1, 1, bq), lambda b, i, j, qo: (b, 0, i)),  # di
     ]
@@ -498,6 +593,8 @@ def flash_attention_bwd(
             q_seq_blocks=q_seq_blocks,
             window=window,
             logit_softcap=logit_softcap,
+            packed=packed,
+            head_dim=d,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -506,7 +603,7 @@ def flash_attention_bwd(
             out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j, qo: (b, i, 0)),
             scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((bh, s_q, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, s_q, d), out_dtypes[0]),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             # v5e has 128 MB VMEM; the default 16 MB scoped limit rejects
@@ -517,10 +614,10 @@ def flash_attention_bwd(
     )(qoff, q, k, v, do, lse3, di3)
 
     kv_specs = [
-        pl.BlockSpec((1, bq, d), lambda b, j, i, qo: (b, dkv_q_index(j, i, qo), 0)),  # q
-        pl.BlockSpec((1, bkv, d), lambda b, j, i, qo: (b, j, 0)),  # k
-        pl.BlockSpec((1, bkv, d), lambda b, j, i, qo: (b, j, 0)),  # v
-        pl.BlockSpec((1, bq, d), lambda b, j, i, qo: (b, dkv_q_index(j, i, qo), 0)),  # do
+        pl.BlockSpec((1, bq, qk_width), lambda b, j, i, qo: (b, dkv_q_index(j, i, qo), 0)),  # q
+        pl.BlockSpec((1, bkv, qk_width), lambda b, j, i, qo: (b, j, 0)),  # k
+        pl.BlockSpec((1, bkv, qk_width), lambda b, j, i, qo: (b, j, 0)),  # v
+        pl.BlockSpec((1, bq, qk_width), lambda b, j, i, qo: (b, dkv_q_index(j, i, qo), 0)),  # do
         pl.BlockSpec((1, 1, bq), lambda b, j, i, qo: (b, 0, dkv_q_index(j, i, qo))),  # lse
         pl.BlockSpec((1, 1, bq), lambda b, j, i, qo: (b, 0, dkv_q_index(j, i, qo))),  # di
     ]
@@ -535,6 +632,8 @@ def flash_attention_bwd(
             q_seq_blocks=q_seq_blocks,
             window=window,
             logit_softcap=logit_softcap,
+            packed=packed,
+            head_dim=d,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -550,8 +649,8 @@ def flash_attention_bwd(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((bh, s_kv, d), k.dtype),
-            jax.ShapeDtypeStruct((bh, s_kv, d), v.dtype),
+            jax.ShapeDtypeStruct((bh, s_kv, d), out_dtypes[1]),
+            jax.ShapeDtypeStruct((bh, s_kv, d), out_dtypes[2]),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),

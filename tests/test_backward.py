@@ -151,4 +151,8 @@ def test_fused_bwd_matches_two_pass():
         g_fused = flash_attention_bwd(q, k, v, o, lse, do, fused=True, **kw)
         g_two = flash_attention_bwd(q, k, v, o, lse, do, fused=False, **kw)
         for name, a, b in zip("dq dk dv".split(), g_fused, g_two):
-            validate_result(a, b, 1e-5, name=f"{name}@{(bh,sq,skv,d,seg,off)}")
+            # 5e-5 not 1e-5: at d <= 64 the two-pass kernels run the lane-
+            # packed schedule (round 3), which keeps the lo*lo term bf16_3x
+            # (still used by the fused kernel) drops — a small one-sided
+            # precision improvement, not an accumulation-order artifact.
+            validate_result(a, b, 5e-5, name=f"{name}@{(bh,sq,skv,d,seg,off)}")
