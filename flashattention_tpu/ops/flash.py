@@ -407,27 +407,60 @@ def _kernel(
                 s = logit_softcap * jnp.tanh(s * (1.0 / logit_softcap))
 
             kv_start = kv_idx * block_kv + start
-            mask = None
-            if causal:
-                # Elementwise diagonal-block mask (~ src/flashattention.cu:478-487).
-                # Applied on every surviving tile: grid ids are traced, so the
-                # "tile fully below diagonal" shortcut can't be decided at trace
-                # time; the iota+select is cheap VPU work hidden under the MXU.
-                row_ids = (
-                    q_offset
-                    + q_idx * block_q
-                    + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-                )
-                col_ids = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                mask = col_ids <= row_ids
-                if window is not None:
-                    mask = mask & (col_ids > row_ids - window)
-            if has_kv_len:
-                col_ids = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                len_mask = col_ids < kv_len
-                mask = len_mask if mask is None else (mask & len_mask)
-            if mask is not None:
-                s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+            if causal or has_kv_len:
+                # Diagonal-only masking (round 3; VERDICT #2): grid ids are
+                # traced, so the "tile needs no mask" shortcut can't be a
+                # trace-time decision — but it CAN be a cheap runtime branch.
+                # A tile is mask-free iff it is fully below the diagonal,
+                # fully inside the window, and fully below the KV length; the
+                # (majority) mask-free tiles then skip the iota/compare/
+                # select VPU chain entirely instead of "hiding" it under the
+                # MXU (at d=64 the VPU is the busier unit and the hide was
+                # costing ~8% of the causal headline).
+                need = None
+
+                def _or(a, b):
+                    return b if a is None else (a | b)
+
+                if causal:
+                    need = _or(
+                        need,
+                        kv_start + block_kv_compute - 1
+                        > q_offset + q_idx * block_q,
+                    )
+                    if window is not None:
+                        need = _or(
+                            need,
+                            kv_start
+                            <= q_offset + (q_idx + 1) * block_q - 1 - window,
+                        )
+                if has_kv_len:
+                    need = _or(need, kv_start + block_kv_compute > kv_len)
+
+                def _apply(s):
+                    mask = None
+                    if causal:
+                        # ~ src/flashattention.cu:478-487
+                        row_ids = (
+                            q_offset
+                            + q_idx * block_q
+                            + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                        )
+                        col_ids = kv_start + jax.lax.broadcasted_iota(
+                            jnp.int32, s.shape, 1
+                        )
+                        mask = col_ids <= row_ids
+                        if window is not None:
+                            mask = mask & (col_ids > row_ids - window)
+                    if has_kv_len:
+                        col_ids = kv_start + jax.lax.broadcasted_iota(
+                            jnp.int32, s.shape, 1
+                        )
+                        len_mask = col_ids < kv_len
+                        mask = len_mask if mask is None else (mask & len_mask)
+                    return s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+
+                s = jax.lax.cond(need, _apply, lambda s: s, s)
 
             m_prev = m_scratch[:, 0:1]  # (block_q, 1) replicated state
             m_curr = jnp.max(s, axis=1, keepdims=True)

@@ -21,19 +21,31 @@ from flashattention_tpu.ops.backward import attention_vjp
 from flashattention_tpu.ops.decode import paged_attention
 from flashattention_tpu.ops.dispatch import attention
 from flashattention_tpu.ops.flash import flash_attention
-from flashattention_tpu.utils.benchit import attention_flops, chip_peak, devtime_ms
+from flashattention_tpu.utils.benchit import (
+    attention_ceiling_tflops,
+    attention_flops,
+    chip_peak,
+    devtime_ms,
+)
 from flashattention_tpu.utils.testing import make_random
 
 ROWS = []
 
 
-def row(name, ms, *, flops=0, kv_bytes=0, note=""):
+def row(name, ms, *, flops=0, kv_bytes=0, note="", ceiling=None):
+    """``ceiling``: structural MXU ceiling in TF/s (see
+    utils.benchit.attention_ceiling_tflops) — makes the "X% of what is
+    physically reachable at this head_dim/precision" argument auditable in
+    the JSON instead of prose (round 3; VERDICT #3)."""
     r = {"name": name, "ms": round(ms, 4)}
     if flops:
         r["tflops_per_s"] = round(flops / ms / 1e9, 1)
         peak = chip_peak(16)
         if peak:
             r["peak_frac"] = round(flops / ms / 1e9 / peak[0], 3)
+        if ceiling:
+            r["ceiling_tflops"] = round(ceiling, 1)
+            r["ceiling_frac"] = round(flops / ms / 1e9 / ceiling, 3)
     if kv_bytes:
         r["gb_per_s"] = round(kv_bytes / ms / 1e6, 1)
         peak = chip_peak(16)
@@ -65,18 +77,30 @@ def prefill_suite():
         row(
             f"prefill fp32 B={b} H={h} d={d} S={s}", ms, flops=fl,
             note=f"reference {ref_ms} ms -> {ref_ms/ms:.1f}x",
+            ceiling=attention_ceiling_tflops(d, "bf16_3x"),
         )
     # Production rows.
     q, k, v = qkv(16, 8192, 64, jnp.bfloat16)
     fl = attention_flops(16, 8192, 8192, 64)
     ms = devtime_ms(lambda q, k, v: flash_attention(q, k, v), (q, k, v))
-    row("prefill bf16 B=2 H=8 d=64 S=8192", ms, flops=fl)
+    row("prefill bf16 B=2 H=8 d=64 S=8192", ms, flops=fl,
+        ceiling=attention_ceiling_tflops(64, "bf16"))
     ms = devtime_ms(lambda q, k, v: flash_attention(q, k, v, causal=True), (q, k, v))
-    row("prefill bf16 causal S=8192", ms, flops=fl // 2)
+    row("prefill bf16 causal S=8192", ms, flops=fl // 2,
+        ceiling=attention_ceiling_tflops(64, "bf16"))
     q, k, v = qkv(128, 2048, 128, jnp.bfloat16)
     fl = attention_flops(128, 2048, 2048, 128)
     ms = devtime_ms(lambda q, k, v: flash_attention(q, k, v), (q, k, v))
-    row("prefill bf16 Llama-7B-shape (BH=128 d=128 S=2048)", ms, flops=fl)
+    row("prefill bf16 Llama-7B-shape (BH=128 d=128 S=2048)", ms, flops=fl,
+        ceiling=attention_ceiling_tflops(128, "bf16"))
+    # Wide-head row (round 3; VERDICT #10): d=256 through the tuned
+    # head_dim-aware fit (the reference's BK d-tiling scope,
+    # /root/reference/src/flashattention.cu:15-24).
+    q, k, v = qkv(32, 2048, 256, jnp.bfloat16)
+    fl = attention_flops(32, 2048, 2048, 256)
+    ms = devtime_ms(lambda q, k, v: flash_attention(q, k, v), (q, k, v))
+    row("prefill bf16 wide-head (BH=32 d=256 S=2048)", ms, flops=fl,
+        ceiling=attention_ceiling_tflops(256, "bf16"))
 
 
 def decode_suite():
@@ -157,6 +181,9 @@ def train_suite():
             ms,
             flops=int(2.5 * fl),
             note="flops = 2.5x fwd (5 block matmuls)",
+            ceiling=attention_ceiling_tflops(
+                d, "bf16" if dt == jnp.bfloat16 else "bf16_3x"
+            ),
         )
 
 

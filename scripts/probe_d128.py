@@ -65,6 +65,144 @@ def sweep(bh, s, d, dtype, causal=False, configs=None):
         print(f"  BEST: {best[1]} -> {best[0]:.3f} ms  {fl/best[0]/1e9:.1f} TF/s")
 
 
+def pipeline_decomposition():
+    """Cost decomposition of the d=128 Llama-7B-shape step (round 3).
+
+    The tuned kernel runs 1.92 ms (143 TF/s, 73% peak) at BH=128, S=2048,
+    d=128, bq=512 with ONE kv block per q block.  Mini-kernels with the same
+    grid/DMA shape isolate where the other 27% goes:
+
+      skeleton  s = q@k^T; o += s@v          (MXU + DMA roofline, no VPU)
+      exp       + p = exp(s - 5)             (exp cost alone)
+      maxexp    + m = rowmax(s)              (+ cross-lane max reduce)
+      full      + l = rowsum(p); o = pv/l    (one-shot softmax, no scratch)
+      scratch   full online-softmax recurrence with VMEM scratch + alpha
+                rescale (what the real kernel does even for 1 kv block)
+      split2    two INDEPENDENT (m,l,acc) chains over kv halves merged at
+                the end — no serial scratch dependency between sub-tiles
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    BH, S, D, BQ = 128, 2048, 128, 512
+    nq = S // BQ
+
+    def build(variant):
+        def kernel(q_ref, k_ref, v_ref, o_ref):
+            q, k, v = q_ref[0], k_ref[0], v_ref[0]
+            dims_nt = (((1,), (1,)), ((), ()))
+            dims_nn = (((1,), (0,)), ((), ()))
+
+            def chain(kk, vv):
+                s = jax.lax.dot_general(
+                    q, kk, dims_nt, preferred_element_type=jnp.float32
+                )
+                m = jnp.max(s, axis=1, keepdims=True)
+                p = jnp.exp(s - m)
+                l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+                acc = jax.lax.dot_general(
+                    p, vv, dims_nn, preferred_element_type=jnp.float32
+                )
+                return m, l, acc
+
+            if variant == "split2":
+                h = S // 2
+                m0, l0, a0 = chain(k[:h], v[:h])
+                m1, l1, a1 = chain(k[h:], v[h:])
+                m = jnp.maximum(m0, m1)
+                w0, w1 = jnp.exp(m0 - m), jnp.exp(m1 - m)
+                l = w0 * l0 + w1 * l1
+                o_ref[0] = ((w0 * a0 + w1 * a1) / l).astype(o_ref.dtype)
+                return
+
+            s = jax.lax.dot_general(
+                q, k, dims_nt, preferred_element_type=jnp.float32
+            )
+            if variant == "skeleton":
+                p = s
+            elif variant == "exp":
+                p = jnp.exp(s - 5.0)
+            elif variant == "maxexp":
+                p = jnp.exp(s - jnp.max(s, axis=1, keepdims=True))
+            elif variant in ("full", "scratch"):
+                m = jnp.max(s, axis=1, keepdims=True)
+                p = jnp.exp(s - m)
+            pv = jax.lax.dot_general(
+                p, v, dims_nn, preferred_element_type=jnp.float32
+            )
+            if variant == "full":
+                l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+                pv = pv / jnp.where(l == 0.0, 1.0, l)
+            o_ref[0] = pv.astype(o_ref.dtype)
+
+        def kernel_scratch(q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc):
+            # Mimic the real kernel's recurrence exactly (1 kv block).
+            m_sc[...] = jnp.full_like(m_sc, -jnp.inf)
+            acc_sc[...] = jnp.zeros_like(acc_sc)
+            l_sc[...] = jnp.zeros_like(l_sc)
+            q, k, v = q_ref[0], k_ref[0], v_ref[0]
+            dims_nt = (((1,), (1,)), ((), ()))
+            dims_nn = (((1,), (0,)), ((), ()))
+            s = jax.lax.dot_general(
+                q, k, dims_nt, preferred_element_type=jnp.float32
+            )
+            m_prev = m_sc[:, 0:1]
+            m_next = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next)
+            m_sc[...] = jnp.broadcast_to(m_next, m_sc.shape)
+            pv = jax.lax.dot_general(
+                p, v, dims_nn, preferred_element_type=jnp.float32
+            )
+            l_next = alpha * l_sc[:, 0:1] + jnp.sum(
+                p, axis=1, keepdims=True, dtype=jnp.float32
+            )
+            l_sc[...] = jnp.broadcast_to(l_next, l_sc.shape)
+            acc_sc[...] = acc_sc[...] * alpha + pv
+            l = l_sc[:, 0:1]
+            o_ref[0] = (
+                acc_sc[...] * jnp.where(l == 0.0, 1.0, 1.0 / l)
+            ).astype(o_ref.dtype)
+
+        scratch = (
+            [pltpu.VMEM((BQ, 128), jnp.float32)] * 2
+            + [pltpu.VMEM((BQ, D), jnp.float32)]
+            if variant == "scratch"
+            else []
+        )
+
+        @jax.jit
+        def fn(q, k, v):
+            return pl.pallas_call(
+                kernel_scratch if variant == "scratch" else kernel,
+                grid=(BH, nq),
+                in_specs=[
+                    pl.BlockSpec((1, BQ, D), lambda b, i: (b, i, 0)),
+                    pl.BlockSpec((1, S, D), lambda b, i: (b, 0, 0)),
+                    pl.BlockSpec((1, S, D), lambda b, i: (b, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec((1, BQ, D), lambda b, i: (b, i, 0)),
+                out_shape=jax.ShapeDtypeStruct((BH, S, D), jnp.float32),
+                scratch_shapes=scratch,
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "arbitrary"),
+                    vmem_limit_bytes=96 * 1024 * 1024,
+                ),
+            )(q, k, v)
+
+        return fn
+
+    ks = jax.random.split(jax.random.key(0), 3)
+    q, k, v = (make_random(kk, (BH, S, D), jnp.bfloat16) for kk in ks)
+    fl = attention_flops(BH, S, S, D)
+    for variant in ("skeleton", "exp", "maxexp", "full", "scratch", "split2"):
+        fn = build(variant)
+        ms = devtime_ms(fn, (q, k, v))
+        print(
+            f"  {variant:9}: {ms:7.3f} ms  {fl/ms/1e9:6.1f} TF/s", flush=True
+        )
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "sweep"
     if which == "sweep":
@@ -91,6 +229,8 @@ def main():
                 (512, 2048, 2048), (1024, 2048, 2048),
             ],
         )
+    elif which == "pipeline":
+        pipeline_decomposition()
     else:
         raise SystemExit(f"unknown probe {which!r}")
 

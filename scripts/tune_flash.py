@@ -21,8 +21,14 @@ from flashattention_tpu.utils.testing import make_random
 
 
 def main():
-    shapes = [(8, 16, 64, 1024), (2, 8, 64, 8192)]
-    dtypes = [jnp.bfloat16, jnp.float32]
+    # Wide heads (round 3; VERDICT #10): pass "wide" to sweep d=192/256
+    # (bf16 only — wide heads are the bf16 production regime).
+    if len(sys.argv) > 1 and sys.argv[1] == "wide":
+        shapes = [(4, 8, 192, 2048), (4, 8, 256, 2048), (2, 8, 256, 4096)]
+        dtypes = [jnp.bfloat16]
+    else:
+        shapes = [(8, 16, 64, 1024), (2, 8, 64, 8192)]
+        dtypes = [jnp.bfloat16, jnp.float32]
     for (b, h, d, s), dtype in itertools.product(shapes, dtypes):
         ks = jax.random.split(jax.random.key(0), 3)
         q, k, v = (make_random(kk, (b * h, s, d), dtype) for kk in ks)
