@@ -163,11 +163,20 @@ class BlockSizes:
     - ``block_kv_compute`` ~ BK-style inner tile: KV rows per MXU matmul;
       must divide ``block_kv``.  Controls the VMEM footprint of the scores
       tile independently of HBM transfer granularity.
+    - ``block_h``: heads per grid step (round 3; VERDICT #4).  Small-S
+      shapes (1-2 (q, kv) steps per head) leave the pipeline dominated by
+      per-step fixed costs and per-(head, q-block) init/epilogue; batching
+      ``block_h`` independent heads into one grid step amortizes both and
+      makes every DMA ``block_h``x larger.  No cross-head math: the kernel
+      unrolls a per-head loop over sliced tiles (heads never share a
+      contraction).  Must divide batch*heads; ignored on the triangular
+      causal grid (long-S, where per-head grids are already deep).
     """
 
     block_q: int = 512
     block_kv: int = 2048
     block_kv_compute: int = 2048
+    block_h: int = 1
 
     def __post_init__(self):
         if self.block_kv % self.block_kv_compute != 0:
@@ -179,6 +188,8 @@ class BlockSizes:
             val = getattr(self, name)
             if val % MIN_BLOCK != 0:
                 raise ValueError(f"{name} ({val}) must be a multiple of {MIN_BLOCK}")
+        if self.block_h < 1:
+            raise ValueError(f"block_h ({self.block_h}) must be >= 1")
 
     @classmethod
     def fit(
@@ -190,6 +201,7 @@ class BlockSizes:
         causal: bool = False,
         max_block_q: int = 1024,
         max_block_kv: int = 2048,
+        n_heads: int | None = None,
     ) -> "BlockSizes":
         """Pick defaults that divide the (padded) problem and fit VMEM.
 
@@ -226,7 +238,21 @@ class BlockSizes:
         max_bkv = min(max_block_kv, 1024 if causal else 2048)
         block_kv = largest_dividing(s_kv, max_bkv)
         block_kv_compute = block_kv
-        return cls(block_q, block_kv, block_kv_compute)
+        block_h = 1
+        if n_heads is not None and n_heads > 1:
+            # Head batching (round 3; VERDICT #4): with <= 2 (q, kv) steps
+            # per head the pipeline spends most of its time in per-step fixed
+            # costs and init/epilogue ramp; fold several independent heads
+            # into each grid step.  Cap chosen so the working set (tiles x
+            # double-buffering + scratch) stays well under the 96 MB VMEM
+            # budget at the shapes that trigger it (S <= ~2048).
+            steps = -(-s_q // block_q) * -(-s_kv // block_kv)
+            if steps <= 2:
+                cap = 8 // steps
+                while cap > 1 and n_heads % cap:
+                    cap -= 1
+                block_h = cap
+        return cls(block_q, block_kv, block_kv_compute, block_h)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -301,6 +327,7 @@ def _kernel(
     # (round 2; VERDICT #6).
     q_offset = qoff_ref[0]
     kv_len = qoff_ref[1] if has_kv_len else None
+    block_h = q_ref.shape[0]  # heads per grid step (VERDICT #4); see BlockSizes
     block_q = q_ref.shape[1]
     block_kv = k_ref.shape[1]
     if tri:
@@ -321,7 +348,15 @@ def _kernel(
             q_idx = jax.lax.rem(q_idx, q_seq_blocks)
         kv_idx = pl.program_id(2)
 
-    @pl.when(kv_idx == 0)
+    if tri and window is not None:
+        # The windowed pair table starts each q row at its first in-window
+        # KV block, not at 0 — init must fire there (q_offset is a static 0
+        # whenever tri is on).
+        first_kv = jnp.maximum(0, (q_idx * block_q - window + 1) // block_kv)
+    else:
+        first_kv = 0
+
+    @pl.when(kv_idx == first_kv)
     def _init():
         m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
@@ -348,9 +383,13 @@ def _kernel(
         len_run = kv_idx * block_kv < kv_len
         should_run = len_run if should_run is True else (should_run & len_run)
 
-    @pl.when(should_run)
-    def _run():
-        q = q_ref[0]  # (block_q, d); packed: (block_q, 2d) bf16 [qh|ql]
+    dims_nt = (((1,), (1,)), ((), ()))  # contract last dims (q . k^T)
+    dims_nn = (((1,), (0,)), ((), ()))  # plain matmul (p @ v)
+
+    def _run_head(h):
+        r0 = h * block_q  # this head's row band in the shared scratch
+        rows = slice(r0, r0 + block_q)
+        q = q_ref[h]  # (block_q, d); packed: (block_q, 2d) bf16 [qh|ql]
         if packed and head_dim <= NUM_LANES // 4:
             # 4-group layout: [qh|ql|qh|ql] vs [kh|kl|kl|kh] yields all four
             # hi/lo partial products in ONE full-width contraction.
@@ -361,11 +400,9 @@ def _kernel(
             if precision == "bf16_3x" and q.dtype == jnp.float32
             else None
         )
-        dims_nt = (((1,), (1,)), ((), ()))  # contract last dims (q . k^T)
-        dims_nn = (((1,), (0,)), ((), ()))  # plain matmul (p @ v)
 
         def _sub_tile(start):
-            k = k_ref[0, start : start + block_kv_compute, :]
+            k = k_ref[h, start : start + block_kv_compute, :]
             if packed:
                 # k = [kh|kl] bf16 (bkv_c, 2d); the swapped copy pairs each
                 # operand half against the other's opposite half.
@@ -397,7 +434,7 @@ def _kernel(
                     s = _dot_g(q.astype(jnp.bfloat16), k, dims_nt, "bf16")
                 else:
                     s = _dot_g(q, k, dims_nt, precision, a_split=q_split)
-                s = s * k_scales_ref[0, :, start : start + block_kv_compute]
+                s = s * k_scales_ref[h, :, start : start + block_kv_compute]
             else:
                 s = _dot_g(q, k, dims_nt, precision, a_split=q_split)
             if scale != 1.0:
@@ -462,7 +499,7 @@ def _kernel(
 
                 s = jax.lax.cond(need, _apply, lambda s: s, s)
 
-            m_prev = m_scratch[:, 0:1]  # (block_q, 1) replicated state
+            m_prev = m_scratch[rows, 0:1]  # (block_q, 1) replicated state
             m_curr = jnp.max(s, axis=1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_curr)
             alpha = jnp.exp(m_prev - m_next)  # rescale of old state
@@ -472,9 +509,11 @@ def _kernel(
             # convert breaks the fused sub+exp chain and bf16 VPU transcend-
             # entals are not 2x rate.  Keep the f32 softmax pipeline.
             p = jnp.exp(s - m_next)
-            m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+            m_scratch[rows, :] = jnp.broadcast_to(
+                m_next, (block_q, m_scratch.shape[1])
+            )
 
-            v = v_ref[0, start : start + block_kv_compute, :]
+            v = v_ref[h, start : start + block_kv_compute, :]
             l_add = None
             if packed:
                 # v = [vh|vl] (bkv_c, 2d) bf16 (+ a ones lane when it fits):
@@ -494,7 +533,7 @@ def _kernel(
                 # Fold the V dequant scale into p (o_d = sum_j p_j*s_j*v_jd):
                 # one VPU row-scale instead of dequantizing the whole V tile.
                 v = v.astype(jnp.bfloat16)
-                p_scaled = p * v_scales_ref[0, :, start : start + block_kv_compute]
+                p_scaled = p * v_scales_ref[h, :, start : start + block_kv_compute]
                 if precision == "bf16":
                     pv = _dot_g(p_scaled.astype(jnp.bfloat16), v, dims_nn, "bf16")
                 else:
@@ -504,13 +543,15 @@ def _kernel(
             if l_scratch is not None:
                 if l_add is None:
                     l_add = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
-                l_next = alpha * l_scratch[:, 0:1] + l_add
-                l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+                l_next = alpha * l_scratch[rows, 0:1] + l_add
+                l_scratch[rows, :] = jnp.broadcast_to(
+                    l_next, (block_q, l_scratch.shape[1])
+                )
             # Unnormalized accumulator; rescale old contribution by alpha and
             # divide by l once in the epilogue (~ src/flashattention.cu:346-354).
             # Under lsum_mxu, column head_dim of pv is sum(p): l shares the
             # recurrence.
-            acc_scratch[...] = acc_scratch[...] * alpha + pv
+            acc_scratch[rows, :] = acc_scratch[rows, :] * alpha + pv
 
         # NB (round 3): splitting the q rows into independent per-sub-tile
         # online-softmax chains (shorter VPU live ranges, interleavable
@@ -543,6 +584,15 @@ def _kernel(
             else:
                 _sub_tile(start)
 
+    @pl.when(should_run)
+    def _run():
+        # block_h > 1 (VERDICT #4): unroll over the heads batched into this
+        # grid step.  Heads are independent — each keeps its online-softmax
+        # state in a disjoint row band of the shared scratch — so this is
+        # pure per-step-overhead amortization, never a fused contraction.
+        for h in range(block_h):
+            _run_head(h)
+
     if tri:
         last_kv = jnp.minimum(
             num_kv_blocks - 1, ((q_idx + 1) * block_q - 1) // block_kv
@@ -552,15 +602,19 @@ def _kernel(
 
     @pl.when(kv_idx == last_kv)
     def _epilogue():
-        if lsum_mxu:
-            l = acc_scratch[:, head_dim : head_dim + 1]
-        else:
-            l = l_scratch[:, 0:1]
-        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-        o_ref[0] = (acc_scratch[:, :head_dim] * l_inv).astype(o_ref.dtype)
-        if save_residuals:
-            l_ref[0] = jnp.broadcast_to(l, l_ref.shape[1:]).astype(l_ref.dtype)
-            m_ref[0] = m_scratch[...].astype(m_ref.dtype)
+        for h in range(block_h):
+            rows = slice(h * block_q, (h + 1) * block_q)
+            if lsum_mxu:
+                l = acc_scratch[rows, head_dim : head_dim + 1]
+            else:
+                l = l_scratch[rows, 0:1]
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[h] = (acc_scratch[rows, :head_dim] * l_inv).astype(o_ref.dtype)
+            if save_residuals:
+                l_ref[h] = jnp.broadcast_to(l, l_ref.shape[1:]).astype(
+                    l_ref.dtype
+                )
+                m_ref[h] = m_scratch[rows, :].astype(m_ref.dtype)
 
 
 def flash_attention(
@@ -598,7 +652,6 @@ def flash_attention(
         and q_offset == 0
         and q_seq_len is None
         and kv_len is None
-        and window is None
     )
     return _flash_attention(
         q,
@@ -726,7 +779,16 @@ def _flash_attention(
 
     if block_sizes is None:
         # GQA row folding: block_q must divide the per-group segment length.
-        block_sizes = BlockSizes.fit(q_seq_len or s_q, s_kv, d, precision, causal)
+        block_sizes = BlockSizes.fit(
+            q_seq_len or s_q,
+            s_kv,
+            d,
+            precision,
+            causal,
+            # Folded GQA rows multiply the per-head step count; only offer
+            # head batching to plain (unfolded) layouts.
+            n_heads=bh if q_seq_len is None else None,
+        )
     bq, bkv = block_sizes.block_q, block_sizes.block_kv
     if s_q % bq or s_kv % bkv:
         raise ValueError(
@@ -745,17 +807,35 @@ def _flash_attention(
     # index tables — above-diagonal steps vanish instead of cycling through
     # the pipeline as predicated no-ops.
     tri = tri_ok and num_q_blocks > 1
+    # Heads per grid step (round 3; VERDICT #4): off on the triangular grid
+    # (long-S — per-head grids are already deep) and when it doesn't divide.
+    block_h = 1 if tri else block_sizes.block_h
+    if bh % block_h:
+        raise ValueError(
+            f"block_h ({block_h}) must divide batch*heads ({bh})"
+        )
     if tri:
+        # Sliding window (round 3): pairs fully before the window band are
+        # excluded from the table too, so a windowed causal prefill does
+        # O(S * window) grid steps instead of O(S^2) — the rect grid only
+        # elided their DMAs, still paying the per-step pipeline cost.
+        def _j_lo(i):
+            if window is None:
+                return 0
+            return max(0, (i * bq - window + 1) // bkv)
+
         pairs = [
             (i, j)
             for i in range(num_q_blocks)
-            for j in range(min(num_kv_blocks, ((i + 1) * bq - 1) // bkv + 1))
+            for j in range(
+                _j_lo(i), min(num_kv_blocks, ((i + 1) * bq - 1) // bkv + 1)
+            )
         ]
         qi_tab = jnp.asarray([ij[0] for ij in pairs], jnp.int32)
         kj_tab = jnp.asarray([ij[1] for ij in pairs], jnp.int32)
         grid = (bh, len(pairs))
     else:
-        grid = (bh, num_q_blocks, num_kv_blocks)
+        grid = (bh // block_h, num_q_blocks, num_kv_blocks)
 
     # Lane-packed fp32 emulation (see module docstring): for fp32 inputs at
     # d <= 64 the bf16_3x ladder upgrades to streaming [hi|lo] bf16 pairs
@@ -859,7 +939,7 @@ def _flash_attention(
         kv_map = lambda b, i, j, qoff: (b, kv_block_index(i, j, qoff), 0)
         kv_scale_map = lambda b, i, j, qoff: (b, 0, kv_block_index(i, j, qoff))
 
-    out_specs = [pl.BlockSpec((1, bq, d), q_map)]
+    out_specs = [pl.BlockSpec((block_h, bq, d), q_map)]
     if save_residuals:
         # l/m replicated over 128 lanes: a lane-aligned layout the epilogue can
         # store without a cross-lane transpose; sliced to (BH, S_q) below.
@@ -868,29 +948,29 @@ def _flash_attention(
             jax.ShapeDtypeStruct((bh, s_q, NUM_LANES), jnp.float32),  # m
         ]
         out_specs += [
-            pl.BlockSpec((1, bq, NUM_LANES), q_map),
-            pl.BlockSpec((1, bq, NUM_LANES), q_map),
+            pl.BlockSpec((block_h, bq, NUM_LANES), q_map),
+            pl.BlockSpec((block_h, bq, NUM_LANES), q_map),
         ]
 
     in_specs = [
-        pl.BlockSpec((1, bq, qk_width), q_map),  # q: kv-invariant per row
-        pl.BlockSpec((1, bkv, qk_width), kv_map),
-        pl.BlockSpec((1, bkv, v_width), kv_map),  # v (ext)
+        pl.BlockSpec((block_h, bq, qk_width), q_map),  # q: kv-invariant per row
+        pl.BlockSpec((block_h, bkv, qk_width), kv_map),
+        pl.BlockSpec((block_h, bkv, v_width), kv_map),  # v (ext)
     ]
     inputs = [q_in, k_in, v_in]
     if quantized:
         # (BH, 1, S) layout: TPU block sublane dim must divide 8 or equal the
         # array dim, so a middle singleton axis carries the "row" of scales.
         in_specs += [
-            pl.BlockSpec((1, 1, bkv), kv_scale_map),
-            pl.BlockSpec((1, 1, bkv), kv_scale_map),
+            pl.BlockSpec((block_h, 1, bkv), kv_scale_map),
+            pl.BlockSpec((block_h, 1, bkv), kv_scale_map),
         ]
         inputs += [k_scales[:, None, :], v_scales[:, None, :]]
 
-    scratch_shapes = [pltpu.VMEM((bq, NUM_LANES), jnp.float32)]  # m
+    scratch_shapes = [pltpu.VMEM((block_h * bq, NUM_LANES), jnp.float32)]  # m
     if not lsum_mxu:
-        scratch_shapes.append(pltpu.VMEM((bq, NUM_LANES), jnp.float32))  # l
-    scratch_shapes.append(pltpu.VMEM((bq, acc_width), jnp.float32))  # acc
+        scratch_shapes.append(pltpu.VMEM((block_h * bq, NUM_LANES), jnp.float32))  # l
+    scratch_shapes.append(pltpu.VMEM((block_h * bq, acc_width), jnp.float32))  # acc
 
     # FLOPs: 2*S_q*S_kv*d for QK^T + 2*S_q*S_kv*d for PV, per batch*head.
     flops = 4 * bh * s_q * s_kv * d

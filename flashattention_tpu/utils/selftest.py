@@ -119,6 +119,41 @@ def check_fwd_lane_packed_d32():
     validate_result(o, attention_reference(q, k, v), TOL_FP32)
 
 
+def check_fwd_block_h_batched():
+    """block_h head batching (small-S overhead amortization, VERDICT r2 #4).
+
+    ``BlockSizes.fit`` auto-picks block_h > 1 at small S, so the compiled
+    path must agree with the unbatched kernel bit-for-bit (same per-head
+    compute, disjoint scratch bands)."""
+    from flashattention_tpu.ops.flash import BlockSizes, flash_attention
+    from flashattention_tpu.ops.reference import attention_reference
+
+    q, k, v = _qkv((16, 512, 64), seed=10)
+    bsh = BlockSizes(256, 512, 512, block_h=8)
+    o = flash_attention(q, k, v, block_sizes=bsh, interpret=False)
+    validate_result(o, attention_reference(q, k, v), TOL_FP32)
+    o1 = flash_attention(
+        q, k, v, block_sizes=BlockSizes(256, 512, 512), interpret=False
+    )
+    assert jnp.array_equal(o, o1), "block_h=8 diverged from block_h=1"
+
+
+def check_fwd_windowed_tri_grid():
+    """Sliding-window causal on the triangular pair grid (round 3): the
+    pair table starts each q row at its first in-window KV block and the
+    scratch init must fire there on the compiled path too."""
+    from flashattention_tpu.ops.flash import BlockSizes, flash_attention
+    from flashattention_tpu.ops.reference import attention_reference
+
+    q, k, v = _qkv((2, 1024, 64), seed=11)
+    bs = BlockSizes(128, 128, 128)
+    o = flash_attention(
+        q, k, v, causal=True, window=256, block_sizes=bs, interpret=False
+    )
+    want = attention_reference(q, k, v, causal=True, window=256)
+    validate_result(o, want, TOL_FP32)
+
+
 def check_backward():
     """Two-pass backward dQ/dK/dV vs oracle autodiff, causal fp32."""
     from flashattention_tpu.ops.backward import flash_attention_bwd
@@ -172,6 +207,8 @@ CHECKS = [
     check_fwd_window_softcap_gqa,
     check_fwd_traced_offsets,
     check_fwd_lane_packed_d32,
+    check_fwd_block_h_batched,
+    check_fwd_windowed_tri_grid,
     check_backward,
     check_paged_decode_int8,
 ]

@@ -26,36 +26,49 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "wide":
         shapes = [(4, 8, 192, 2048), (4, 8, 256, 2048), (2, 8, 256, 4096)]
         dtypes = [jnp.bfloat16]
+        bhs = (1,)
+    elif len(sys.argv) > 1 and sys.argv[1] == "small":
+        # Small-S overhead shapes (round 3; VERDICT #4): sweep block_h too.
+        shapes = [(8, 16, 64, 1024), (8, 16, 32, 1024)]
+        dtypes = [jnp.float32, jnp.bfloat16]
+        bhs = (1, 2, 4, 8, 16)
     else:
         shapes = [(8, 16, 64, 1024), (2, 8, 64, 8192)]
         dtypes = [jnp.bfloat16, jnp.float32]
+        bhs = (1,)
     for (b, h, d, s), dtype in itertools.product(shapes, dtypes):
         ks = jax.random.split(jax.random.key(0), 3)
         q, k, v = (make_random(kk, (b * h, s, d), dtype) for kk in ks)
         fl = attention_flops(b * h, s, s, d)
         print(f"== B={b} H={h} d={d} S={s} {dtype.__name__} ==")
         best = None
-        for bq, bkv, bkc in itertools.product(
+        for bq, bkv, bkc, bhead in itertools.product(
             (128, 256, 512, 1024),
             (128, 256, 512, 1024, 2048),
             (128, 256, 512, 1024, 2048),
+            bhs,
         ):
             if bkc > bkv or bkv % bkc or bq > s or bkv > s:
                 continue
-            bs = BlockSizes(bq, bkv, bkc)
+            if len(bhs) > 1 and (bkc != bkv or (b * h) % bhead):
+                continue  # block_h sweep: skip sub-tiling x head-batch cross
+            bs = BlockSizes(bq, bkv, bkc, bhead)
             try:
                 ms = devtime_ms(
                     lambda q, k, v, bs=bs: flash_attention(q, k, v, block_sizes=bs),
                     (q, k, v),
                 )
             except Exception as e:  # VMEM OOM etc.
-                print(f"  {bq:4}/{bkv:5}/{bkc:5}: FAIL {type(e).__name__}")
+                print(f"  {bq:4}/{bkv:5}/{bkc:5}/h{bhead}: FAIL {type(e).__name__}")
                 continue
             tag = ""
             if best is None or ms < best[0]:
                 best = (ms, bs)
                 tag = "  <-- best"
-            print(f"  {bq:4}/{bkv:5}/{bkc:5}: {ms:7.3f} ms  {fl/ms/1e9:6.1f} TF/s{tag}")
+            print(
+                f"  {bq:4}/{bkv:5}/{bkc:5}/h{bhead}: {ms:7.3f} ms"
+                f"  {fl/ms/1e9:6.1f} TF/s{tag}"
+            )
         if best is None:
             print("  (no config compiled)")
         else:

@@ -368,3 +368,64 @@ def test_window_softcap_gradients_match_oracle_autodiff():
     gr = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)
     for name, a, b in zip("dq dk dv".split(), g, gr):
         validate_result(a, b, 5e-4, name=name)
+
+
+@pytest.mark.parametrize("block_h", [2, 8])
+def test_block_h_matches_unbatched(block_h):
+    """Head batching (block_h, VERDICT #4) is bit-identical to block_h=1:
+    heads are independent and the per-head compute/order is unchanged."""
+    q, k, v = qkv((16, 512, 64), seed=7)
+    for kw in (
+        {},
+        {"causal": True},
+        {"save_residuals": True},
+        {"kv_len": jnp.int32(300)},
+        {"causal": True, "window": 200},
+    ):
+        bs1 = BlockSizes(256, 256, 256)
+        bsh = BlockSizes(256, 256, 256, block_h=block_h)
+        a = flash_attention(q, k, v, block_sizes=bsh, **kw)
+        b = flash_attention(q, k, v, block_sizes=bs1, **kw)
+        a = a if isinstance(a, tuple) else (a,)
+        b = b if isinstance(b, tuple) else (b,)
+        for x, y in zip(a, b):
+            assert jnp.array_equal(x, y), kw
+
+
+def test_block_h_fit_triggers_small_s_only():
+    assert BlockSizes.fit(1024, 1024, 64, n_heads=128).block_h == 8
+    assert BlockSizes.fit(8192, 8192, 64, n_heads=16).block_h == 1
+    assert BlockSizes.fit(1024, 1024, 64).block_h == 1
+    # non-dividing head counts degrade gracefully
+    assert BlockSizes.fit(1024, 1024, 64, n_heads=7).block_h == 7
+    assert BlockSizes.fit(1024, 1024, 64, n_heads=13).block_h == 1
+
+
+def test_block_h_must_divide_heads():
+    q, k, v = qkv((6, 256, 64), seed=8)
+    with pytest.raises(ValueError, match="block_h"):
+        flash_attention(q, k, v, block_sizes=BlockSizes(256, 256, 256, block_h=4))
+
+
+def test_windowed_triangular_grid():
+    """Sliding-window causal runs use the triangular pair grid too (round 3):
+    pairs fully before the window band never enter the pipeline, and the
+    scratch init fires at each q row's FIRST in-window kv block."""
+    q, k, v = qkv((2, 1024, 64), seed=31)
+    bs = BlockSizes(128, 128, 128)  # nq = 8
+    # window=256: row i needs kv blocks [max(0, (128i-255)//128), i] — count
+    # them to pin the expected pair-table length.
+    expect = sum(i - max(0, (128 * i - 255) // 128) + 1 for i in range(8))
+    text = str(
+        jax.make_jaxpr(
+            lambda: flash_attention(q, k, v, causal=True, window=256, block_sizes=bs)
+        )()
+    )
+    assert f"i32[{expect}]" in text, "windowed tri grid not engaged"
+    o = flash_attention(q, k, v, causal=True, window=256, block_sizes=bs)
+    r = attention_reference(q, k, v, causal=True, window=256)
+    validate_result(o, r, TOL_FP32)
+    # Window larger than S degenerates to plain causal: same table as no-window.
+    o = flash_attention(q, k, v, causal=True, window=5000, block_sizes=bs)
+    r = attention_reference(q, k, v, causal=True, window=5000)
+    validate_result(o, r, TOL_FP32)
