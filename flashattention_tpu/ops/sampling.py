@@ -33,7 +33,9 @@ def filter_logits(logits, *, temperature, top_k, top_p):
     """
     logits = logits.astype(jnp.float32) / temperature
     if top_k is not None and top_k < logits.shape[-1]:
-        kth = jnp.sort(logits, axis=-1)[..., -top_k, None]
+        # lax.top_k is O(V log k) vs a full O(V log V) vocab sort — this runs
+        # inside every jitted decode step under sampled serving.
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1, None]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
     if top_p is not None and top_p < 1.0:
         desc = jnp.sort(logits, axis=-1)[..., ::-1]

@@ -393,8 +393,17 @@ class Engine:
         logits = None
         for start in range(0, padded, chunk):
             pages, slots = [], []
-            for _ in range(chunk):
-                pg, sl = self._reserve_or_preempt(rid)
+            for t in range(chunk):
+                if skip + start + t < s:
+                    pg, sl = self._reserve_or_preempt(rid)
+                else:
+                    # Pad token: scatter to the out-of-range page index, which
+                    # ``mode="drop"`` discards — no slot is reserved, so the
+                    # final chunk's padding never holds real pages hostage
+                    # (with a short remainder after a prefix hit it previously
+                    # reserved up to chunk-1 phantom slots and could OOM a
+                    # small pool outright).
+                    pg, sl = c.num_pages, 0
                 pages.append(pg)
                 slots.append(sl)
             ctx = skip + start + chunk
@@ -404,7 +413,8 @@ class Engine:
             # read-only garbage masked out by ctx_len inside the kernel).
             cap = kv_bucket(ctx_pages)
             table = np.zeros((cap,), np.int32)
-            table[:ctx_pages] = self.cache.pages(rid)[:ctx_pages]
+            have = self.cache.pages(rid)[:ctx_pages]
+            table[: len(have)] = have
             logits, kp, vp, ks, vs = transformer.prefill_chunk(
                 self.params,
                 jnp.asarray(toks[start : start + chunk]),
@@ -417,6 +427,10 @@ class Engine:
                 cfg=self.model_cfg,
                 k_scales=self.cache.k_scales if quant else None,
                 v_scales=self.cache.v_scales if quant else None,
+                # NB: the kernel anchors query positions at ctx_len - chunk,
+                # so ctx_len must count the pad tail too.  Pad K/V rows are
+                # never written (dropped scatter); real queries sit at
+                # positions < s and causality keeps them off the stale bytes.
                 ctx_len=jnp.int32(ctx),
                 interpret=self._interpret,
             )

@@ -131,6 +131,14 @@ class PagedKVCache:
         self._refs: dict[int, int] = {}  # page -> refcount (absent == 1-owner)
         self._prefix_index: dict[tuple, int] = {}  # chain key -> page
         self._page_keys: dict[int, list] = {}  # page -> keys it backs
+        # Prefix-cache persistence (round 3): prefix-indexed pages whose last
+        # owner released them are PARKED here (insertion order == LRU order)
+        # instead of returning to the allocator — their content and index
+        # entries survive, so a later request with the same prompt still hits.
+        # They are reclaimed lazily: allocation evicts from the LRU head only
+        # when the allocator proper runs dry, so cache persistence never
+        # reduces usable capacity.
+        self._cached_free: dict[int, None] = {}
 
     # ── sequence lifecycle ────────────────────────────────────────────────
 
@@ -144,11 +152,12 @@ class PagedKVCache:
         return list(self._seqs[seq_id].pages)
 
     def num_free_pages(self) -> int:
-        return self.allocator.num_free()
+        # Parked prefix pages are reclaimable on demand: count them.
+        return self.allocator.num_free() + len(self._cached_free)
 
     def can_append(self, seq_id: int, num_tokens: int) -> bool:
         need = self._pages_needed(seq_id, num_tokens)
-        return need <= self.allocator.num_free()
+        return need <= self.num_free_pages()
 
     def _pages_needed(self, seq_id: int, num_tokens: int) -> int:
         cur = self._seqs[seq_id].length if seq_id in self._seqs else 0
@@ -163,8 +172,9 @@ class PagedKVCache:
     # ── prefix caching ────────────────────────────────────────────────────
 
     def _release(self, pages: list) -> None:
-        """Decref-aware free: a page returns to the allocator only when its
-        last owner releases it; its prefix-index entries die with it."""
+        """Decref-aware free: a page leaves its last owner either parked in
+        the prefix LRU (if it backs prefix-index entries — persistence) or
+        back in the allocator; parked pages keep their index entries."""
         really_free = []
         for pg in pages:
             n = self._refs.get(pg, 1) - 1
@@ -172,12 +182,32 @@ class PagedKVCache:
                 self._refs[pg] = n
                 continue
             self._refs.pop(pg, None)
-            for key in self._page_keys.pop(pg, ()):
-                if self._prefix_index.get(key) == pg:
-                    del self._prefix_index[key]
+            if pg in self._page_keys:
+                self._cached_free[pg] = None  # park at LRU tail
+                continue
             really_free.append(pg)
         if really_free:
             self.allocator.free(really_free)
+
+    def _drop_cached(self, pg: int) -> None:
+        """Forget a parked page's cache identity (index entries + LRU slot)."""
+        del self._cached_free[pg]
+        for key in self._page_keys.pop(pg, ()):
+            if self._prefix_index.get(key) == pg:
+                del self._prefix_index[key]
+
+    def _alloc(self, need: int) -> list | None:
+        """Allocate, evicting LRU parked prefix pages only when the allocator
+        proper can't satisfy the request."""
+        short = need - self.allocator.num_free()
+        if short > 0:
+            if short > len(self._cached_free):
+                return None
+            victims = list(self._cached_free)[:short]
+            for pg in victims:
+                self._drop_cached(pg)
+            self.allocator.free(victims)
+        return self.allocator.alloc(need)
 
     @staticmethod
     def _chain_keys(tokens, page_size):
@@ -224,7 +254,12 @@ class PagedKVCache:
         if seq_id in self._seqs:
             raise ValueError(f"sequence {seq_id} already exists")
         for pg in pages:
-            self._refs[pg] = self._refs.get(pg, 1) + 1
+            if pg in self._cached_free:
+                # Revive a parked page: this adopter becomes its sole owner
+                # (absent refcount == 1-owner), index entries stay live.
+                del self._cached_free[pg]
+            else:
+                self._refs[pg] = self._refs.get(pg, 1) + 1
         self._seqs[seq_id] = _Seq(n_tokens, list(pages))
 
     def register_prefix(self, seq_id: int, tokens) -> None:
@@ -259,10 +294,10 @@ class PagedKVCache:
         seq = self._seqs.setdefault(seq_id, _Seq(0, []))
         need = self._pages_needed(seq_id, t)
         if need:
-            got = self.allocator.alloc(need)
+            got = self._alloc(need)
             if got is None:
                 raise MemoryError(
-                    f"KV cache out of pages: need {need}, free {self.allocator.num_free()}"
+                    f"KV cache out of pages: need {need}, free {self.num_free_pages()}"
                 )
             seq.pages.extend(got)
 
@@ -315,7 +350,7 @@ class PagedKVCache:
         c = self.config
         seq = self._seqs.setdefault(seq_id, _Seq(0, []))
         if seq.length == len(seq.pages) * c.page_size:
-            got = self.allocator.alloc(1)
+            got = self._alloc(1)
             if got is None:
                 raise MemoryError("KV cache out of pages")
             seq.pages.extend(got)

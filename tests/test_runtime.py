@@ -746,7 +746,11 @@ def test_prefix_caching_shares_pages_and_stays_correct(tiny_model):
     for rid, p in zip(rids, prompts):
         assert outs[rid] == reference_generate(params, cfg, p, 4), rid
     assert eng.cache.num_free_pages() == 64
-    assert not eng.cache._refs and not eng.cache._prefix_index
+    assert not eng.cache._refs
+    # Persistence (round 3): the prefix pages outlive their last owner,
+    # parked in the reclaimable LRU with their index entries intact.
+    assert eng.cache._prefix_index
+    assert len(eng.cache._cached_free) == len(set(eng.cache._prefix_index.values()))
 
 
 def test_durable_checkpoint_roundtrip(tiny_model, tmp_path):
@@ -928,3 +932,48 @@ def test_engine_speculative_sampled_near_greedy_limit(tiny_model):
         runs[name] = eng.run_speculative(drafts, k=3)
         assert eng.cache.num_free_pages() == 64, name
     assert runs["greedy"] == runs["sampled"]
+
+
+def test_prefix_cache_persistence_and_lru_eviction(tiny_model):
+    """Round 3: prefix pages persist after their owner finishes (a later
+    identical prompt hits the cache with zero live requests in between), the
+    parked pages are reclaimable (num_free_pages counts them, allocation
+    evicts LRU-first), and eviction drops their index entries."""
+    params, cfg = tiny_model
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        page_size=8,
+        num_pages=10,
+        dtype="float32",
+    )
+    ecfg = EngineConfig(max_batch=2, pages_per_seq=6, prefill_chunk=8)
+    base = [7, 1, 8, 2, 8, 1, 8, 2, 3, 1, 4, 1, 5, 9, 2, 6]  # two full pages
+    eng = Engine(params, cfg, ccfg, ecfg)
+    r0 = eng.add_request(base + [1], 3)
+    out0 = eng.run()[r0]
+    cache = eng.cache
+    assert not cache._refs and cache._prefix_index
+    parked = set(cache._cached_free)
+    assert parked and cache.num_free_pages() == 10
+    assert cache.allocator.num_free() == 10 - len(parked)
+
+    # A fresh identical prompt hits the PERSISTED prefix: both full pages
+    # adopt without prefill work, and the revived pages leave the LRU.
+    n_sh, pages_sh = cache.match_prefix(base + [2])
+    assert n_sh == 16 and set(pages_sh) <= parked
+    r1 = eng.add_request(base + [1], 3)
+    out1 = eng.run()[r1]
+    assert out1 == out0  # same prompt -> same tokens (greedy)
+    assert set(cache._cached_free) >= set(pages_sh)  # re-parked after finish
+
+    # Page pressure evicts parked pages LRU-first and drops their index
+    # entries; capacity is never reduced by parked pages.
+    keys_before = dict(cache._prefix_index)
+    got = cache._alloc(10)  # everything, forcing eviction of all parked
+    assert got is not None and len(got) == 10
+    assert not cache._cached_free and not cache._prefix_index
+    assert keys_before  # the entries existed until eviction
+    cache.allocator.free(got)
+    assert cache.match_prefix(base + [2])[0] == 0  # evicted -> miss
