@@ -23,7 +23,11 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from flashattention_tpu.ops.decode import paged_attention, paged_prefill_attention
+from flashattention_tpu.ops.decode import (
+    paged_attention,
+    paged_prefill_attention,
+    paged_prefill_attention_batched,
+)
 from flashattention_tpu.ops.dispatch import attention
 from flashattention_tpu.ops.flash import BlockSizes, flash_attention
 
@@ -658,4 +662,117 @@ def prefill_chunk(
         x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer)
     x = _rmsnorm(x[0], params["final_norm"])
     logits = x @ params["lm_head"]
+    return logits, k_pages, v_pages, k_scales, v_scales
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "interpret"),
+    donate_argnums=(2, 3),
+    donate_argnames=("k_scales", "v_scales"),
+)
+def prefill_chunk_batched(
+    params,
+    tokens: jax.Array,  # (B, T) int32 — one chunk per request
+    k_pages: jax.Array,  # (L, P, KVH, ps, d) head-major, donated
+    v_pages: jax.Array,
+    positions: jax.Array,  # (B, T) int32 absolute positions per request
+    page_tables: jax.Array,  # (B, n_ctx_pages) per-request context tables
+    write_pages: jax.Array,  # (B, T) page receiving each token's K/V
+    write_slots: jax.Array,  # (B, T) slot within that page
+    cfg: ModelConfig,
+    k_scales: jax.Array | None = None,
+    v_scales: jax.Array | None = None,
+    ctx_lens: jax.Array | None = None,  # (B,) live context incl. this chunk
+    interpret=None,
+):
+    """One chunk step for MANY requests in one dispatch (round 3).
+
+    :func:`prefill_chunk` with a batch dim: the engine's chunked prefills
+    previously ran one request per dispatch — on a tunneled host each chunk
+    paid a full round trip, and a small chunk left the MXU in ramp-up.  Here
+    B requests (padded to a power-of-two bucket) share every layer matmul
+    ((B*T, d_model) GEMMs) and ONE batched paged-attention kernel
+    (:func:`~flashattention_tpu.ops.decode.paged_prefill_attention_batched`)
+    with per-request page tables and causal anchors riding scalar prefetch.
+
+    Dummy rows (batch padding): ``ctx_lens[b] = 0`` with ``write_pages``
+    pointing at the out-of-range trash index — scatters drop, attention
+    skips every page, logits row is garbage the engine never reads.
+
+    Same contracts as :func:`prefill_chunk` otherwise; T must be a multiple
+    of page_size; each request's ``page_tables`` row covers [0, ctx_b).
+    """
+    b, t = tokens.shape
+    ps = k_pages.shape[3]
+    ctx_cap = page_tables.shape[1] * ps
+    if ctx_lens is None:
+        raise ValueError("prefill_chunk_batched requires per-request ctx_lens")
+    ctx_lens = jnp.asarray(ctx_lens, jnp.int32)
+    if ctx_cap < t:
+        raise ValueError(
+            f"page_tables cover {ctx_cap} tokens < chunk size {t}; they must "
+            "span the full context including this chunk"
+        )
+    quantized = k_scales is not None
+    x = params["embed"][tokens]  # (B, T, d_model)
+    g = cfg.group_size
+    kvh = cfg.num_kv_heads
+    for li, layer in enumerate(params["layers"]):
+        h = _rmsnorm(x, layer["attn_norm"])
+        q, k, v = _qkv(h, layer, cfg, positions)  # (B, T, H, d)
+        k_rows, v_rows = k, v  # (B, T, KVH, d)
+        if quantized:
+            k_pay, k_sc = _quantize_row(k_rows, k_pages.dtype)
+            v_pay, v_sc = _quantize_row(v_rows, v_pages.dtype)
+            k_scales = k_scales.at[li, write_pages, :, write_slots].set(
+                k_sc, mode="drop"
+            )
+            v_scales = v_scales.at[li, write_pages, :, write_slots].set(
+                v_sc, mode="drop"
+            )
+        else:
+            k_pay = k_rows.astype(k_pages.dtype)
+            v_pay = v_rows.astype(v_pages.dtype)
+        k_pages = k_pages.at[li, write_pages, :, write_slots, :].set(
+            k_pay, mode="drop"
+        )
+        v_pages = v_pages.at[li, write_pages, :, write_slots, :].set(
+            v_pay, mode="drop"
+        )
+        tpad = -(-t // 128) * 128
+        # (B, T, H, d) -> (B, KVH, G * tpad, d) folded GQA segments.
+        qf = q.transpose(0, 2, 1, 3).reshape(b, kvh, g, t, cfg.head_dim)
+        if tpad != t:
+            qf = jnp.pad(qf, ((0, 0), (0, 0), (0, 0), (0, tpad - t), (0, 0)))
+        qf = qf.reshape(b, kvh, g * tpad, cfg.head_dim)
+        o = paged_prefill_attention_batched(
+            qf.astype(x.dtype),
+            k_pages[li],
+            v_pages[li],
+            page_tables,
+            ctx_lens,
+            chunk=t,
+            seg=tpad,
+            k_scales_pages=k_scales[li] if quantized else None,
+            v_scales_pages=v_scales[li] if quantized else None,
+            scale=cfg.head_dim**-0.5,
+            window=cfg.sliding_window,
+            logit_softcap=cfg.logit_softcap,
+            interpret=interpret,
+        )  # (B, KVH, G*tpad, d)
+        o = o.reshape(b, kvh, g, tpad, cfg.head_dim)[:, :, :, :t]
+        o = (
+            o.reshape(b, kvh * g, t, cfg.head_dim)
+            .transpose(0, 2, 1, 3)
+            .reshape(b, t, cfg.num_q_heads * cfg.head_dim)
+        )
+        x = x + o @ layer["wo"]
+        x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer)
+    # 2D final stage: (B*T, dm) @ (dm, V) reduces element-wise identically to
+    # the single-request path's (T, dm) @ (dm, V), keeping batched prefill
+    # bitwise-equal to N single dispatches (a 3D matmul may tile the
+    # contraction differently at bf16 and flip greedy argmax near ties).
+    x2 = _rmsnorm(x.reshape(b * t, -1), params["final_norm"])
+    logits = (x2 @ params["lm_head"]).reshape(b, t, -1)
     return logits, k_pages, v_pages, k_scales, v_scales

@@ -45,7 +45,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
 
-__all__ = ["paged_attention", "paged_attention_reference", "paged_prefill_attention"]
+__all__ = [
+    "paged_attention",
+    "paged_attention_reference",
+    "paged_prefill_attention",
+    "paged_prefill_attention_batched",
+]
 
 
 def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices, *, scale=1.0):
@@ -392,9 +397,18 @@ def _paged_prefill_kernel(
     window: int | None = None,
     logit_softcap: float | None = None,
     mask_value: float = DEFAULT_MASK_VALUE,
+    batched: bool = False,
 ):
-    i, j = pl.program_id(0), pl.program_id(1)
-    ctx_len = scal_ref[0]
+    if batched:
+        # (b, i, j) grid: per-request ctx_len, shared scratch per (b, i)
+        # because j is the innermost (sequential) dim.  q/o refs carry a
+        # leading singleton batch-block dim.
+        b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        ctx_len = scal_ref[b]
+        q_ref, o_ref = q_ref.at[0], o_ref.at[0]
+    else:
+        i, j = pl.program_id(0), pl.program_id(1)
+        ctx_len = scal_ref[0]
     kvh, bq, d = q_ref.shape
     ps = page_size
 
@@ -627,4 +641,140 @@ def paged_prefill_attention(
         ),
         interpret=interpret,
     )(jnp.asarray(ctx_len, jnp.int32).reshape(1), page_indices, q, k_pages,
+      v_pages, ks_in, vs_in)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "chunk", "seg", "scale", "block_q", "window", "logit_softcap",
+        "interpret",
+    ),
+)
+def paged_prefill_attention_batched(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    page_indices: jax.Array,
+    ctx_lens: jax.Array,
+    *,
+    chunk: int,
+    seg: int | None = None,
+    k_scales_pages: jax.Array | None = None,
+    v_scales_pages: jax.Array | None = None,
+    scale: float = 1.0,
+    block_q: int = 512,
+    window: int | None = None,
+    logit_softcap: float | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Batched chunked-prefill attention over the paged KV pool (round 3).
+
+    Many requests prefill one chunk each in ONE kernel dispatch: the grid
+    grows a leading batch dim, ``page_indices`` is (B, pps) and ``ctx_lens``
+    is (B,) — both ride scalar prefetch, so every request keeps its own
+    causal anchor (``ctx_lens[b] - chunk``) and page table while sharing the
+    compiled program.  On a tunneled host this also divides the per-dispatch
+    round-trip cost by B; on-device it deepens the grid (B x rows/bq x pps
+    steps), keeping the pipeline out of ramp-up for small chunks — the same
+    lever as the flash kernel's ``block_h``.
+
+    Args are :func:`paged_prefill_attention`'s with a leading batch dim on
+    ``q`` (B, KVH, R, d) and per-request tables/lengths.  A dummy row (batch
+    padding) is ``ctx_lens[b] = 0``: every page is skipped and its output
+    block is left unwritten (garbage for the caller to drop).
+
+    Returns (B, KVH, R, d).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, kvh, rows, d = q.shape
+    ps = k_pages.shape[2]
+    pps = page_indices.shape[1]
+    seg = seg or rows
+    if rows % seg:
+        raise ValueError(f"q rows ({rows}) must be a multiple of seg ({seg})")
+    bq = min(block_q, seg)
+    while bq > 8 and seg % bq:
+        bq -= 8
+    if bq <= 0 or seg % bq:
+        raise ValueError(
+            f"seg ({seg}) needs a divisor <= block_q ({block_q}) that is a "
+            "multiple of 8; pad the segment length"
+        )
+    quantized = k_scales_pages is not None
+
+    def page_for(bb, i, j, scal, pi):
+        ctx = scal[bb]
+        last_live = jnp.maximum(pl.cdiv(ctx, ps) - 1, 0)
+        pos0 = ctx - chunk + (i * bq) % seg
+        last_needed = jnp.clip((pos0 + bq - 1) // ps, 0, last_live)
+        j = jnp.minimum(j, last_needed)
+        if window is not None:
+            first = jnp.maximum(0, (pos0 - window + 1) // ps)
+            j = jnp.maximum(j, jnp.minimum(first, last_needed))
+        return pi[bb, j]
+
+    in_specs = [
+        pl.BlockSpec((1, kvh, bq, d), lambda bb, i, j, s_, pi: (bb, 0, i, 0)),
+        pl.BlockSpec(
+            (1, kvh, ps, d),
+            lambda bb, i, j, s_, pi: (page_for(bb, i, j, s_, pi), 0, 0, 0),
+        ),
+        pl.BlockSpec(
+            (1, kvh, ps, d),
+            lambda bb, i, j, s_, pi: (page_for(bb, i, j, s_, pi), 0, 0, 0),
+        ),
+        pl.BlockSpec(
+            (1, kvh, ps),
+            lambda bb, i, j, s_, pi: (
+                (page_for(bb, i, j, s_, pi), 0, 0) if quantized else (0, 0, 0)
+            ),
+        ),
+        pl.BlockSpec(
+            (1, kvh, ps),
+            lambda bb, i, j, s_, pi: (
+                (page_for(bb, i, j, s_, pi), 0, 0) if quantized else (0, 0, 0)
+            ),
+        ),
+    ]
+    if quantized:
+        ks_in, vs_in = k_scales_pages, v_scales_pages
+    else:
+        ks_in = jnp.zeros((1, kvh, ps), jnp.float32)
+        vs_in = jnp.zeros((1, kvh, ps), jnp.float32)
+
+    kernel = functools.partial(
+        _paged_prefill_kernel,
+        page_size=ps,
+        chunk=chunk,
+        seg=seg,
+        scale=scale,
+        quantized=quantized,
+        window=window,
+        logit_softcap=logit_softcap,
+        batched=True,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, rows // bq, pps),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, kvh, bq, d), lambda bb, i, j, s_, pi: (bb, 0, i, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((kvh * bq, 128), jnp.float32),
+                pltpu.VMEM((kvh * bq, 128), jnp.float32),
+                pltpu.VMEM((kvh * bq, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, kvh, rows, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(ctx_lens, jnp.int32), page_indices, q, k_pages,
       v_pages, ks_in, vs_in)

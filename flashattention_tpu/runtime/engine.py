@@ -302,11 +302,10 @@ class Engine:
         # same-step admittee still waiting in `short` must not be).
         for sb, group in sorted(short.items()):
             self._prefill_batch(group, sb)
-        for req in longs:
-            if req.req_id in self.running:  # not preempted by an earlier long
-                self._prefill_chunked(
-                    req, np.asarray(req.prompt + req.output, np.int32)
-                )
+        if longs:
+            self._prefill_chunked_many(
+                [r for r in longs if r.req_id in self.running]
+            )
 
     def _prefill(self, req: Request) -> None:
         # Re-prefills after preemption include already-generated tokens
@@ -318,7 +317,7 @@ class Engine:
         if chunk and (
             s > chunk or self.cache.match_prefix(prompt.tolist())[0] > 0
         ):
-            self._prefill_chunked(req, prompt)
+            self._prefill_chunked_many([req])
             return
         self._prefill_batch([req], _bucket(s))
 
@@ -362,84 +361,144 @@ class Engine:
                 if not self._preempt(exclude=rid):
                     raise
 
-    def _prefill_chunked(self, req: Request, prompt) -> None:
-        """Process a long prompt in prefill_chunk-token chunks against the
-        paged cache (transformer.prefill_chunk): activation memory stays
-        O(chunk * context) and each boundary is a scheduling point.  The last
-        chunk is padded to the chunk size; pad K/V land at positions past the
-        prompt (never attended under the causal mask / length masking) and
-        their pages are trimmed back afterwards."""
+    def _prefill_chunked_many(self, reqs: list) -> None:
+        """Chunked prefill for one OR MANY long prompts, batched per chunk
+        step (round 3).
+
+        Each request's prompt is processed in ``prefill_chunk``-token chunks
+        against the paged cache; every lockstep chunk round dispatches ONE
+        ``transformer.prefill_chunk_batched`` call covering all still-live
+        requests (batch padded to a power-of-two bucket with ``ctx=0`` dummy
+        rows).  On a tunneled host that divides the per-chunk round-trip by
+        the batch size; on-device the shared (B*T, d_model) GEMMs and the
+        batched paged-attention grid keep small chunks out of pipeline
+        ramp-up.  The final stage of the batched model fn is arranged so a
+        row's logits are BITWISE what the single-request dispatch produces —
+        batching is a pure scheduling decision, invisible to goldens.
+
+        Requests finish at different rounds (ragged chunk counts); a request
+        preempted mid-flight (page pressure from a peer's reservation) drops
+        out of subsequent rounds and restarts from scratch on re-admission.
+        The last chunk of each request is padded to the chunk size; pad
+        tokens scatter to the out-of-range trash page index (``mode="drop"``
+        discards them) and reserve no slots, so padding never holds real
+        pages hostage.  Activation memory stays O(B * chunk * context) and
+        every chunk boundary is a scheduling point."""
         c = self.cache.config
         chunk = self.cfg.prefill_chunk
-        rid = req.req_id
-        s = len(prompt)
-        # Prefix caching: adopt any resident full-page prefix (refcounted
-        # shared pages; match guarantees >= 1 token remains to prefill) and
-        # compute only the remainder against that adopted context.
-        if self.cache.has(rid):
-            skip = self.cache.length(rid)  # prefix adopted at admission
-        else:
-            skip = 0
-            n_shared, shared_pages = self.cache.match_prefix(
-                np.asarray(prompt).tolist()
-            )
-            if n_shared:
-                self.cache.adopt_prefix(rid, shared_pages, n_shared)
-                skip = n_shared
-        rem = s - skip
-        padded = -(-rem // chunk) * chunk
-        toks = np.pad(prompt[skip:], (0, padded - rem))
         quant = c.quantized
-        logits = None
-        for start in range(0, padded, chunk):
-            pages, slots = [], []
-            for t in range(chunk):
-                if skip + start + t < s:
-                    pg, sl = self._reserve_or_preempt(rid)
-                else:
-                    # Pad token: scatter to the out-of-range page index, which
-                    # ``mode="drop"`` discards — no slot is reserved, so the
-                    # final chunk's padding never holds real pages hostage
-                    # (with a short remainder after a prefix hit it previously
-                    # reserved up to chunk-1 phantom slots and could OOM a
-                    # small pool outright).
-                    pg, sl = c.num_pages, 0
-                pages.append(pg)
-                slots.append(sl)
-            ctx = skip + start + chunk
-            ctx_pages = ctx // c.page_size
-            # Fixed-capacity table: pad to a power-of-two page count so the
-            # jitted program is shared across chunk indices (pad entries are
-            # read-only garbage masked out by ctx_len inside the kernel).
-            cap = kv_bucket(ctx_pages)
-            table = np.zeros((cap,), np.int32)
-            have = self.cache.pages(rid)[:ctx_pages]
-            table[: len(have)] = have
-            logits, kp, vp, ks, vs = transformer.prefill_chunk(
+        states = []
+        for req in reqs:
+            rid = req.req_id
+            if rid not in self.running:
+                continue
+            prompt = np.asarray(req.prompt + req.output, np.int32)
+            s = len(prompt)
+            # Prefix caching: adopt any resident full-page prefix (refcounted
+            # shared pages; match guarantees >= 1 token remains to prefill)
+            # and compute only the remainder against that adopted context.
+            if self.cache.has(rid):
+                skip = self.cache.length(rid)  # prefix adopted at admission
+            else:
+                skip = 0
+                n_shared, shared_pages = self.cache.match_prefix(
+                    prompt.tolist()
+                )
+                if n_shared:
+                    self.cache.adopt_prefix(rid, shared_pages, n_shared)
+                    skip = n_shared
+            rem = s - skip
+            padded = -(-rem // chunk) * chunk
+            states.append({
+                "req": req, "rid": rid, "prompt": prompt, "s": s,
+                "skip": skip, "rem": rem, "padded": padded,
+                "toks": np.pad(prompt[skip:], (0, padded - rem)),
+                "start": 0, "logits": None,
+            })
+        while True:
+            live = [
+                st for st in states
+                if st["start"] < st["padded"] and st["rid"] in self.running
+            ]
+            if not live:
+                break
+            # Reserve this round's slots for every live request FIRST: a
+            # reservation may preempt a peer (page pressure), so membership
+            # is re-checked before building the dispatch.
+            reserved = {}
+            for st in live:
+                if st["rid"] not in self.running:
+                    continue  # preempted by an earlier peer's reservation
+                pages, slots = [], []
+                base = st["skip"] + st["start"]
+                for t in range(chunk):
+                    if base + t < st["s"]:
+                        pg, sl = self._reserve_or_preempt(st["rid"])
+                    else:
+                        # Pad token: out-of-range page index, dropped scatter.
+                        pg, sl = c.num_pages, 0
+                    pages.append(pg)
+                    slots.append(sl)
+                reserved[st["rid"]] = (pages, slots)
+            live = [st for st in live if st["rid"] in self.running]
+            if not live:
+                continue
+            # Fixed-capacity tables: one shared power-of-two page count (the
+            # max over the batch) so the jitted program is shared across
+            # chunk indices and batch compositions; pad entries are read-only
+            # garbage the kernel's causal anchor never reaches.
+            cap = max(
+                kv_bucket((st["skip"] + st["start"] + chunk) // c.page_size)
+                for st in live
+            )
+            nb = kv_bucket(len(live))  # power-of-two batch bucket from 1
+            tokens = np.zeros((nb, chunk), np.int32)
+            positions = np.zeros((nb, chunk), np.int32)
+            tables = np.zeros((nb, cap), np.int32)
+            wpages = np.full((nb, chunk), c.num_pages, np.int32)
+            wslots = np.zeros((nb, chunk), np.int32)
+            ctxs = np.zeros((nb,), np.int32)  # dummy rows: ctx = 0
+            for i, st in enumerate(live):
+                base = st["skip"] + st["start"]
+                ctx = base + chunk
+                tokens[i] = st["toks"][st["start"] : st["start"] + chunk]
+                positions[i] = np.arange(base, ctx, dtype=np.int32)
+                have = self.cache.pages(st["rid"])[: ctx // c.page_size]
+                tables[i, : len(have)] = have
+                wpages[i], wslots[i] = reserved[st["rid"]]
+                # NB: the kernel anchors query positions at ctx - chunk, so
+                # ctx must count the pad tail too.  Pad K/V rows are never
+                # written; real queries sit at positions < s and causality
+                # keeps them off the stale bytes.
+                ctxs[i] = ctx
+            logits, kp, vp, ks, vs = transformer.prefill_chunk_batched(
                 self.params,
-                jnp.asarray(toks[start : start + chunk]),
+                jnp.asarray(tokens),
                 self.cache.k_pages,
                 self.cache.v_pages,
-                jnp.arange(skip + start, ctx, dtype=jnp.int32),
-                jnp.asarray(table),
-                jnp.asarray(pages, jnp.int32),
-                jnp.asarray(slots, jnp.int32),
+                jnp.asarray(positions),
+                jnp.asarray(tables),
+                jnp.asarray(wpages),
+                jnp.asarray(wslots),
                 cfg=self.model_cfg,
                 k_scales=self.cache.k_scales if quant else None,
                 v_scales=self.cache.v_scales if quant else None,
-                # NB: the kernel anchors query positions at ctx_len - chunk,
-                # so ctx_len must count the pad tail too.  Pad K/V rows are
-                # never written (dropped scatter); real queries sit at
-                # positions < s and causality keeps them off the stale bytes.
-                ctx_len=jnp.int32(ctx),
+                ctx_lens=jnp.asarray(ctxs),
                 interpret=self._interpret,
             )
             self.cache.set_pools(kp, vp, ks, vs)
-        self.cache.trim(rid, s)
-        self.cache.register_prefix(rid, np.asarray(prompt).tolist())
-        self._n_prefill_tokens += rem
-        first = self._sample(logits[(rem - 1) % chunk])
-        self._emit(req, int(first))
+            for i, st in enumerate(live):
+                st["start"] += chunk
+                if st["start"] >= st["padded"]:
+                    st["logits"] = logits[i]
+        for st in states:
+            if st["logits"] is None or st["rid"] not in self.running:
+                continue  # preempted: restarts cleanly on re-admission
+            self.cache.trim(st["rid"], st["s"])
+            self.cache.register_prefix(st["rid"], st["prompt"].tolist())
+            self._n_prefill_tokens += st["rem"]
+            first = self._sample(st["logits"][(st["rem"] - 1) % chunk])
+            self._emit(st["req"], int(first))
 
     def _decode_batch(self) -> None:
         bmax = self.cfg.max_batch

@@ -178,6 +178,32 @@ def check_backward():
     validate_result(dv, want[2], 5e-4, name="dv")
 
 
+def check_paged_prefill_batched():
+    """Batched chunked-prefill kernel == per-request dispatches (the serving
+    engine routes ALL chunked prefills through the batched path, round 3)."""
+    from flashattention_tpu.ops.decode import (
+        paged_prefill_attention,
+        paged_prefill_attention_batched,
+    )
+
+    kvh, d, ps, pps, chunk, P = 2, 64, 64, 4, 128, 16
+    ks = jax.random.split(jax.random.key(12), 3)
+    kp = make_random(ks[0], (P, kvh, ps, d), jnp.bfloat16)
+    vp = make_random(ks[1], (P, kvh, ps, d), jnp.bfloat16)
+    q = make_random(ks[2], (3, kvh, chunk, d), jnp.bfloat16)
+    ctx = jnp.array([256, 128, 0], jnp.int32)  # prefix+chunk, chunk, dummy
+    pi = (jnp.arange(3 * pps, dtype=jnp.int32).reshape(3, pps) * 5) % P
+    ob = paged_prefill_attention_batched(
+        q, kp, vp, pi, ctx, chunk=chunk, scale=0.5, interpret=False
+    )
+    for b in range(2):
+        o1 = paged_prefill_attention(
+            q[b], kp, vp, pi[b], ctx[b], chunk=chunk, scale=0.5,
+            interpret=False,
+        )
+        assert jnp.array_equal(ob[b], o1), f"batched row {b} diverged"
+
+
 def check_paged_decode_int8():
     """Paged decode with fused int8 dequant vs the dense paged oracle."""
     from flashattention_tpu.ops.decode import (
@@ -210,6 +236,7 @@ CHECKS = [
     check_fwd_block_h_batched,
     check_fwd_windowed_tri_grid,
     check_backward,
+    check_paged_prefill_batched,
     check_paged_decode_int8,
 ]
 

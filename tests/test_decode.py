@@ -177,3 +177,39 @@ def test_paged_prefill_attention_vs_oracle(quantized):
                 )
                 err = float(jnp.max(jnp.abs(o[h, sl_][None] - want)))
                 assert err < tol, (ctx, chunk, h, gi, err)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_paged_prefill_batched_matches_per_request(quantized):
+    """Round 3: the batched chunked-prefill kernel is bit-identical to N
+    per-request dispatches (per-request ctx anchors and page tables ride
+    scalar prefetch); dummy rows (ctx=0) are skipped entirely."""
+    from flashattention_tpu.ops.decode import (
+        paged_prefill_attention,
+        paged_prefill_attention_batched,
+    )
+    from flashattention_tpu.ops.quant import quantize
+
+    kvh, d, ps, pps, chunk, P, B = 2, 64, 16, 8, 32, 32, 3
+    ks = jax.random.split(jax.random.key(3), 3)
+    kp = make_random(ks[0], (P, kvh, ps, d))
+    vp = make_random(ks[1], (P, kvh, ps, d))
+    q = make_random(ks[2], (B, kvh, chunk, d))
+    ksc = vsc = None
+    if quantized:
+        kq, vq = quantize(kp, "int8"), quantize(vp, "int8")
+        kp, ksc = kq.payload, kq.scales
+        vp, vsc = vq.payload, vq.scales
+    # Ragged contexts: 16-token prefix + chunk, chunk only, and a dummy row.
+    ctx = jnp.array([48, 32, 0], jnp.int32)
+    pi = (jnp.arange(B * pps, dtype=jnp.int32).reshape(B, pps) * 3) % P
+    kw = dict(chunk=chunk, scale=0.5, window=20, logit_softcap=15.0)
+    ob = paged_prefill_attention_batched(
+        q, kp, vp, pi, ctx, k_scales_pages=ksc, v_scales_pages=vsc, **kw
+    )
+    for b in range(2):
+        o1 = paged_prefill_attention(
+            q[b], kp, vp, pi[b], ctx[b],
+            k_scales_pages=ksc, v_scales_pages=vsc, **kw,
+        )
+        assert jnp.array_equal(ob[b], o1), ("row", b, quantized)

@@ -977,3 +977,42 @@ def test_prefix_cache_persistence_and_lru_eviction(tiny_model):
     assert keys_before  # the entries existed until eviction
     cache.allocator.free(got)
     assert cache.match_prefix(base + [2])[0] == 0  # evicted -> miss
+
+
+def test_batched_chunked_prefill_matches_reference(tiny_model, monkeypatch):
+    """Round 3: concurrent long prompts prefill in LOCKSTEP batched dispatches
+    (one prefill_chunk_batched call per chunk round, not per request) and
+    still produce token-exact outputs — batching is a scheduling decision,
+    bitwise invisible to the result."""
+    params, cfg = tiny_model
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        page_size=8,
+        num_pages=64,
+        dtype="float32",
+    )
+    ecfg = EngineConfig(max_batch=4, pages_per_seq=8, prefill_chunk=8)
+    rng = np.random.default_rng(5)
+    # Ragged lengths: 3, 2, and 4 chunk rounds respectively.
+    prompts = [
+        rng.integers(1, cfg.vocab_size, n).tolist() for n in (17, 9, 26)
+    ]
+    calls = []
+    real = transformer.prefill_chunk_batched
+
+    def spy(params_, tokens, *a, **kw):
+        calls.append(int(tokens.shape[0]))
+        return real(params_, tokens, *a, **kw)
+
+    monkeypatch.setattr(transformer, "prefill_chunk_batched", spy)
+    eng = Engine(params, cfg, ccfg, ecfg)
+    rids = [eng.add_request(p, 4) for p in prompts]
+    outs = eng.run()
+    for rid, p in zip(rids, prompts):
+        assert outs[rid] == reference_generate(params, cfg, p, 4), rid
+    # Lockstep: 4 rounds total (max chunk count), not 3+2+4 dispatches; the
+    # first two rounds carry all three requests (batch bucket 4).
+    assert len(calls) == 4, calls
+    assert calls[0] == 4 and calls[1] == 4, calls
