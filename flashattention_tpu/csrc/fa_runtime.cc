@@ -164,4 +164,20 @@ void fa_sched_finish(void* h, int64_t id) {
   s->running.erase(id);
 }
 
+// Cancel: drop a request wherever it sits (waiting queue or running set).
+// Returns 1 if it was found, 0 otherwise.  The caller owns freeing any pages
+// a running request held — the scheduler never touches the allocator.
+int32_t fa_sched_cancel(void* h, int64_t id) {
+  auto* s = static_cast<Scheduler*>(h);
+  std::lock_guard<std::mutex> lock(s->mu);
+  if (s->running.erase(id) > 0) return 1;
+  for (auto it = s->waiting.begin(); it != s->waiting.end(); ++it) {
+    if (it->id == id) {
+      s->waiting.erase(it);
+      return 1;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

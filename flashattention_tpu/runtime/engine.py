@@ -64,7 +64,7 @@ class Request:
     prompt: list
     max_new_tokens: int
     output: list = dataclasses.field(default_factory=list)
-    state: str = "waiting"  # waiting | running | finished
+    state: str = "waiting"  # waiting | running | finished | cancelled
 
     @property
     def length(self) -> int:
@@ -124,13 +124,9 @@ class Engine:
         span = len(prompt) + max_new_tokens
         ps = self.cache.config.page_size
         need = -(-span // ps)
-        chunk = self.cfg.prefill_chunk
-        if chunk and len(prompt) > chunk:
-            # Chunked prefill transiently reserves the prompt padded to a
-            # chunk multiple (trimmed afterwards); the admission guarantee
-            # must cover that peak too.
-            padded = -(-len(prompt) // chunk) * chunk
-            need = max(need, -(-padded // ps))
+        # (Chunked prefill reserves pages for REAL tokens only — pad tokens
+        # scatter to the dropped trash index, round 3 — so the span bound
+        # already covers the prefill peak.)
         cap = min(self.cfg.pages_per_seq, self.cache.config.num_pages)
         if need > cap:
             raise ValueError(
@@ -147,6 +143,27 @@ class Engine:
 
     def has_work(self) -> bool:
         return bool(self.running) or self.scheduler.num_waiting() > 0
+
+    def cancel(self, req_id: int) -> bool:
+        """Abort a request wherever it sits (round 3).
+
+        Waiting requests leave the admission queue; running ones drop out of
+        the decode batch and their pages free immediately (prefix-registered
+        full pages park in the reclaimable LRU like any finished request's).
+        Tokens generated so far stay in ``requests[req_id].output``.  Returns
+        False for unknown / already-finished / already-cancelled ids — cancel
+        races request completion, so that outcome is an answer, not an error.
+        """
+        req = self.requests.get(req_id)
+        if req is None or req.state in ("finished", "cancelled"):
+            return False
+        self.scheduler.cancel(req_id)
+        if req_id in self.running:
+            self.running.remove(req_id)
+        if self.cache.has(req_id):
+            self.cache.free_sequence(req_id)
+        req.state = "cancelled"
+        return True
 
     def run(self, max_steps: int = 10_000, multi_step: int = 1) -> dict[int, list]:
         """Drive steps until all requests finish; returns outputs by id.
@@ -232,7 +249,7 @@ class Engine:
                 output=list(r["output"]), state=r["state"],
             )
             eng.requests[req.req_id] = req
-            if req.state == "finished":
+            if req.state in ("finished", "cancelled"):
                 continue
             # waiting OR running: re-queue; prefill recomputes the KV context
             # (prompt + generated so far) when the scheduler re-admits it.

@@ -72,6 +72,8 @@ def _load():
         ctypes.c_int32,
     ]
     lib.fa_sched_finish.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.fa_sched_cancel.restype = ctypes.c_int32
+    lib.fa_sched_cancel.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -207,6 +209,20 @@ class Scheduler:
             self._lib.fa_sched_finish(self._h, req_id)
         else:
             self._running.pop(req_id, None)
+
+    def cancel(self, req_id: int) -> bool:
+        """Drop a request wherever it sits (waiting or running); True if
+        found.  Page cleanup for running requests is the caller's job."""
+        if self._h is not None:
+            return bool(self._lib.fa_sched_cancel(self._h, req_id))
+        if req_id in self._running:
+            del self._running[req_id]
+            return True
+        for i, (rid, *_rest) in enumerate(self._waiting):
+            if rid == req_id:
+                del self._waiting[i]
+                return True
+        return False
 
     def __del__(self):
         if getattr(self, "_h", None) is not None and self._lib is not None:

@@ -1016,3 +1016,50 @@ def test_batched_chunked_prefill_matches_reference(tiny_model, monkeypatch):
     # first two rounds carry all three requests (batch bucket 4).
     assert len(calls) == 4, calls
     assert calls[0] == 4 and calls[1] == 4, calls
+
+
+def test_engine_cancel_waiting_and_running(tiny_model):
+    """Round 3: cancel() aborts a request wherever it sits — a waiting one
+    leaves the admission queue, a running one drops out of the decode batch
+    with its pages freed immediately — and peers are unaffected."""
+    params, cfg = tiny_model
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        page_size=8,
+        num_pages=3,  # too small for two concurrent 2-page prompts
+        dtype="float32",
+    )
+    eng = Engine(params, cfg, ccfg, EngineConfig(max_batch=4, pages_per_seq=3))
+    p0 = list(range(1, 17))
+    r0 = eng.add_request(p0, 6)
+    r1 = eng.add_request([9] * 16, 6)  # waits on pages
+    eng.step()
+    assert eng.requests[r0].state == "running"
+    assert eng.requests[r1].state == "waiting"
+    # Cancel the waiting request: it must never run.
+    assert eng.cancel(r1) is True
+    assert eng.scheduler.num_waiting() == 0
+    # Cancel the running request mid-generation: pages free immediately.
+    eng.step()
+    partial = list(eng.requests[r0].output)
+    assert partial and eng.requests[r0].state == "running"
+    assert eng.cancel(r0) is True
+    assert eng.requests[r0].state == "cancelled"
+    assert eng.cache.num_free_pages() == 3
+    assert not eng.has_work()
+    assert eng.requests[r0].output == partial  # partial output preserved
+    # Cancel is idempotent and races completion gracefully.
+    assert eng.cancel(r0) is False
+    assert eng.cancel(r1) is False
+    assert eng.cancel(12345) is False
+    # A fresh request serves normally afterwards.
+    r2 = eng.add_request(p0, 4)
+    outs = eng.run()
+    assert outs[r2] == reference_generate(params, cfg, p0, 4)
+    # Cancelled requests don't resurrect through checkpoint/resume.
+    snap = eng.state_dict()
+    eng2 = Engine.from_state(snap, params, cfg, ccfg, EngineConfig(max_batch=4, pages_per_seq=3))
+    assert eng2.requests[r0].state == "cancelled"
+    assert not eng2.has_work()
