@@ -32,7 +32,7 @@ from flashattention_tpu.runtime.kvcache import CacheConfig, PagedKVCache
 from flashattention_tpu.runtime.kvcache import _bucket as kv_bucket
 from flashattention_tpu.runtime.native import Scheduler
 
-__all__ = ["EngineConfig", "Request", "Engine"]
+__all__ = ["EngineConfig", "SamplingParams", "Request", "Engine"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,6 +58,51 @@ class EngineConfig:
             raise ValueError(f"top_p must be in (0, 1] (got {self.top_p})")
 
 
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    """Per-request sampling / stop configuration (round 3).
+
+    ``None`` on a request means "use the engine defaults" (EngineConfig).
+    ``seed`` gives the request its OWN key stream, folded per emitted-token
+    position — its continuation is bitwise reproducible regardless of what
+    other requests share the batch (batch-composition independence, the
+    property production serving needs for replayable requests).
+    ``stop_tokens`` finish the request on any single-token match (the eos
+    mechanism, generalized); ``stop_sequences`` finish it when the tail of
+    the generated output matches any of the token tuples (the matched
+    sequence stays in the output).  ``logprobs`` records the raw model
+    log-softmax of each emitted token in ``Request.logprobs``.
+    """
+
+    greedy: bool = True
+    temperature: float = 1.0
+    top_k: int | None = None
+    top_p: float | None = None
+    seed: int | None = None
+    eos_token: int | None = None
+    stop_tokens: tuple = ()
+    stop_sequences: tuple = ()  # tuple of token tuples
+    logprobs: bool = False
+
+    def __post_init__(self):
+        if not self.greedy and not self.temperature > 0.0:
+            raise ValueError(
+                f"temperature must be > 0 for sampling (got {self.temperature})"
+            )
+        if self.top_k is not None and self.top_k < 1:
+            raise ValueError(f"top_k must be >= 1 (got {self.top_k})")
+        if self.top_p is not None and not 0.0 < self.top_p <= 1.0:
+            raise ValueError(f"top_p must be in (0, 1] (got {self.top_p})")
+        for s in self.stop_sequences:
+            if not len(s):
+                raise ValueError("stop_sequences entries must be non-empty")
+
+    @property
+    def filter_key(self):
+        """Rows with equal filter_key can share one batched sampling call."""
+        return (self.greedy, self.temperature, self.top_k, self.top_p)
+
+
 @dataclasses.dataclass
 class Request:
     req_id: int
@@ -65,6 +110,9 @@ class Request:
     max_new_tokens: int
     output: list = dataclasses.field(default_factory=list)
     state: str = "waiting"  # waiting | running | finished | cancelled
+    sampling: SamplingParams | None = None  # None -> engine defaults
+    logprobs: list = dataclasses.field(default_factory=list)
+    on_token: object = None  # callable(req, token) or None; not checkpointed
 
     @property
     def length(self) -> int:
@@ -108,6 +156,15 @@ class Engine:
         self._interpret = interpret
         self._last_admitted = 0
         self.sample_key = jax.random.key(0)  # used when not cfg.greedy
+        self.on_token = None  # engine-wide streaming hook f(request, token)
+        # Engine-default per-request params (requests with sampling=None).
+        self._default_sampling = SamplingParams(
+            greedy=engine_cfg.greedy,
+            temperature=engine_cfg.temperature,
+            top_k=engine_cfg.top_k,
+            top_p=engine_cfg.top_p,
+            eos_token=engine_cfg.eos_token,
+        )
         # Serving counters (observability; see stats()).
         self._n_steps = 0
         self._n_decode_tokens = 0
@@ -116,7 +173,22 @@ class Engine:
 
     # ── public API ────────────────────────────────────────────────────────
 
-    def add_request(self, prompt, max_new_tokens: int) -> int:
+    def add_request(
+        self,
+        prompt,
+        max_new_tokens: int,
+        *,
+        sampling: SamplingParams | None = None,
+        on_token=None,
+    ) -> int:
+        """Queue a request.
+
+        ``sampling``: per-request :class:`SamplingParams` (None = engine
+        defaults).  ``on_token``: streaming callback ``f(request, token)``
+        invoked synchronously as each token is emitted (after the request's
+        state/output are updated, so ``request.state == "finished"`` on the
+        final call); engine-level ``Engine.on_token`` fires too if set.
+        """
         # Fail fast on requests that could never complete: the total span must
         # fit both the per-request page-table view and the physical pool
         # (otherwise batch_view / the allocator would blow up mid-serve and
@@ -137,7 +209,10 @@ class Engine:
             )
         req_id = self._next_id
         self._next_id += 1
-        self.requests[req_id] = Request(req_id, list(prompt), max_new_tokens)
+        self.requests[req_id] = Request(
+            req_id, list(prompt), max_new_tokens,
+            sampling=sampling, on_token=on_token,
+        )
         self.scheduler.add_request(req_id, len(prompt), max_new_tokens)
         return req_id
 
@@ -226,6 +301,16 @@ class Engine:
                     "max_new_tokens": r.max_new_tokens,
                     "output": list(r.output),
                     "state": r.state,
+                    # Per-request sampling params travel with the request
+                    # (seeded streams resume bitwise: the key is re-derived
+                    # from (seed, position), never stored).  on_token
+                    # callbacks are process-local and do NOT survive resume.
+                    "sampling": (
+                        dataclasses.asdict(r.sampling)
+                        if r.sampling is not None
+                        else None
+                    ),
+                    "logprobs": list(r.logprobs),
                 }
                 for r in self.requests.values()
             ],
@@ -244,9 +329,20 @@ class Engine:
                 jnp.asarray(state["sample_key"], dtype=jnp.uint32)
             )
         for r in state["requests"]:
+            sp = r.get("sampling")
+            if sp is not None:
+                sp = SamplingParams(**{
+                    **sp,
+                    # JSON round-trips tuples as lists; normalize back.
+                    "stop_tokens": tuple(sp.get("stop_tokens", ())),
+                    "stop_sequences": tuple(
+                        tuple(s) for s in sp.get("stop_sequences", ())
+                    ),
+                })
             req = Request(
                 r["req_id"], list(r["prompt"]), r["max_new_tokens"],
                 output=list(r["output"]), state=r["state"],
+                sampling=sp, logprobs=list(r.get("logprobs", ())),
             )
             eng.requests[req.req_id] = req
             if req.state in ("finished", "cancelled"):
@@ -367,8 +463,8 @@ class Engine:
                 self.cache.register_prefix(
                     req.req_id, req.prompt + req.output
                 )
-            first = self._sample(logits[i, s - 1])
-            self._emit(req, int(first))
+            first, lp = self._sample_one(req, logits[i, s - 1])
+            self._emit(req, first, lp)
 
     def _reserve_or_preempt(self, rid: int) -> tuple[int, int]:
         while True:
@@ -514,8 +610,10 @@ class Engine:
             self.cache.trim(st["rid"], st["s"])
             self.cache.register_prefix(st["rid"], st["prompt"].tolist())
             self._n_prefill_tokens += st["rem"]
-            first = self._sample(st["logits"][(st["rem"] - 1) % chunk])
-            self._emit(st["req"], int(first))
+            first, lp = self._sample_one(
+                st["req"], st["logits"][(st["rem"] - 1) % chunk]
+            )
+            self._emit(st["req"], first, lp)
 
     def _decode_batch(self) -> None:
         bmax = self.cfg.max_batch
@@ -566,10 +664,19 @@ class Engine:
             interpret=self._interpret,
         )
         self.cache.set_pools(kp, vp, ks, vs)
-        next_tokens = np.asarray(self._sample(logits))
         self._n_decode_tokens += len(batch)
-        for i, rid in enumerate(batch):
-            self._emit(self.requests[rid], int(next_tokens[i]))
+        if all(self.requests[r].sampling is None for r in batch):
+            # Engine-default params: one sampling call over the full padded
+            # batch — BITWISE the historical key stream (decode_loop mirrors
+            # it, so multi_step == per-token under the same keys).
+            next_tokens = np.asarray(self._sample(logits))
+            for i, rid in enumerate(batch):
+                self._emit(self.requests[rid], int(next_tokens[i]))
+        else:
+            reqs = [self.requests[r] for r in batch]
+            toks, lps = self._sample_rows(reqs, logits[: len(batch)])
+            for i, rid in enumerate(batch):
+                self._emit(self.requests[rid], toks[i], lps[i])
 
     def _decode_batch_many(self, n: int) -> bool:
         """Decode n tokens for the whole running batch in one device call.
@@ -578,10 +685,15 @@ class Engine:
         request has >= n tokens of budget AND n cache slots can be reserved
         up-front without preemption.  eos mid-span: the request finishes at
         the eos as usual; its surplus tokens are discarded and ALL its pages
-        freed by the normal finish path."""
+        freed by the normal finish path.  Requests carrying their own
+        SamplingParams also force the per-token path: the jitted loop samples
+        with ONE static (temperature, top_k, top_p) config and cannot honor
+        per-row params / seeds / logprobs."""
         for rid in self.running:
             req = self.requests[rid]
             if req.max_new_tokens - len(req.output) < n:
+                return False
+            if req.sampling is not None:
                 return False
         # Cache length = KV rows written so far (= request length - 1: the
         # newest emitted token is not cached until its decode step writes it).
@@ -684,6 +796,12 @@ class Engine:
         for rid in self.running:
             req = self.requests[rid]
             if req.max_new_tokens - len(req.output) < 1:
+                self._decode_batch()
+                return
+            if req.sampling is not None:
+                # The batched accept rule runs one static filter config; a
+                # request with its own params keeps exact semantics via the
+                # per-token path.
                 self._decode_batch()
                 return
             if self.cache.length(rid) + k > cap_tokens:
@@ -808,7 +926,8 @@ class Engine:
         return False
 
     def _sample(self, logits):
-        # logits (V,) or (B, V).
+        # logits (V,) or (B, V); ENGINE-DEFAULT params (requests that carry
+        # their own SamplingParams go through _sample_one/_sample_rows).
         if self.cfg.greedy:
             return jnp.argmax(logits, axis=-1)
         self.sample_key, sub = jax.random.split(self.sample_key)
@@ -820,13 +939,98 @@ class Engine:
             top_p=self.cfg.top_p,
         )
 
-    def _emit(self, req: Request, token: int) -> None:
+    def _params_for(self, req: Request) -> SamplingParams:
+        return req.sampling if req.sampling is not None else self._default_sampling
+
+    def _sample_one(self, req: Request, row) -> tuple[int, float | None]:
+        """Sample one token for one request from its (V,) logits row,
+        honoring per-request params; returns (token, logprob-or-None)."""
+        p = self._params_for(req)
+        if p.greedy:
+            tok = int(jnp.argmax(row, axis=-1))
+        else:
+            if p.seed is not None:
+                # Position-folded per-request key: reproducible regardless of
+                # batch composition and checkpoint/resume (no state to save).
+                key = jax.random.fold_in(jax.random.key(p.seed), len(req.output))
+            else:
+                self.sample_key, key = jax.random.split(self.sample_key)
+            tok = int(_sample_logits(
+                key, row.astype(jnp.float32),
+                temperature=p.temperature, top_k=p.top_k, top_p=p.top_p,
+            ))
+        lp = None
+        if p.logprobs:
+            lp = float(jax.nn.log_softmax(row.astype(jnp.float32))[tok])
+        return tok, lp
+
+    def _sample_rows(self, reqs: list, logits) -> tuple[list, list]:
+        """Per-request sampling over a batch of logits rows (len(reqs), V).
+
+        Rows sharing a filter config batch into ONE sampling call (one engine
+        key split per group); seeded rows draw from their own position-folded
+        streams.  Returns (tokens, logprobs) aligned with ``reqs``."""
+        logits = jnp.asarray(logits)
+        n = len(reqs)
+        tokens: list = [0] * n
+        lps: list = [None] * n
+        greedy_rows: list[int] = []
+        groups: dict[tuple, list[int]] = {}
+        for i, r in enumerate(reqs):
+            p = self._params_for(r)
+            if p.greedy:
+                greedy_rows.append(i)
+            elif p.seed is not None:
+                key = jax.random.fold_in(jax.random.key(p.seed), len(r.output))
+                tokens[i] = int(_sample_logits(
+                    key, logits[i].astype(jnp.float32),
+                    temperature=p.temperature, top_k=p.top_k, top_p=p.top_p,
+                ))
+            else:
+                groups.setdefault(p.filter_key, []).append(i)
+        if greedy_rows:
+            toks = np.asarray(
+                jnp.argmax(logits[jnp.asarray(greedy_rows)], axis=-1)
+            )
+            for j, i in enumerate(greedy_rows):
+                tokens[i] = int(toks[j])
+        for fk, rows in groups.items():  # dict order: first-seen, stable
+            self.sample_key, sub = jax.random.split(self.sample_key)
+            toks = np.asarray(_sample_logits(
+                sub, logits[jnp.asarray(rows)].astype(jnp.float32),
+                temperature=fk[1], top_k=fk[2], top_p=fk[3],
+            ))
+            for j, i in enumerate(rows):
+                tokens[i] = int(toks[j])
+        for i, r in enumerate(reqs):
+            if self._params_for(r).logprobs:
+                lps[i] = float(
+                    jax.nn.log_softmax(logits[i].astype(jnp.float32))[tokens[i]]
+                )
+        return tokens, lps
+
+    def _emit(self, req: Request, token: int, logprob=None) -> None:
         req.output.append(token)
-        done = len(req.output) >= req.max_new_tokens or (
-            self.cfg.eos_token is not None and token == self.cfg.eos_token
+        p = self._params_for(req)
+        if p.logprobs:
+            req.logprobs.append(logprob)
+        eos = p.eos_token if p.eos_token is not None else self.cfg.eos_token
+        done = (
+            len(req.output) >= req.max_new_tokens
+            or (eos is not None and token == eos)
+            or token in p.stop_tokens
         )
+        if not done and p.stop_sequences:
+            out = req.output
+            done = any(
+                len(out) >= len(ss) and tuple(out[-len(ss):]) == tuple(ss)
+                for ss in p.stop_sequences
+            )
         if done:
             req.state = "finished"
             self.running.remove(req.req_id)
             self.scheduler.finish(req.req_id)
             self.cache.free_sequence(req.req_id)
+        for cb in (req.on_token, self.on_token):
+            if cb is not None:
+                cb(req, token)

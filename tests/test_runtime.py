@@ -1063,3 +1063,190 @@ def test_engine_cancel_waiting_and_running(tiny_model):
     eng2 = Engine.from_state(snap, params, cfg, ccfg, EngineConfig(max_batch=4, pages_per_seq=3))
     assert eng2.requests[r0].state == "cancelled"
     assert not eng2.has_work()
+
+
+# ── per-request sampling / stop conditions / streaming (round 3) ────────────
+
+
+def _engine(tiny_model, **eng_kw):
+    params, cfg = tiny_model
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        page_size=8,
+        num_pages=64,
+        dtype="float32",
+    )
+    kw = dict(max_batch=4, pages_per_seq=8)
+    kw.update(eng_kw)
+    return Engine(params, cfg, ccfg, EngineConfig(**kw))
+
+
+def test_per_request_sampling_batch_independent(tiny_model):
+    """A seeded sampled request produces the SAME tokens whether it serves
+    alone or alongside other requests (position-folded per-request keys),
+    while a default-greedy peer in the same batch still matches the
+    reference oracle."""
+    from flashattention_tpu.runtime.engine import SamplingParams
+
+    params, cfg = tiny_model
+    sp = SamplingParams(greedy=False, temperature=0.9, top_k=5, seed=1234)
+    prompt_a = [3, 1, 4, 1, 5, 9, 2, 6]
+    prompt_b = [2, 7, 1, 8]
+
+    solo = _engine(tiny_model)
+    rid = solo.add_request(prompt_b, 6, sampling=sp)
+    want_b = solo.run()[rid]
+
+    eng = _engine(tiny_model)
+    ra = eng.add_request(prompt_a, 6)
+    rb = eng.add_request(prompt_b, 6, sampling=sp)
+    outs = eng.run()
+    assert outs[ra] == reference_generate(params, cfg, prompt_a, 6)
+    assert outs[rb] == want_b
+
+
+def test_per_request_stop_tokens_and_sequences(tiny_model):
+    params, cfg = tiny_model
+    from flashattention_tpu.runtime.engine import SamplingParams
+
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    want = reference_generate(params, cfg, prompt, 6)
+
+    stop_tok = want[2]
+    stop_seq = tuple(want[1:4])
+    # Expected: first emission index where the condition fires (the greedy
+    # stream may repeat tokens, so compute it rather than assume index 2).
+    n_tok = want.index(stop_tok) + 1
+    n_seq = next(
+        i + 1
+        for i in range(len(want))
+        if tuple(want[: i + 1][-len(stop_seq):]) == stop_seq
+    )
+    eng = _engine(tiny_model)
+    r_tok = eng.add_request(
+        prompt, 6, sampling=SamplingParams(stop_tokens=(stop_tok,))
+    )
+    r_seq = eng.add_request(
+        prompt, 6, sampling=SamplingParams(stop_sequences=(stop_seq,))
+    )
+    outs = eng.run()
+    assert outs[r_tok] == want[:n_tok]  # stops AT the first stop token
+    assert outs[r_seq] == want[:n_seq]  # stops when the tail matches
+    # Early finishes freed everything.
+    assert not eng.has_work()
+    assert eng.cache.num_free_pages() == eng.cache.config.num_pages
+
+
+def test_streaming_callbacks(tiny_model):
+    params, cfg = tiny_model
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    want = reference_generate(params, cfg, prompt, 5)
+    seen, seen_engine, final_states = [], [], []
+
+    def per_req(req, tok):
+        seen.append(tok)
+        final_states.append(req.state)
+
+    eng = _engine(tiny_model)
+    eng.on_token = lambda req, tok: seen_engine.append((req.req_id, tok))
+    rid = eng.add_request(prompt, 5, on_token=per_req)
+    eng.run()
+    assert seen == want  # streamed in emission order
+    assert seen_engine == [(rid, t) for t in want]
+    # State is already updated when the callback fires: last call sees the
+    # finished request.
+    assert final_states[-1] == "finished"
+    assert all(s == "running" for s in final_states[:-1])
+
+
+def test_logprobs_recorded(tiny_model):
+    """Greedy + logprobs: recorded values equal the reference log-softmax of
+    each emitted token under the same context."""
+    from flashattention_tpu.runtime.engine import SamplingParams
+
+    params, cfg = tiny_model
+    prompt = [2, 7, 1, 8, 2, 8]
+    n_new = 4
+    eng = _engine(tiny_model)
+    rid = eng.add_request(
+        prompt, n_new, sampling=SamplingParams(logprobs=True)
+    )
+    out = eng.run()[rid]
+    req = eng.requests[rid]
+    assert out == reference_generate(params, cfg, prompt, n_new)
+    assert len(req.logprobs) == len(out)
+    # Reference: recompute each step's log-softmax by full forward.
+    toks = list(prompt)
+    for tok, lp in zip(out, req.logprobs):
+        s = len(toks)
+        sb = 8
+        while sb < s:
+            sb *= 2
+        padded = jnp.asarray(
+            np.pad(np.asarray(toks, np.int32), (0, sb - s))[None]
+        )
+        logits, _, _ = transformer.prefill(params, padded, cfg=cfg)
+        want_lp = float(
+            jax.nn.log_softmax(logits[0, s - 1].astype(jnp.float32))[tok]
+        )
+        assert lp == pytest.approx(want_lp, abs=1e-4), (tok, lp, want_lp)
+        toks.append(tok)
+
+
+def test_sampling_params_survive_checkpoint(tiny_model):
+    """Per-request params (incl. seeded streams) resume exactly: the resumed
+    engine finishes the request with the same continuation the original
+    would have produced."""
+    from flashattention_tpu.runtime.engine import Engine as _E
+    from flashattention_tpu.runtime.engine import SamplingParams
+
+    params, cfg = tiny_model
+    sp = SamplingParams(
+        greedy=False, temperature=0.8, seed=7, stop_tokens=(99999,),
+        logprobs=True,
+    )
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+
+    full = _engine(tiny_model)
+    rid = full.add_request(prompt, 6, sampling=sp)
+    want = full.run()[rid]
+
+    eng = _engine(tiny_model)
+    rid2 = eng.add_request(prompt, 6, sampling=sp)
+    for _ in range(3):
+        eng.step()
+    snap = eng.state_dict()
+    # Simulate JSON round-trip (tuples -> lists) like orbax/json storage.
+    import json
+
+    snap = json.loads(json.dumps(snap))
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        page_size=8,
+        num_pages=64,
+        dtype="float32",
+    )
+    eng2 = _E.from_state(
+        snap, params, cfg, ccfg,
+        EngineConfig(max_batch=4, pages_per_seq=8),
+    )
+    out = eng2.run()[rid2]
+    assert out == want
+    assert len(eng2.requests[rid2].logprobs) == len(out)
+
+
+def test_mixed_params_multi_step_falls_back(tiny_model):
+    """multi_step with a custom-params request silently uses the per-token
+    path and still matches the oracle."""
+    from flashattention_tpu.runtime.engine import SamplingParams
+
+    params, cfg = tiny_model
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    eng = _engine(tiny_model)
+    rid = eng.add_request(prompt, 6, sampling=SamplingParams(greedy=True))
+    out = eng.run(multi_step=4)[rid]
+    assert out == reference_generate(params, cfg, prompt, 6)
