@@ -102,12 +102,20 @@ def shard_params(params, mesh: Mesh, cfg: ModelConfig, tp: str = "tp"):
     )
 
 
-def _forward_local(params, tokens, cfg: ModelConfig, tp_size: int, tp_axis: str):
+def _forward_local(
+    params, tokens, cfg: ModelConfig, tp_size: int, tp_axis: str,
+    attn_dropout: float | None = None, dropout_seed=None,
+):
     """Per-device forward on the local TP shard of heads/intermediate.
 
     tokens: local (B_local, S). Weights arrive column/row-sharded; attention
     runs on num_q_heads/tp local heads through the differentiable fused
     kernel; a single psum finishes each row-sharded projection.
+
+    ``attn_dropout``/``dropout_seed`` (round 3): attention dropout through
+    the fused kernel's regenerated-mask path.  The seed must already be
+    shard-unique (see _make_grad_map); each layer folds its index in so
+    layers draw independent masks.
     """
     b, s = tokens.shape
     hq_local = cfg.num_q_heads // tp_size
@@ -115,7 +123,7 @@ def _forward_local(params, tokens, cfg: ModelConfig, tp_size: int, tp_axis: str)
     g = cfg.group_size  # validates num_q_heads % num_kv_heads == 0
     x = params["embed"][tokens]
     positions = jnp.broadcast_to(jnp.arange(s), (b, s))
-    for layer in params["layers"]:
+    for li, layer in enumerate(params["layers"]):
         h = _f_identity(_rmsnorm(x, layer["attn_norm"]), tp_axis)
         q = (h @ layer["wq"]).reshape(b, s, hq_local, cfg.head_dim)
         k = (h @ layer["wk"]).reshape(b, s, hkv_local, cfg.head_dim)
@@ -129,9 +137,16 @@ def _forward_local(params, tokens, cfg: ModelConfig, tp_size: int, tp_axis: str)
         qf = q.transpose(0, 2, 1, 3).reshape(b * hkv_local, g * s, cfg.head_dim)
         kf = k.transpose(0, 2, 1, 3).reshape(b * hkv_local, s, cfg.head_dim)
         vf = v.transpose(0, 2, 1, 3).reshape(b * hkv_local, s, cfg.head_dim)
+        if attn_dropout is not None:
+            # Per-layer seed: golden-ratio odd multiplier (int32 wrap) keeps
+            # consecutive step seeds' layer streams disjoint.
+            lseed = dropout_seed * jnp.int32(-1640531527) + jnp.int32(li + 1)
+        else:
+            lseed = 0
         o = attention_vjp(
             qf, kf, vf, True, cfg.head_dim**-0.5, None, None, None,
             s if g > 1 else None, cfg.sliding_window, cfg.logit_softcap,
+            attn_dropout, lseed,
         )
         o = (
             o.reshape(b, hq_local, s, cfg.head_dim)
@@ -150,10 +165,17 @@ def _forward_local(params, tokens, cfg: ModelConfig, tp_size: int, tp_axis: str)
     return x @ params["lm_head"]
 
 
-def _make_grad_map(mesh, cfg, *, dp, tp):
-    """shard_mapped (params, tokens) -> (loss, grads): the DP x TP forward/
-    backward shared by the SGD and optax training steps (one copy to keep
-    loss masking / grad reductions in sync — round-2 review)."""
+def _make_grad_map(mesh, cfg, *, dp, tp, attn_dropout: float | None = None):
+    """shard_mapped (params, tokens, seed) -> (loss, grads): the DP x TP
+    forward/backward shared by the SGD and optax training steps (one copy to
+    keep loss masking / grad reductions in sync — round-2 review).
+
+    ``seed`` (traced int32, replicated) drives attention dropout when
+    ``attn_dropout`` is set; each shard folds its (dp, tp) ranks in so DP
+    replicas and TP head shards draw independent masks (the kernel's
+    coordinates are shard-local, so a shared seed would repeat masks across
+    shards).  Unused (pass 0) when dropout is off.
+    """
     tp_size = mesh.shape[tp]
     if cfg.num_kv_heads % tp_size:
         raise ValueError(
@@ -161,9 +183,18 @@ def _make_grad_map(mesh, cfg, *, dp, tp):
         )
     specs = param_specs(cfg, tp)
 
-    def local_grads(params, tokens):
+    def local_grads(params, tokens, seed):
+        if attn_dropout is not None:
+            seed = (
+                seed
+                + jax.lax.axis_index(dp) * jnp.int32(7919)
+                + jax.lax.axis_index(tp) * jnp.int32(104729)
+            )
+
         def loss_fn(params):
-            logits = _forward_local(params, tokens, cfg, tp_size, tp)
+            logits = _forward_local(
+                params, tokens, cfg, tp_size, tp, attn_dropout, seed
+            )
             targets = tokens[:, 1:]
             logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
             nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
@@ -177,7 +208,7 @@ def _make_grad_map(mesh, cfg, *, dp, tp):
     return jax.shard_map(
         local_grads,
         mesh=mesh,
-        in_specs=(specs, P(dp, None)),
+        in_specs=(specs, P(dp, None), P()),
         out_specs=(P(), specs),
         check_vma=False,
     )
@@ -190,17 +221,22 @@ def make_train_step(
     dp: str = "dp",
     tp: str = "tp",
     lr: float = 1e-3,
+    attn_dropout: float | None = None,
 ):
     """Jitted (params, tokens) -> (loss, new_params) SGD step over the mesh.
 
     tokens: (B, S) int32 sharded over dp; params sharded per param_specs.
     Next-token causal-LM cross-entropy; grads pmean-ed over dp.
+
+    With ``attn_dropout`` the step takes an extra ``seed`` argument
+    (per-step int32; pass the step counter) driving the fused kernel's
+    attention dropout: ``step(params, tokens, seed)``.
     """
-    grad_map = _make_grad_map(mesh, cfg, dp=dp, tp=tp)
+    grad_map = _make_grad_map(mesh, cfg, dp=dp, tp=tp, attn_dropout=attn_dropout)
 
     @jax.jit
-    def step(params, tokens):
-        loss, grads = grad_map(params, tokens)
+    def step(params, tokens, seed=0):
+        loss, grads = grad_map(params, tokens, jnp.asarray(seed, jnp.int32))
         new_params = jax.tree.map(
             lambda p, g: p - lr * g.astype(p.dtype), params, grads
         )
@@ -216,6 +252,7 @@ def make_train_step_optax(
     *,
     dp: str = "dp",
     tp: str = "tp",
+    attn_dropout: float | None = None,
 ):
     """DP x TP training step with an arbitrary optax optimizer (round 2).
 
@@ -232,11 +269,11 @@ def make_train_step_optax(
         opt_state = jax.jit(opt.init)(params)   # params already sharded
         loss, params, opt_state = step(params, opt_state, tokens)
     """
-    grad_map = _make_grad_map(mesh, cfg, dp=dp, tp=tp)
+    grad_map = _make_grad_map(mesh, cfg, dp=dp, tp=tp, attn_dropout=attn_dropout)
 
     @jax.jit
-    def step(params, opt_state, tokens):
-        loss, grads = grad_map(params, tokens)
+    def step(params, opt_state, tokens, seed=0):
+        loss, grads = grad_map(params, tokens, jnp.asarray(seed, jnp.int32))
         updates, opt_state = optimizer.update(grads, opt_state, params)
         new_params = jax.tree.map(
             lambda p, u: (p + u.astype(p.dtype)), params, updates

@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -35,6 +36,7 @@ from flashattention_tpu.ops.flash import (
     BlockSizes,
     _dot_g,
     _pack2,
+    dropout_keep_mask,
     flash_attention,
     resolve_precision,
     resolve_q_seq_blocks,
@@ -127,8 +129,10 @@ def _dq_kernel(
     logit_softcap=None,
     packed=False,
     head_dim=None,
+    dropout_rate=None,
 ):
     q_offset = qoff_ref[0]  # prefetched traced scalar (one program, any offset)
+    bh_idx = pl.program_id(0)  # hoisted: program_id is illegal inside pl.when
     q_idx, kv_idx = pl.program_id(1), pl.program_id(2)
     # GQA row folding (see ops.flash): the causal *position* of a block is its
     # index within the group segment; init/epilogue keep the raw grid index.
@@ -178,6 +182,15 @@ def _dq_kernel(
             dp = _packed_nt(do, v, head_dim)
         else:
             dp = _dot_g(do, v, (((1,), (1,)), ((), ())), precision)
+        if dropout_rate is not None:
+            # dP = (dO V^T) o M / (1-r): regenerate the forward's keep mask
+            # from (seed, RAW grid coords).  The D_i = dO.O trick survives
+            # dropout unchanged (sum_j P dP = dO . (Z V) = dO . O).
+            keep = dropout_keep_mask(
+                qoff_ref[1], bh_idx, q_idx * block_q,
+                kv_idx * block_kv, p.shape, dropout_rate,
+            )
+            dp = jnp.where(keep, dp, 0.0) * (1.0 / (1.0 - dropout_rate))
         ds = p * (dp - di) * scale
         if cap_factor is not None:
             ds = ds * cap_factor
@@ -216,8 +229,10 @@ def _dkv_kernel(
     logit_softcap=None,
     packed=False,
     head_dim=None,
+    dropout_rate=None,
 ):
     q_offset = qoff_ref[0]  # prefetched traced scalar (one program, any offset)
+    bh_idx = pl.program_id(0)  # hoisted: program_id is illegal inside pl.when
     kv_idx, q_idx = pl.program_id(1), pl.program_id(2)
     q_pos = jax.lax.rem(q_idx, q_seq_blocks) if q_seq_blocks is not None else q_idx
     block_q = q_ref.shape[1]
@@ -259,15 +274,28 @@ def _dkv_kernel(
             s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
         p = jnp.exp(s - lse)  # (bq, bkv)
 
-        # dV_j = sum_i P_ij dO_i  -> P^T @ dO
+        p_z = p
+        if dropout_rate is not None:
+            # Z = P o M/(1-r): dV sums the DROPPED weights; dP gets the same
+            # mask.  Coordinates match the forward (RAW q grid index).
+            keep = dropout_keep_mask(
+                qoff_ref[1], bh_idx, q_idx * block_q,
+                kv_idx * block_kv, p.shape, dropout_rate,
+            )
+            inv = 1.0 / (1.0 - dropout_rate)
+            p_z = jnp.where(keep, p, 0.0) * inv
+
+        # dV_j = sum_i Z_ij dO_i  -> Z^T @ dO
         if packed:
             dv_scratch[...] += _packed_fold(
-                p, do, (((0,), (0,)), ((), ())), head_dim
+                p_z, do, (((0,), (0,)), ((), ())), head_dim
             )
             dp = _packed_nt(do, v, head_dim)
         else:
-            dv_scratch[...] += _dot_g(p, do, (((0,), (0,)), ((), ())), precision)
+            dv_scratch[...] += _dot_g(p_z, do, (((0,), (0,)), ((), ())), precision)
             dp = _dot_g(do, v, (((1,), (1,)), ((), ())), precision)
+        if dropout_rate is not None:
+            dp = jnp.where(keep, dp, 0.0) * inv
         ds = p * (dp - di) * scale  # (bq, bkv)
         if cap_factor is not None:
             ds = ds * cap_factor
@@ -309,6 +337,7 @@ def _fused_bwd_kernel(
     q_seq_blocks,
     window=None,
     logit_softcap=None,
+    dropout_rate=None,
 ):
     """Single-pass fused backward: grid (bh, num_kv, num_q), kv-major.
 
@@ -320,6 +349,7 @@ def _fused_bwd_kernel(
     of twice (round 2; VERDICT #7).
     """
     q_offset = qoff_ref[0]
+    bh_idx = pl.program_id(0)  # hoisted: program_id is illegal inside pl.when
     kv_idx, q_raw = pl.program_id(1), pl.program_id(2)
     q_pos = jax.lax.rem(q_raw, q_seq_blocks) if q_seq_blocks is not None else q_raw
     block_q = q_ref.shape[1]
@@ -368,9 +398,20 @@ def _fused_bwd_kernel(
             s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
         p = jnp.exp(s - lse)  # (bq, bkv)
 
-        # dV_j += P^T dO ; dP = dO V^T ; dS = P (dP - D) scale
-        dv_scratch[...] += _dot_g(p, do, (((0,), (0,)), ((), ())), precision)
+        p_z = p
+        if dropout_rate is not None:
+            keep = dropout_keep_mask(
+                qoff_ref[1], bh_idx, q_raw * block_q,
+                kv_idx * block_kv, p.shape, dropout_rate,
+            )
+            inv = 1.0 / (1.0 - dropout_rate)
+            p_z = jnp.where(keep, p, 0.0) * inv
+
+        # dV_j += Z^T dO ; dP = (dO V^T) o M/(1-r) ; dS = P (dP - D) scale
+        dv_scratch[...] += _dot_g(p_z, do, (((0,), (0,)), ((), ())), precision)
         dp = _dot_g(do, v, (((1,), (1,)), ((), ())), precision)
+        if dropout_rate is not None:
+            dp = jnp.where(keep, dp, 0.0) * inv
         ds = p * (dp - di) * scale
         if cap_factor is not None:
             ds = ds * cap_factor
@@ -394,6 +435,7 @@ def _fused_bwd_kernel(
     static_argnames=(
         "causal", "scale", "block_sizes", "kv_len", "precision",
         "q_seq_len", "interpret", "fused", "window", "logit_softcap",
+        "dropout_rate",
     ),
 )
 def flash_attention_bwd(
@@ -415,6 +457,8 @@ def flash_attention_bwd(
     fused: bool | None = None,
     window: int | None = None,
     logit_softcap: float | None = None,
+    dropout_rate: float | None = None,
+    dropout_seed=0,
 ):
     """dQ, dK, dV from saved output + logsumexp residuals.
 
@@ -453,7 +497,12 @@ def flash_attention_bwd(
     num_q, num_kv = s_q // bq, s_kv // bkv
     q_seq_blocks = resolve_q_seq_blocks(s_q, bq, q_seq_len)
 
-    qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)  # scalar-prefetched
+    # Scalar-prefetched: [q_offset, dropout_seed] (seed traced — a fresh
+    # per-step seed never recompiles; ignored when dropout is off).
+    qoff = jnp.stack([
+        jnp.asarray(q_offset, jnp.int32),
+        jnp.asarray(dropout_seed, jnp.int32),
+    ])
     di = jnp.sum(
         o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1
     )  # (BH, S_q), shared by both kernels (~ the reference guide's di)
@@ -544,6 +593,7 @@ def flash_attention_bwd(
                 q_seq_blocks=q_seq_blocks,
                 window=window,
                 logit_softcap=logit_softcap,
+                dropout_rate=dropout_rate,
             ),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -595,6 +645,7 @@ def flash_attention_bwd(
             logit_softcap=logit_softcap,
             packed=packed,
             head_dim=d,
+            dropout_rate=dropout_rate,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -634,6 +685,7 @@ def flash_attention_bwd(
             logit_softcap=logit_softcap,
             packed=packed,
             head_dim=d,
+            dropout_rate=dropout_rate,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -667,7 +719,7 @@ def flash_attention_bwd(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11)
 )
 def attention_vjp(
     q,
@@ -681,41 +733,55 @@ def attention_vjp(
     q_seq_len: int | None = None,
     window: int | None = None,
     logit_softcap: float | None = None,
+    dropout_rate: float | None = None,
+    dropout_seed=0,
 ):
     """Differentiable fused attention on (BH, S, d) (block-aligned shapes).
 
     ``q_seq_len`` enables GQA row folding (see ops.flash.flash_attention):
     q is (B*KVH, G*q_seq_len, d) against k/v (B*KVH, S_kv, d) — the backward
     kernels accumulate dK/dV over all G groups' rows automatically.
+
+    ``dropout_rate``/``dropout_seed`` (round 3): attention dropout on the
+    softmax weights with inverted scaling.  The (S_q, S_kv) mask is never
+    materialized — both backward kernels regenerate it from the seed
+    (:func:`ops.flash.dropout_keep_mask`), the flash-dropout memory property.
+    The seed is a traced int32 scalar (fresh per-step seeds don't recompile);
+    its cotangent is the symbolic zero (float0).
     """
     return flash_attention(
         q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
         precision=precision, q_seq_len=q_seq_len, interpret=interpret,
         window=window, logit_softcap=logit_softcap,
+        dropout_rate=dropout_rate, dropout_seed=dropout_seed,
     )
 
 
 def _vjp_fwd(q, k, v, causal, scale, block_sizes, precision, interpret,
-             q_seq_len, window, logit_softcap):
+             q_seq_len, window, logit_softcap, dropout_rate, dropout_seed):
     o, l, m = flash_attention(
         q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
         save_residuals=True, precision=precision, q_seq_len=q_seq_len,
         interpret=interpret, window=window, logit_softcap=logit_softcap,
+        dropout_rate=dropout_rate, dropout_seed=dropout_seed,
     )
     lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
-    return o, (q, k, v, o, lse)
+    return o, (q, k, v, o, lse, dropout_seed)
 
 
 def _vjp_bwd(causal, scale, block_sizes, precision, interpret, q_seq_len,
-             window, logit_softcap, res, do):
-    q, k, v, o, lse = res
+             window, logit_softcap, dropout_rate, res, do):
+    q, k, v, o, lse, dropout_seed = res
     dq, dk, dv = flash_attention_bwd(
         q, k, v, o, lse, do,
         causal=causal, scale=scale, block_sizes=block_sizes,
         precision=precision, q_seq_len=q_seq_len, interpret=interpret,
         window=window, logit_softcap=logit_softcap,
+        dropout_rate=dropout_rate, dropout_seed=dropout_seed,
     )
-    return dq, dk, dv
+    # Integer seed: symbolic-zero cotangent (float0).
+    dseed = np.zeros(np.shape(dropout_seed), jax.dtypes.float0)
+    return dq, dk, dv, dseed
 
 
 attention_vjp.defvjp(_vjp_fwd, _vjp_bwd)

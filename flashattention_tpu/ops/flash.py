@@ -259,6 +259,40 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def dropout_keep_mask(seed, bh_idx, row_start, col_start, shape, rate: float):
+    """Deterministic keep-mask tile for attention dropout (round 3).
+
+    Counter-based RNG keyed on the ABSOLUTE coordinates (seed, batch*head,
+    query row, kv column): the same bit is regenerated anywhere it is
+    evaluated — forward kernel, both backward kernels, and the pure-jnp test
+    oracle — so the (S_q, S_kv) mask is never materialized in HBM (the
+    flash-attention dropout memory property).  Implemented as a murmur-style
+    32-bit finalizer in plain uint32 jnp ops because ``pltpu.prng_random_bits``
+    has no CPU lowering and its TPU-interpret emulation returns zeros —
+    this hash is bitwise identical under the Pallas interpreter and Mosaic,
+    which is what keeps the differential test suite honest.
+
+    Returns a bool tile of ``shape``: True = keep (probability ``1 - rate``).
+    """
+    u32 = jnp.uint32
+    gi = (row_start + jax.lax.broadcasted_iota(jnp.int32, shape, 0)).astype(u32)
+    gj = (col_start + jax.lax.broadcasted_iota(jnp.int32, shape, 1)).astype(u32)
+    h = jnp.asarray(seed, u32) * u32(0x9E3779B9) + jnp.asarray(
+        bh_idx, u32
+    ) * u32(0x85EBCA6B)
+    x = (gi * u32(0xCC9E2D51)) ^ (gj * u32(0x1B873593)) ^ h
+    # murmur3 fmix32: full-avalanche finalizer (each input bit flips each
+    # output bit w.p. ~1/2) — adequate statistical quality for dropout.
+    x = x ^ (x >> 16)
+    x = x * u32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * u32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    # Top 24 bits -> uniform [0, 1) exactly representable in f32.
+    u = (x >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    return u >= rate
+
+
 def resolve_q_seq_blocks(s_q: int, block_q: int, q_seq_len: int | None) -> int | None:
     """Blocks per GQA group segment (None = no folding); validates the fold."""
     if q_seq_len is None:
@@ -289,6 +323,7 @@ def _kernel(
     tri: bool = False,
     window: int | None = None,
     logit_softcap: float | None = None,
+    dropout_rate: float | None = None,
 ):
     """Grid = (batch*heads, num_q_blocks, num_kv_blocks); kv dim is sequential.
 
@@ -329,6 +364,8 @@ def _kernel(
     kv_len = qoff_ref[1] if has_kv_len else None
     block_h = q_ref.shape[0]  # heads per grid step (VERDICT #4); see BlockSizes
     block_q = q_ref.shape[1]
+    bh_base = pl.program_id(0) * block_h  # hoisted: program_id is illegal
+    #   inside the pl.when(should_run) branch under the CPU interpreter
     block_kv = k_ref.shape[1]
     if tri:
         # Triangular causal grid (round 2): the 1D pair dimension enumerates
@@ -339,8 +376,12 @@ def _kernel(
         pair = pl.program_id(1)
         q_idx = qi_ref[pair]
         kv_idx = kj_ref[pair]
+        q_raw = q_idx  # tri implies no GQA fold: raw == causal position
     else:
         q_idx = pl.program_id(1)
+        q_raw = q_idx  # RAW grid index: the dropout-mask row coordinate
+        #   (folded GQA heads share q_idx after the rem below but must draw
+        #   independent dropout bits; backward uses the same raw index).
         if q_seq_blocks is not None:
             # GQA row folding: Q carries G query-head groups stacked along
             # rows, each a q_seq_blocks-block segment; causal position depends
@@ -513,14 +554,33 @@ def _kernel(
                 m_next, (block_q, m_scratch.shape[1])
             )
 
+            # Attention dropout (round 3): drop UNNORMALIZED p entries fed to
+            # the PV matmul with inverted 1/(1-rate) scaling; the softmax
+            # denominator l stays the UNdropped row sum (dropout applies to
+            # the normalized weights, and l is the normalizer) — the host
+            # disables the MXU ones-lane row sum when dropout is on so l
+            # never sees the dropped tile.
+            if dropout_rate is not None:
+                keep = dropout_keep_mask(
+                    qoff_ref[2],
+                    bh_base + h,
+                    q_raw * block_q,
+                    kv_idx * block_kv + start,
+                    p.shape,
+                    dropout_rate,
+                )
+                p_v = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_rate))
+            else:
+                p_v = p
+
             v = v_ref[h, start : start + block_kv_compute, :]
             l_add = None
             if packed:
                 # v = [vh|vl] (bkv_c, 2d) bf16 (+ a ones lane when it fits):
                 # p's own (hi, lo) split against it gives all four partial
                 # products in two full-width passes; fold the lane halves.
-                p_hi = p.astype(jnp.bfloat16)
-                p_lo = (p - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                p_hi = p_v.astype(jnp.bfloat16)
+                p_lo = (p_v - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
                 pv2 = jax.lax.dot_general(
                     p_hi, v, dims_nn, preferred_element_type=jnp.float32
                 ) + jax.lax.dot_general(
@@ -533,13 +593,13 @@ def _kernel(
                 # Fold the V dequant scale into p (o_d = sum_j p_j*s_j*v_jd):
                 # one VPU row-scale instead of dequantizing the whole V tile.
                 v = v.astype(jnp.bfloat16)
-                p_scaled = p * v_scales_ref[h, :, start : start + block_kv_compute]
+                p_scaled = p_v * v_scales_ref[h, :, start : start + block_kv_compute]
                 if precision == "bf16":
                     pv = _dot_g(p_scaled.astype(jnp.bfloat16), v, dims_nn, "bf16")
                 else:
                     pv = _dot_g(p_scaled, v, dims_nn, precision)
             else:
-                pv = _dot_g(p, v, dims_nn, precision)
+                pv = _dot_g(p_v, v, dims_nn, precision)
             if l_scratch is not None:
                 if l_add is None:
                     l_add = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
@@ -635,6 +695,8 @@ def flash_attention(
     interpret: bool | None = None,
     window: int | None = None,
     logit_softcap: float | None = None,
+    dropout_rate: float | None = None,
+    dropout_seed=0,
 ) -> Any:
     """Fused flash attention forward on (BH, S, d) tensors (see _flash_attention).
 
@@ -671,6 +733,8 @@ def flash_attention(
         tri_ok=tri_ok,
         window=window,
         logit_softcap=logit_softcap,
+        dropout_rate=dropout_rate,
+        dropout_seed=dropout_seed,
     )
 
 
@@ -687,6 +751,7 @@ def flash_attention(
         "tri_ok",
         "window",
         "logit_softcap",
+        "dropout_rate",
     ),
 )
 def _flash_attention(
@@ -708,6 +773,8 @@ def _flash_attention(
     tri_ok: bool = False,
     window: int | None = None,
     logit_softcap: float | None = None,
+    dropout_rate: float | None = None,
+    dropout_seed=0,
 ) -> Any:
     """Fused flash attention forward on (BH, S, d) tensors.
 
@@ -748,6 +815,15 @@ def _flash_attention(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if dropout_rate is not None:
+        if not 0.0 < dropout_rate < 1.0:
+            raise ValueError(
+                f"dropout_rate must be in (0, 1) or None (got {dropout_rate})"
+            )
+        # NB: with dropout, the (l, m) residuals are the UNdropped softmax
+        # statistics — exactly what the backward kernels need (p = exp(s -
+        # lse) reconstructs the normalized undropped P, and the dropout mask
+        # is regenerated from the seed).
 
     bh, s_q, d = q.shape
     bh_kv, s_kv, dk = k.shape
@@ -852,13 +928,18 @@ def _flash_attention(
     # lane (see module docstring).  Disabled for quantized KV (the folded
     # v_scales would pollute the ones-column sum) and for d >= 128 (no idle
     # lanes — the extension would cost a second output tile).
-    lsum_mxu = (not quantized) and (not packed) and d < NUM_LANES
+    # Dropout additionally forces the VPU row sum: the ones-lane would sum
+    # the DROPPED p tile, but l must be the undropped normalizer.
+    lsum_mxu = (
+        (not quantized) and (not packed) and d < NUM_LANES
+        and dropout_rate is None
+    )
     q_in, k_in = q, k
     qk_width = d
     if packed:
         q_in, k_in, v_in = _pack2(q), _pack2(k), _pack2(v)
         qk_width = 2 * d
-        if 2 * d < NUM_LANES:
+        if 2 * d < NUM_LANES and dropout_rate is None:
             # Spare lane: MXU-computed row sum (ph + pl against ones).
             v_in = jnp.concatenate(
                 [v_in, jnp.ones((bh, s_kv, 1), jnp.bfloat16)], axis=-1
@@ -893,6 +974,7 @@ def _flash_attention(
         tri=tri,
         window=window,
         logit_softcap=logit_softcap,
+        dropout_rate=dropout_rate,
     )
 
     out_shape = [jax.ShapeDtypeStruct((bh, s_q, d), q.dtype)]  # o
@@ -987,6 +1069,9 @@ def _flash_attention(
         [
             jnp.asarray(q_offset, jnp.int32),
             jnp.asarray(s_kv if kv_len is None else kv_len, jnp.int32),
+            # Dropout seed rides the same prefetch vector (traced: a fresh
+            # per-step seed never recompiles); ignored when dropout is off.
+            jnp.asarray(dropout_seed, jnp.int32),
         ]
     )
     prefetch = (scalars, qi_tab, kj_tab) if tri else (scalars,)

@@ -1,0 +1,217 @@
+"""Attention dropout: regenerated-mask flash dropout, forward + VJP + train.
+
+The reference has no dropout (forward-only harness); this is framework scope.
+Design under test (round 3): the keep mask is a counter-based hash of the
+ABSOLUTE (seed, head, row, col) coordinates (ops.flash.dropout_keep_mask) —
+never materialized in HBM — and both backward kernels regenerate it bitwise,
+so these tests build the oracle from the SAME hash and check the kernels
+against plain-jnp attention with that explicit mask (including grads via
+jax.grad through the oracle).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import flashattention_tpu.ops.flash as F
+from flashattention_tpu.models import transformer
+from flashattention_tpu.models.train import make_train_step, shard_params
+from flashattention_tpu.ops.backward import attention_vjp
+
+BS = F.BlockSizes(128, 128, 128)
+
+
+def make_qkv(bh, s, d, dtype=jnp.float32, key=0):
+    ks = jax.random.split(jax.random.key(key), 4)
+    q, k, v = (jax.random.normal(kk, (bh, s, d)).astype(dtype) for kk in ks[:3])
+    do = jax.random.normal(ks[3], (bh, s, d), jnp.float32)
+    return q, k, v, do
+
+
+def oracle(q, k, v, keeps, rate, *, causal, scale, q_seq_len=None):
+    """Plain-jnp attention applying the explicit keep mask post-softmax."""
+    q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
+    s_kv = k.shape[1]
+    s = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+    if causal:
+        rows = jnp.arange(q.shape[1])
+        if q_seq_len is not None:
+            rows = rows % q_seq_len  # GQA fold: position is row % segment
+        m = rows[:, None] >= jnp.arange(s_kv)[None, :]
+        s = jnp.where(m[None], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    z = jnp.where(keeps, p, 0.0) / (1 - rate)
+    return jnp.einsum("bqk,bkd->bqd", z, v)
+
+
+def keep_stack(seed, bh, s_q, s_kv, rate):
+    return jnp.stack(
+        [F.dropout_keep_mask(seed, b, 0, 0, (s_q, s_kv), rate) for b in range(bh)]
+    )
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_forward_matches_masked_oracle(causal, dtype):
+    bh, s, d = 4, 256, 64
+    rate, seed = 0.2, 42
+    q, k, v, _ = make_qkv(bh, s, d, dtype)
+    o = F.flash_attention(
+        q, k, v, causal=causal, scale=d**-0.5, block_sizes=BS,
+        dropout_rate=rate, dropout_seed=seed,
+    )
+    want = oracle(
+        q, k, v, keep_stack(seed, bh, s, s, rate), rate,
+        causal=causal, scale=d**-0.5,
+    )
+    tol = 2e-2 if dtype == jnp.bfloat16 else 2e-4
+    assert float(jnp.max(jnp.abs(o.astype(jnp.float32) - want))) < tol
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_vjp_matches_masked_oracle_grads(causal):
+    bh, s, d = 4, 256, 64
+    rate, seed = 0.15, 99
+    scale = d**-0.5
+    q, k, v, do = make_qkv(bh, s, d)
+    keeps = keep_stack(seed, bh, s, s, rate)
+
+    def loss_or(q, k, v):
+        return jnp.sum(oracle(q, k, v, keeps, rate, causal=causal, scale=scale) * do)
+
+    def loss_fa(q, k, v):
+        o = attention_vjp(
+            q, k, v, causal, scale, BS, "float32", None, None, None, None,
+            rate, seed,
+        )
+        return jnp.sum(o * do)
+
+    g_or = jax.grad(loss_or, argnums=(0, 1, 2))(q, k, v)
+    g_fa = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_or, g_fa):
+        err = float(jnp.max(jnp.abs(a - b)))
+        assert err < 1e-4, (name, err)
+
+
+def test_vjp_dropout_composes_with_softcap_and_window():
+    bh, s, d = 2, 256, 64
+    rate, seed, cap, win = 0.1, 7, 25.0, 140
+    scale = d**-0.5
+    q, k, v, do = make_qkv(bh, s, d, key=3)
+    keeps = keep_stack(seed, bh, s, s, rate)
+
+    def loss_or(q, k, v):
+        sc = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+        sc = cap * jnp.tanh(sc / cap)
+        rows = jnp.arange(s)
+        m = (rows[:, None] >= rows[None, :]) & (
+            rows[None, :] > rows[:, None] - win
+        )
+        sc = jnp.where(m[None], sc, -1e30)
+        p = jax.nn.softmax(sc, axis=-1)
+        z = jnp.where(keeps, p, 0.0) / (1 - rate)
+        return jnp.sum(jnp.einsum("bqk,bkd->bqd", z, v) * do)
+
+    def loss_fa(q, k, v):
+        o = attention_vjp(
+            q, k, v, True, scale, BS, "float32", None, None, win, cap,
+            rate, seed,
+        )
+        return jnp.sum(o * do)
+
+    g_or = jax.grad(loss_or, argnums=(0, 1, 2))(q, k, v)
+    g_fa = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_or, g_fa):
+        err = float(jnp.max(jnp.abs(a - b)))
+        assert err < 1e-4, (name, err)
+
+
+def test_vjp_gqa_folded_dropout():
+    """GQA row folding (q_seq_len) draws per-raw-row dropout bits; the oracle
+    reproduces them by hashing the FOLDED row coordinate."""
+    bh, s, d, g = 2, 128, 64, 2
+    rate, seed = 0.25, 11
+    scale = d**-0.5
+    ks = jax.random.split(jax.random.key(5), 4)
+    qf = jax.random.normal(ks[0], (bh, g * s, d))  # folded: g groups stacked
+    k = jax.random.normal(ks[1], (bh, s, d))
+    v = jax.random.normal(ks[2], (bh, s, d))
+    do = jax.random.normal(ks[3], (bh, g * s, d))
+    keeps = keep_stack(seed, bh, g * s, s, rate)
+
+    def loss_or(qf, k, v):
+        o = oracle(
+            qf, k, v, keeps, rate, causal=True, scale=scale, q_seq_len=s
+        )
+        return jnp.sum(o * do)
+
+    def loss_fa(qf, k, v):
+        o = attention_vjp(
+            qf, k, v, True, scale, BS, "float32", None, s, None, None,
+            rate, seed,
+        )
+        return jnp.sum(o * do)
+
+    assert (
+        float(jnp.max(jnp.abs(
+            jax.grad(loss_or)(qf, k, v) - jax.grad(loss_fa)(qf, k, v)
+        ))) < 1e-4
+    )
+
+
+def test_dropout_statistics_and_determinism():
+    rate = 0.3
+    m1 = F.dropout_keep_mask(1, 0, 0, 0, (512, 512), rate)
+    m1b = F.dropout_keep_mask(1, 0, 0, 0, (512, 512), rate)
+    m2 = F.dropout_keep_mask(2, 0, 0, 0, (512, 512), rate)
+    assert bool(jnp.all(m1 == m1b))  # same seed -> bitwise same
+    assert not bool(jnp.all(m1 == m2))  # different seed -> different mask
+    assert abs(float(m1.mean()) - (1 - rate)) < 0.01
+    # Tiled evaluation == whole-array evaluation (absolute coordinates).
+    tile = F.dropout_keep_mask(1, 0, 128, 256, (128, 128), rate)
+    assert bool(jnp.all(tile == m1[128:256, 256:384]))
+    # Head index decorrelates masks.
+    mh = F.dropout_keep_mask(1, 3, 0, 0, (512, 512), rate)
+    assert not bool(jnp.all(m1 == mh))
+
+
+def test_dropout_rate_validation():
+    q, k, v, _ = make_qkv(2, 128, 64)
+    with pytest.raises(ValueError, match="dropout_rate"):
+        F.flash_attention(q, k, v, block_sizes=BS, dropout_rate=1.5)
+    with pytest.raises(ValueError, match="dropout_rate"):
+        F.flash_attention(q, k, v, block_sizes=BS, dropout_rate=0.0)
+
+
+def test_train_step_with_attention_dropout():
+    """DP x TP train step with attn_dropout: runs, learns, and the seed
+    argument changes the draw (same seed bitwise-reproduces the loss)."""
+    dp, tp = 2, 2
+    mesh = Mesh(np.array(jax.devices()[: dp * tp]).reshape(dp, tp), ("dp", "tp"))
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=2, d_model=64, num_q_heads=2 * tp,
+        num_kv_heads=tp, head_dim=32, intermediate=32 * tp, dtype="float32",
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+    params = shard_params(params, mesh, cfg)
+    tokens = jax.device_put(
+        jax.random.randint(jax.random.key(1), (2 * dp, 128), 0, cfg.vocab_size),
+        NamedSharding(mesh, P("dp", None)),
+    )
+    step = make_train_step(mesh, cfg, lr=5e-2, attn_dropout=0.1)
+    l0a, _ = step(params, tokens, 0)
+    l0b, _ = step(params, tokens, 0)
+    l1, _ = step(params, tokens, 1)
+    assert float(l0a) == float(l0b)  # same seed -> same masks -> same loss
+    assert float(l0a) != float(l1)  # new seed -> new masks
+    losses = []
+    for i in range(5):
+        loss, params = step(params, tokens, i)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)), losses
+    # Dropout off must keep the historical no-seed signature working.
+    step_plain = make_train_step(mesh, cfg, lr=5e-2)
+    loss, _ = step_plain(params, tokens)
+    assert np.isfinite(float(loss))
