@@ -35,7 +35,14 @@ from flashattention_tpu.models.transformer import (
 )
 from flashattention_tpu.ops.backward import attention_vjp
 
-__all__ = ["param_specs", "shard_params", "make_train_step", "make_train_step_optax"]
+__all__ = [
+    "param_specs",
+    "shard_params",
+    "make_train_step",
+    "make_train_step_optax",
+    "make_train_step_packed",
+    "packed_positions",
+]
 
 
 # ── Megatron collective pair ─────────────────────────────────────────────────
@@ -102,9 +109,30 @@ def shard_params(params, mesh: Mesh, cfg: ModelConfig, tp: str = "tp"):
     )
 
 
+def packed_positions(segment_ids):
+    """Per-document RoPE positions for packed rows: index within segment.
+
+    segment_ids: (B, S) int32, padding marked with a negative id.  Returns
+    (B, S) int32 positions restarting at 0 on every segment change — packed
+    documents then see exactly the rotary phases they would see alone.
+    """
+    b, s = segment_ids.shape
+    idx = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    change = jnp.concatenate(
+        [
+            jnp.ones((b, 1), bool),
+            segment_ids[:, 1:] != segment_ids[:, :-1],
+        ],
+        axis=1,
+    )
+    start = jax.lax.cummax(jnp.where(change, idx, 0), axis=1)
+    return idx - start
+
+
 def _forward_local(
     params, tokens, cfg: ModelConfig, tp_size: int, tp_axis: str,
     attn_dropout: float | None = None, dropout_seed=None,
+    segment_ids=None,
 ):
     """Per-device forward on the local TP shard of heads/intermediate.
 
@@ -122,7 +150,20 @@ def _forward_local(
     hkv_local = cfg.num_kv_heads // tp_size
     g = cfg.group_size  # validates num_q_heads % num_kv_heads == 0
     x = params["embed"][tokens]
-    positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+    if segment_ids is not None:
+        # Packed rows: positions restart per document; the attention mask
+        # cannot cross document boundaries (segment ids thread into the
+        # kernel in the GQA-folded layout — q rows g-major per KV head).
+        positions = packed_positions(segment_ids)
+        seg_qf = jnp.tile(
+            segment_ids[:, None, :], (1, hkv_local, g)
+        ).reshape(b * hkv_local, g * s)
+        seg_kvf = jnp.broadcast_to(
+            segment_ids[:, None, :], (b, hkv_local, s)
+        ).reshape(b * hkv_local, s)
+    else:
+        positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+        seg_qf = seg_kvf = None
     for li, layer in enumerate(params["layers"]):
         h = _f_identity(_rmsnorm(x, layer["attn_norm"]), tp_axis)
         q = (h @ layer["wq"]).reshape(b, s, hq_local, cfg.head_dim)
@@ -146,7 +187,7 @@ def _forward_local(
         o = attention_vjp(
             qf, kf, vf, True, cfg.head_dim**-0.5, None, None, None,
             s if g > 1 else None, cfg.sliding_window, cfg.logit_softcap,
-            attn_dropout, lseed,
+            attn_dropout, lseed, seg_qf, seg_kvf,
         )
         o = (
             o.reshape(b, hq_local, s, cfg.head_dim)
@@ -279,6 +320,90 @@ def make_train_step_optax(
             lambda p, u: (p + u.astype(p.dtype)), params, updates
         )
         return loss, new_params, opt_state
+
+    return step
+
+
+def make_train_step_packed(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    *,
+    dp: str = "dp",
+    tp: str = "tp",
+    lr: float = 1e-3,
+    attn_dropout: float | None = None,
+):
+    """DP x TP training step over PACKED rows (round 3).
+
+    ``step(params, tokens, segment_ids[, seed]) -> (loss, new_params)``:
+    each row packs multiple documents marked by ``segment_ids`` (negative =
+    padding).  Attention cannot cross document boundaries (kernel-level
+    segment masking, ops/flash.py), RoPE positions restart per document
+    (:func:`packed_positions`), and the loss masks out cross-document and
+    padding targets — the packed step computes, token for token, what each
+    document would get in its own row, with zero pad-token attention FLOPs
+    wasted on real rows' budgets.  Loss = masked mean over valid next-token
+    targets, globally weighted across DP shards by valid-token count.
+    """
+    tp_size = mesh.shape[tp]
+    if cfg.num_kv_heads % tp_size:
+        raise ValueError(
+            f"tp={tp_size} must divide num_kv_heads={cfg.num_kv_heads}"
+        )
+    specs = param_specs(cfg, tp)
+
+    def local_grads(params, tokens, segment_ids, seed):
+        if attn_dropout is not None:
+            seed = (
+                seed
+                + jax.lax.axis_index(dp) * jnp.int32(7919)
+                + jax.lax.axis_index(tp) * jnp.int32(104729)
+            )
+
+        def loss_fn(params):
+            logits = _forward_local(
+                params, tokens, cfg, tp_size, tp, attn_dropout, seed,
+                segment_ids=segment_ids,
+            )
+            targets = tokens[:, 1:]
+            # Valid next-token target: same document, not padding.
+            valid = (
+                (segment_ids[:, 1:] == segment_ids[:, :-1])
+                & (segment_ids[:, 1:] >= 0)
+            )
+            logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+            local_sum = jnp.sum(jnp.where(valid, nll, 0.0))
+            # Weight by the GLOBAL valid-token count (count carries no grad,
+            # so a bare psum is safe here — the psum-transpose pitfall this
+            # module documents only bites differentiable paths).
+            count = jax.lax.psum(jnp.sum(valid), dp)
+            return local_sum / jnp.maximum(count, 1)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # Global masked mean = sum of per-shard local_sum/count grads: psum
+        # (not pmean — the global count already normalizes).
+        loss = jax.lax.psum(loss, dp)
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, dp), grads)
+        return loss, grads
+
+    grad_map = jax.shard_map(
+        local_grads,
+        mesh=mesh,
+        in_specs=(specs, P(dp, None), P(dp, None), P()),
+        out_specs=(P(), specs),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(params, tokens, segment_ids, seed=0):
+        loss, grads = grad_map(
+            params, tokens, segment_ids, jnp.asarray(seed, jnp.int32)
+        )
+        new_params = jax.tree.map(
+            lambda p, g: p - lr * g.astype(p.dtype), params, grads
+        )
+        return loss, new_params
 
     return step
 

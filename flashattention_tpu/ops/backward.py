@@ -116,9 +116,7 @@ def _dq_kernel(
     do_ref,
     lse_ref,
     di_ref,
-    dq_ref,
-    dq_scratch,
-    *,
+    *rest,
     causal,
     scale,
     kv_len,
@@ -130,7 +128,12 @@ def _dq_kernel(
     packed=False,
     head_dim=None,
     dropout_rate=None,
+    has_segments=False,
 ):
+    rest = list(rest)
+    if has_segments:
+        seg_q_ref, seg_kv_ref = rest.pop(0), rest.pop(0)
+    dq_ref, dq_scratch = rest
     q_offset = qoff_ref[0]  # prefetched traced scalar (one program, any offset)
     bh_idx = pl.program_id(0)  # hoisted: program_id is illegal inside pl.when
     q_idx, kv_idx = pl.program_id(1), pl.program_id(2)
@@ -174,6 +177,11 @@ def _dq_kernel(
             s = logit_softcap * jnp.tanh(s * (1.0 / logit_softcap))
             cap_factor = 1.0 - (s * (1.0 / logit_softcap)) ** 2
         mask = _masks(s.shape, q_pos * block_q, kv_idx * block_kv, causal, kv_len, q_offset, window)
+        if has_segments:
+            # Packed sequences: (bq, 1) == (1, bkv) broadcast compare; p is
+            # zero at masked positions, so dV/dS need no extra masking.
+            seg_m = seg_q_ref[0] == seg_kv_ref[0]
+            mask = seg_m if mask is None else (mask & seg_m)
         if mask is not None:
             s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
         p = jnp.exp(s - lse)  # (bq, bkv)
@@ -214,11 +222,7 @@ def _dkv_kernel(
     do_ref,
     lse_ref,
     di_ref,
-    dk_ref,
-    dv_ref,
-    dk_scratch,
-    dv_scratch,
-    *,
+    *rest,
     causal,
     scale,
     kv_len,
@@ -230,7 +234,12 @@ def _dkv_kernel(
     packed=False,
     head_dim=None,
     dropout_rate=None,
+    has_segments=False,
 ):
+    rest = list(rest)
+    if has_segments:
+        seg_q_ref, seg_kv_ref = rest.pop(0), rest.pop(0)
+    dk_ref, dv_ref, dk_scratch, dv_scratch = rest
     q_offset = qoff_ref[0]  # prefetched traced scalar (one program, any offset)
     bh_idx = pl.program_id(0)  # hoisted: program_id is illegal inside pl.when
     kv_idx, q_idx = pl.program_id(1), pl.program_id(2)
@@ -270,6 +279,11 @@ def _dkv_kernel(
             s = logit_softcap * jnp.tanh(s * (1.0 / logit_softcap))
             cap_factor = 1.0 - (s * (1.0 / logit_softcap)) ** 2
         mask = _masks(s.shape, q_pos * block_q, kv_idx * block_kv, causal, kv_len, q_offset, window)
+        if has_segments:
+            # Packed sequences: (bq, 1) == (1, bkv) broadcast compare; p is
+            # zero at masked positions, so dV/dS need no extra masking.
+            seg_m = seg_q_ref[0] == seg_kv_ref[0]
+            mask = seg_m if mask is None else (mask & seg_m)
         if mask is not None:
             s = s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
         p = jnp.exp(s - lse)  # (bq, bkv)
@@ -459,6 +473,8 @@ def flash_attention_bwd(
     logit_softcap: float | None = None,
     dropout_rate: float | None = None,
     dropout_seed=0,
+    q_segment_ids=None,
+    kv_segment_ids=None,
 ):
     """dQ, dK, dV from saved output + logsumexp residuals.
 
@@ -565,9 +581,20 @@ def flash_attention_bwd(
         dq_kv_index = lambda i, j, qoff: j
         dkv_q_index = lambda j, i, qoff: i
 
+    has_segments = q_segment_ids is not None
+    if has_segments and (kv_segment_ids is None):
+        raise ValueError("q_segment_ids and kv_segment_ids must be given together")
+    if has_segments:
+        seg_q3 = q_segment_ids[:, :, None].astype(jnp.int32)   # (BH, S_q, 1)
+        seg_kv3 = kv_segment_ids[:, None, :].astype(jnp.int32)  # (BH, 1, S_kv)
+
     if fused is None:
         fused = False  # two-pass measured faster on v5e (see docstring)
     if fused:
+        if has_segments:
+            raise ValueError(
+                "fused backward does not support segment ids; use fused=False"
+            )
         if s_q * d * 4 > 32 * 1024 * 1024:
             raise ValueError(
                 f"fused backward dQ scratch ({s_q}x{d} f32) exceeds the VMEM "
@@ -631,6 +658,15 @@ def flash_attention_bwd(
         pl.BlockSpec((1, 1, bq), lambda b, i, j, qo: (b, 0, i)),  # lse
         pl.BlockSpec((1, 1, bq), lambda b, i, j, qo: (b, 0, i)),  # di
     ]
+    dq_inputs = [qoff, q, k, v, do, lse3, di3]
+    if has_segments:
+        row_specs += [
+            pl.BlockSpec((1, bq, 1), lambda b, i, j, qo: (b, i, 0)),
+            pl.BlockSpec(
+                (1, 1, bkv), lambda b, i, j, qo: (b, 0, dq_kv_index(i, j, qo))
+            ),
+        ]
+        dq_inputs += [seg_q3, seg_kv3]
 
     dq = pl.pallas_call(
         functools.partial(
@@ -646,6 +682,7 @@ def flash_attention_bwd(
             packed=packed,
             head_dim=d,
             dropout_rate=dropout_rate,
+            has_segments=has_segments,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -662,7 +699,7 @@ def flash_attention_bwd(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(qoff, q, k, v, do, lse3, di3)
+    )(*dq_inputs)
 
     kv_specs = [
         pl.BlockSpec((1, bq, qk_width), lambda b, j, i, qo: (b, dkv_q_index(j, i, qo), 0)),  # q
@@ -672,6 +709,15 @@ def flash_attention_bwd(
         pl.BlockSpec((1, 1, bq), lambda b, j, i, qo: (b, 0, dkv_q_index(j, i, qo))),  # lse
         pl.BlockSpec((1, 1, bq), lambda b, j, i, qo: (b, 0, dkv_q_index(j, i, qo))),  # di
     ]
+    kv_inputs = [qoff, q, k, v, do, lse3, di3]
+    if has_segments:
+        kv_specs += [
+            pl.BlockSpec(
+                (1, bq, 1), lambda b, j, i, qo: (b, dkv_q_index(j, i, qo), 0)
+            ),
+            pl.BlockSpec((1, 1, bkv), lambda b, j, i, qo: (b, 0, j)),
+        ]
+        kv_inputs += [seg_q3, seg_kv3]
     dk, dv = pl.pallas_call(
         functools.partial(
             _dkv_kernel,
@@ -686,6 +732,7 @@ def flash_attention_bwd(
             packed=packed,
             head_dim=d,
             dropout_rate=dropout_rate,
+            has_segments=has_segments,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -711,7 +758,7 @@ def flash_attention_bwd(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(qoff, q, k, v, do, lse3, di3)
+    )(*kv_inputs)
     return dq, dk, dv
 
 
@@ -735,6 +782,8 @@ def attention_vjp(
     logit_softcap: float | None = None,
     dropout_rate: float | None = None,
     dropout_seed=0,
+    q_segment_ids=None,
+    kv_segment_ids=None,
 ):
     """Differentiable fused attention on (BH, S, d) (block-aligned shapes).
 
@@ -754,34 +803,45 @@ def attention_vjp(
         precision=precision, q_seq_len=q_seq_len, interpret=interpret,
         window=window, logit_softcap=logit_softcap,
         dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+        q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
     )
 
 
 def _vjp_fwd(q, k, v, causal, scale, block_sizes, precision, interpret,
-             q_seq_len, window, logit_softcap, dropout_rate, dropout_seed):
+             q_seq_len, window, logit_softcap, dropout_rate, dropout_seed,
+             q_segment_ids, kv_segment_ids):
     o, l, m = flash_attention(
         q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
         save_residuals=True, precision=precision, q_seq_len=q_seq_len,
         interpret=interpret, window=window, logit_softcap=logit_softcap,
         dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+        q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
     )
     lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
-    return o, (q, k, v, o, lse, dropout_seed)
+    return o, (q, k, v, o, lse, dropout_seed, q_segment_ids, kv_segment_ids)
 
 
 def _vjp_bwd(causal, scale, block_sizes, precision, interpret, q_seq_len,
              window, logit_softcap, dropout_rate, res, do):
-    q, k, v, o, lse, dropout_seed = res
+    q, k, v, o, lse, dropout_seed, q_segment_ids, kv_segment_ids = res
     dq, dk, dv = flash_attention_bwd(
         q, k, v, o, lse, do,
         causal=causal, scale=scale, block_sizes=block_sizes,
         precision=precision, q_seq_len=q_seq_len, interpret=interpret,
         window=window, logit_softcap=logit_softcap,
         dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+        q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
     )
-    # Integer seed: symbolic-zero cotangent (float0).
-    dseed = np.zeros(np.shape(dropout_seed), jax.dtypes.float0)
-    return dq, dk, dv, dseed
+
+    # Integer inputs: symbolic-zero cotangents (float0); None stays None.
+    def _zero(x):
+        if x is None:
+            return None
+        return np.zeros(np.shape(x), jax.dtypes.float0)
+
+    return dq, dk, dv, _zero(dropout_seed), _zero(q_segment_ids), _zero(
+        kv_segment_ids
+    )
 
 
 attention_vjp.defvjp(_vjp_fwd, _vjp_bwd)

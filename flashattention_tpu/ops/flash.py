@@ -324,6 +324,7 @@ def _kernel(
     window: int | None = None,
     logit_softcap: float | None = None,
     dropout_rate: float | None = None,
+    has_segments: bool = False,
 ):
     """Grid = (batch*heads, num_q_blocks, num_kv_blocks); kv dim is sequential.
 
@@ -347,6 +348,13 @@ def _kernel(
         # the score/p tiles below, so the MXU matmuls run on the raw payloads.
         k_scales_ref = rest.pop(0)
         v_scales_ref = rest.pop(0)
+    if has_segments:
+        # Packed sequences (round 3): q rows attend only kv columns of the
+        # SAME segment id.  Layouts chosen so the in-kernel compare is a pure
+        # broadcast (no transposes): q ids ride as a (bq, 1) sublane column,
+        # kv ids as a (1, bkv) lane row.
+        seg_q_ref = rest.pop(0)
+        seg_kv_ref = rest.pop(0)
     o_ref = rest.pop(0)
     if save_residuals:
         l_ref, m_ref = rest.pop(0), rest.pop(0)
@@ -483,6 +491,14 @@ def _kernel(
             if logit_softcap is not None:
                 # Gemma-2-style capping: s -> cap * tanh(s / cap).
                 s = logit_softcap * jnp.tanh(s * (1.0 / logit_softcap))
+
+            if has_segments:
+                # Same-segment mask: unconditionally applied (segment
+                # boundaries are data, so no tile can be proven mask-free at
+                # trace time the way interior causal tiles can).
+                seg_q = seg_q_ref[h]  # (bq, 1)
+                seg_k = seg_kv_ref[h, :, start : start + block_kv_compute]
+                s = s + jnp.where(seg_q == seg_k, 0.0, DEFAULT_MASK_VALUE)
 
             kv_start = kv_idx * block_kv + start
             if causal or has_kv_len:
@@ -697,6 +713,8 @@ def flash_attention(
     logit_softcap: float | None = None,
     dropout_rate: float | None = None,
     dropout_seed=0,
+    q_segment_ids: jax.Array | None = None,
+    kv_segment_ids: jax.Array | None = None,
 ) -> Any:
     """Fused flash attention forward on (BH, S, d) tensors (see _flash_attention).
 
@@ -735,6 +753,8 @@ def flash_attention(
         logit_softcap=logit_softcap,
         dropout_rate=dropout_rate,
         dropout_seed=dropout_seed,
+        q_segment_ids=q_segment_ids,
+        kv_segment_ids=kv_segment_ids,
     )
 
 
@@ -775,6 +795,8 @@ def _flash_attention(
     logit_softcap: float | None = None,
     dropout_rate: float | None = None,
     dropout_seed=0,
+    q_segment_ids: jax.Array | None = None,
+    kv_segment_ids: jax.Array | None = None,
 ) -> Any:
     """Fused flash attention forward on (BH, S, d) tensors.
 
@@ -833,6 +855,22 @@ def _flash_attention(
         raise ValueError(f"q/k head_dim mismatch: {d} vs {dk}")
     if bh_kv != bh:
         raise ValueError(f"q/k batch*heads mismatch: {bh} vs {bh_kv}")
+    has_segments = q_segment_ids is not None
+    if (q_segment_ids is None) != (kv_segment_ids is None):
+        raise ValueError(
+            "q_segment_ids and kv_segment_ids must be given together"
+        )
+    if has_segments:
+        if q_segment_ids.shape != (bh, s_q):
+            raise ValueError(
+                f"q_segment_ids must be (BH, S_q)=({bh}, {s_q}), got "
+                f"{q_segment_ids.shape}"
+            )
+        if kv_segment_ids.shape != (bh, s_kv):
+            raise ValueError(
+                f"kv_segment_ids must be (BH, S_kv)=({bh}, {s_kv}), got "
+                f"{kv_segment_ids.shape}"
+            )
     quantized = k_scales is not None
     if (k_scales is None) != (v_scales is None):
         raise ValueError(
@@ -975,6 +1013,7 @@ def _flash_attention(
         window=window,
         logit_softcap=logit_softcap,
         dropout_rate=dropout_rate,
+        has_segments=has_segments,
     )
 
     out_shape = [jax.ShapeDtypeStruct((bh, s_q, d), q.dtype)]  # o
@@ -1048,6 +1087,17 @@ def _flash_attention(
             pl.BlockSpec((block_h, 1, bkv), kv_scale_map),
         ]
         inputs += [k_scales[:, None, :], v_scales[:, None, :]]
+    if has_segments:
+        # q ids as a (bq, 1) sublane column, kv ids as a (1, bkv) lane row:
+        # the in-kernel same-segment compare is then a pure 2D broadcast.
+        in_specs += [
+            pl.BlockSpec((block_h, bq, 1), q_map),
+            pl.BlockSpec((block_h, 1, bkv), kv_scale_map),
+        ]
+        inputs += [
+            q_segment_ids[:, :, None].astype(jnp.int32),
+            kv_segment_ids[:, None, :].astype(jnp.int32),
+        ]
 
     scratch_shapes = [pltpu.VMEM((block_h * bq, NUM_LANES), jnp.float32)]  # m
     if not lsum_mxu:

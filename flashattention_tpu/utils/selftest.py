@@ -154,6 +154,88 @@ def check_fwd_windowed_tri_grid():
     validate_result(o, want, TOL_FP32)
 
 
+def check_fwd_dropout():
+    """Attention dropout (round 3): the compiled hash must match the jnp
+    oracle mask bit-for-bit (u32 mul/xor/shift legalization under Mosaic)."""
+    from flashattention_tpu.ops.flash import dropout_keep_mask, flash_attention
+
+    q, k, v = _qkv((4, 512, 64), seed=13)
+    rate, seed = 0.2, 77
+    o = flash_attention(
+        q, k, v, causal=True, dropout_rate=rate, dropout_seed=seed,
+        interpret=False,
+    )
+    s_ = jnp.einsum("bqd,bkd->bqk", q, k)
+    mask = jnp.arange(512)[:, None] >= jnp.arange(512)[None, :]
+    s_ = jnp.where(mask[None], s_, -1e30)
+    p = jax.nn.softmax(s_, axis=-1)
+    keeps = jnp.stack([
+        dropout_keep_mask(seed, b, 0, 0, (512, 512), rate) for b in range(4)
+    ])
+    z = jnp.where(keeps, p, 0.0) / (1 - rate)
+    validate_result(o, jnp.einsum("bqk,bkd->bqd", z, v), TOL_FP32)
+
+
+def check_fwd_segments():
+    """Packed-sequence segment masking (round 3) on the compiled path:
+    packed row slices == each document attended alone."""
+    from flashattention_tpu.ops.flash import flash_attention
+
+    q, k, v = _qkv((2, 512, 64), seed=14)
+    seg = jnp.concatenate(
+        [jnp.zeros(256, jnp.int32), jnp.ones(256, jnp.int32)]
+    )
+    segs = jnp.broadcast_to(seg, (2, 512))
+    packed = flash_attention(
+        q, k, v, causal=True, q_segment_ids=segs, kv_segment_ids=segs,
+        interpret=False,
+    )
+    for sl in (slice(0, 256), slice(256, 512)):
+        solo = flash_attention(
+            q[:, sl], k[:, sl], v[:, sl], causal=True, interpret=False
+        )
+        validate_result(packed[:, sl], solo, TOL_FP32, name=f"slice {sl}")
+
+
+def check_backward_dropout_segments():
+    """Backward kernels regenerate the dropout mask and segment mask on the
+    compiled path: grads vs autodiff of the explicit-mask oracle."""
+    from flashattention_tpu.ops.backward import attention_vjp
+    from flashattention_tpu.ops.flash import BlockSizes, dropout_keep_mask
+
+    s, d, rate, seed = 256, 64, 0.15, 5
+    q, k, v = _qkv((2, s, d), seed=15)
+    t = make_random(jax.random.key(16), (2, s, d))
+    seg = jnp.concatenate([jnp.zeros(128, jnp.int32), jnp.ones(128, jnp.int32)])
+    segs = jnp.broadcast_to(seg, (2, s))
+    keeps = jnp.stack([
+        dropout_keep_mask(seed, b, 0, 0, (s, s), rate) for b in range(2)
+    ])
+    bs = BlockSizes(128, 128, 128)
+
+    def loss_fa(q, k, v):
+        o = attention_vjp(
+            q, k, v, True, 1.0, bs, None, False, None, None, None,
+            rate, seed, segs, segs,
+        )
+        return jnp.sum(o * t)
+
+    def loss_or(q, k, v):
+        sc = jnp.einsum("bqd,bkd->bqk", q, k)
+        m = (seg[:, None] == seg[None, :]) & (
+            jnp.arange(s)[:, None] >= jnp.arange(s)[None, :]
+        )
+        sc = jnp.where(m[None], sc, -1e30)
+        p = jax.nn.softmax(sc, axis=-1)
+        z = jnp.where(keeps, p, 0.0) / (1 - rate)
+        return jnp.sum(jnp.einsum("bqk,bkd->bqd", z, v) * t)
+
+    g_fa = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+    g_or = jax.grad(loss_or, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), g_fa, g_or):
+        validate_result(a, b, 5e-4, name=name)
+
+
 def check_backward():
     """Two-pass backward dQ/dK/dV vs oracle autodiff, causal fp32."""
     from flashattention_tpu.ops.backward import flash_attention_bwd
@@ -235,6 +317,9 @@ CHECKS = [
     check_fwd_lane_packed_d32,
     check_fwd_block_h_batched,
     check_fwd_windowed_tri_grid,
+    check_fwd_dropout,
+    check_fwd_segments,
+    check_backward_dropout_segments,
     check_backward,
     check_paged_prefill_batched,
     check_paged_decode_int8,
