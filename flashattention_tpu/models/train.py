@@ -41,7 +41,11 @@ __all__ = [
     "make_train_step",
     "make_train_step_optax",
     "make_train_step_packed",
+    "make_train_step_pp",
     "packed_positions",
+    "stack_params",
+    "shard_params_pp",
+    "pp_param_specs",
 ]
 
 
@@ -204,6 +208,198 @@ def _forward_local(
         x = x + mlp_out
     x = _rmsnorm(x, params["final_norm"])
     return x @ params["lm_head"]
+
+
+def _layer_forward(x, layer, positions, cfg: ModelConfig):
+    """One transformer layer on FULL heads, no collectives (the pipeline-
+    parallel stage body; TP's f/g pair lives in _forward_local instead)."""
+    b, s, _ = x.shape
+    hq, hkv, g = cfg.num_q_heads, cfg.num_kv_heads, cfg.group_size
+    h = _rmsnorm(x, layer["attn_norm"])
+    q = (h @ layer["wq"]).reshape(b, s, hq, cfg.head_dim)
+    k = (h @ layer["wk"]).reshape(b, s, hkv, cfg.head_dim)
+    v = (h @ layer["wv"]).reshape(b, s, hkv, cfg.head_dim)
+    q = _rope(q, positions, cfg.rope_theta)
+    k = _rope(k, positions, cfg.rope_theta)
+    qf = q.transpose(0, 2, 1, 3).reshape(b * hkv, g * s, cfg.head_dim)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * hkv, s, cfg.head_dim)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * hkv, s, cfg.head_dim)
+    o = attention_vjp(
+        qf, kf, vf, True, cfg.head_dim**-0.5, None, None, None,
+        s if g > 1 else None, cfg.sliding_window, cfg.logit_softcap,
+    )
+    o = (
+        o.reshape(b, hq, s, cfg.head_dim)
+        .transpose(0, 2, 1, 3)
+        .reshape(b, s, hq * cfg.head_dim)
+    )
+    x = x + o @ layer["wo"]
+    return x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer)
+
+
+def stack_params(params):
+    """Stack the per-layer param dicts into leading-L arrays (the layout
+    pipeline parallelism shards: dim 0 over the pp axis)."""
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *params["layers"])
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = stacked
+    return out
+
+
+def pp_param_specs(cfg: ModelConfig, example_params, pp: str = "pp") -> dict:
+    """PartitionSpecs for stacked params: layer stacks sharded over pp,
+    everything else replicated (embed lives on rank 0's compute path, the
+    head on the last rank's; replication keeps the program SPMD)."""
+    del cfg
+    stacked_shape = jax.eval_shape(stack_params, example_params)
+    return {
+        k: (
+            jax.tree.map(lambda x: P(pp, *([None] * (x.ndim - 1))), v)
+            if k == "layers"
+            else jax.tree.map(lambda x: P(), v)
+        )
+        for k, v in stacked_shape.items()
+    }
+
+
+def shard_params_pp(params, mesh: Mesh, cfg: ModelConfig, pp: str = "pp"):
+    """Stack + device_put params for the pipeline step."""
+    specs = pp_param_specs(cfg, params, pp)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        stack_params(params),
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def make_train_step_pp(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    *,
+    pp: str = "pp",
+    dp: str = "dp",
+    lr: float = 1e-3,
+    n_microbatches: int = 2,
+):
+    """GPipe-style pipeline-parallel SGD step (round 3).
+
+    The layer stack shards over the ``pp`` mesh axis (each rank holds
+    L/pp consecutive layers, applied with a ``lax.scan`` over its stage
+    slice); microbatches flow through the pipe with one
+    ``jax.lax.ppermute`` hop per step — T = M + P - 1 pipeline steps fill
+    and drain the bubble.  Rank 0 embeds, the last rank runs the head +
+    loss; autodiff through the ppermute chain IS the backward pipeline
+    (ppermute's transpose is the reverse rotation), so gradients for every
+    stage arrive without any hand-written schedule.  Replicated leaves
+    (embed / final_norm / lm_head) get their single nonzero contribution
+    psum-broadcast over pp; stage grads stay rank-local by construction.
+    DP composes orthogonally (batch sharded, grads pmean-ed).
+
+    ``step(params, tokens) -> (loss, new_params)`` with params from
+    :func:`shard_params_pp` (stacked layout).  Requires
+    ``num_layers % pp == 0`` and ``B_local % n_microbatches == 0``.
+    """
+    pp_size = mesh.shape[pp]
+    if cfg.num_layers % pp_size:
+        raise ValueError(
+            f"pp={pp_size} must divide num_layers={cfg.num_layers}"
+        )
+    from flashattention_tpu.models.transformer import init_params
+
+    example = jax.eval_shape(
+        lambda: init_params(jax.random.key(0), cfg)
+    )
+    specs = pp_param_specs(cfg, example, pp)
+    M = n_microbatches
+
+    def local_grads(params, tokens):
+        rank = jax.lax.axis_index(pp)
+        b_local, s = tokens.shape
+        if b_local % M:
+            raise ValueError(
+                f"local batch {b_local} not divisible by n_microbatches {M}"
+            )
+        mb_b = b_local // M
+        positions = jnp.broadcast_to(jnp.arange(s), (mb_b, s))
+        perm = [(p, p + 1) for p in range(pp_size - 1)]
+
+        def loss_fn(params):
+            mbs = tokens.reshape(M, mb_b, s)
+            stage = params["layers"]  # (L/pp, ...) local slice
+
+            def apply_stage(x):
+                def body(x, layer):
+                    return _layer_forward(x, layer, positions, cfg), None
+
+                return jax.lax.scan(body, x, stage)[0]
+
+            x_recv = jnp.zeros(
+                (mb_b, s, cfg.d_model), params["embed"].dtype
+            )
+            total_nll = 0.0
+            for t in range(M + pp_size - 1):
+                # Ramp steps re-embed the last real microbatch (finite data;
+                # their outputs drain past the loop and are never consumed —
+                # garbage would 0*NaN-poison the masked-out backward).
+                inp0 = params["embed"][mbs[min(t, M - 1)]]
+                x_in = jnp.where(rank == 0, inp0, x_recv)
+                y = apply_stage(x_in)
+                x_recv = jax.lax.ppermute(y, pp, perm)
+                if t >= pp_size - 1:
+                    out_mb = t - (pp_size - 1)
+                    z = _rmsnorm(y, params["final_norm"]) @ params["lm_head"]
+                    logp = jax.nn.log_softmax(
+                        z[:, :-1].astype(jnp.float32), axis=-1
+                    )
+                    tgt = mbs[out_mb][:, 1:]
+                    nll = jnp.mean(
+                        -jnp.take_along_axis(logp, tgt[..., None], axis=-1)
+                    )
+                    # Only the last rank's head output is the real pipeline
+                    # result; where() zeroes the others' cotangents too.
+                    total_nll = total_nll + jnp.where(
+                        rank == pp_size - 1, nll, 0.0
+                    )
+            # psum-forward / identity-backward: each rank keeps cotangent 1
+            # for its own (ppermute-routed) contribution — a bare psum would
+            # scale cotangents by pp (the transpose pitfall above).
+            return _g_allreduce(total_nll / M, pp)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # Replicated leaves have exactly one nonzero pp contribution
+        # (embed: rank 0; final_norm/lm_head: last rank): broadcast it.
+        # Stage grads are rank-local slices — a pp collective would sum
+        # unrelated layers.
+        grads = {
+            k: (
+                v
+                if k == "layers"
+                else jax.tree.map(lambda g: jax.lax.psum(g, pp), v)
+            )
+            for k, v in grads.items()
+        }
+        loss = jax.lax.pmean(loss, dp)
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, dp), grads)
+        return loss, grads
+
+    grad_map = jax.shard_map(
+        local_grads,
+        mesh=mesh,
+        in_specs=(specs, P(dp, None)),
+        out_specs=(P(), specs),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(params, tokens):
+        loss, grads = grad_map(params, tokens)
+        new_params = jax.tree.map(
+            lambda p, g: p - lr * g.astype(p.dtype), params, grads
+        )
+        return loss, new_params
+
+    return step
 
 
 def _make_grad_map(mesh, cfg, *, dp, tp, attn_dropout: float | None = None):

@@ -270,3 +270,88 @@ def test_sp_train_step_window_softcap_matches_single_device(zigzag):
     np.testing.assert_allclose(float(loss1), float(loss4), rtol=2e-4)
     for a, b in zip(jax.tree.leaves(new1), jax.tree.leaves(new4)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+# ── pipeline parallelism (round 3) ──────────────────────────────────────────
+
+
+def test_pp_matches_single_device():
+    """GPipe pipeline (pp=4, 2 microbatches) must reproduce the dense
+    single-device loss and parameter update."""
+    from flashattention_tpu.models.train import (
+        make_train_step_pp, shard_params_pp,
+    )
+
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=4, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (4, 128), 0, cfg.vocab_size)
+
+    # Single-device dense baseline (dp=1, tp=1 path).
+    mesh1 = make_mesh(1, 1)
+    p1 = shard_params(params, mesh1, cfg)
+    t1 = jax.device_put(tokens, NamedSharding(mesh1, P("dp", None)))
+    step1 = make_train_step(mesh1, cfg, lr=1e-2)
+    loss1, new1 = step1(p1, t1)
+
+    mesh_pp = Mesh(np.array(jax.devices()[:4]).reshape(1, 4), ("dp", "pp"))
+    pp_params = shard_params_pp(params, mesh_pp, cfg)
+    t4 = jax.device_put(tokens, NamedSharding(mesh_pp, P("dp", None)))
+    step_pp = make_train_step_pp(mesh_pp, cfg, lr=1e-2, n_microbatches=2)
+    loss_pp, new_pp = step_pp(pp_params, t4)
+
+    assert float(loss_pp) == pytest.approx(float(loss1), rel=2e-5)
+    # Updated params must match leaf-for-leaf (stacked layout vs list).
+    stacked1 = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *new1["layers"]
+    )
+    for key in ("embed", "final_norm", "lm_head"):
+        np.testing.assert_allclose(
+            np.asarray(new_pp[key]), np.asarray(new1[key]), atol=2e-5
+        )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5
+        ),
+        new_pp["layers"], stacked1,
+    )
+
+
+def test_pp_dp_composed_learns():
+    """DP x PP (2 x 4): runs, loss finite and decreasing on a fixed batch."""
+    from flashattention_tpu.models.train import (
+        make_train_step_pp, shard_params_pp,
+    )
+
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=4, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "pp"))
+    pp_params = shard_params_pp(params, mesh, cfg)
+    tokens = jax.device_put(
+        jax.random.randint(jax.random.key(2), (4, 128), 0, cfg.vocab_size),
+        NamedSharding(mesh, P("dp", None)),
+    )
+    step = make_train_step_pp(mesh, cfg, lr=5e-2, n_microbatches=2)
+    losses = []
+    for _ in range(4):
+        loss, pp_params = step(pp_params, tokens)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], losses
+
+
+def test_pp_validation():
+    from flashattention_tpu.models.train import make_train_step_pp
+
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=3, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 4), ("dp", "pp"))
+    with pytest.raises(ValueError, match="num_layers"):
+        make_train_step_pp(mesh, cfg)
