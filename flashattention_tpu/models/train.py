@@ -42,10 +42,13 @@ __all__ = [
     "make_train_step_optax",
     "make_train_step_packed",
     "make_train_step_pp",
+    "make_train_step_ep",
     "packed_positions",
     "stack_params",
     "shard_params_pp",
     "pp_param_specs",
+    "shard_params_ep",
+    "ep_param_specs",
 ]
 
 
@@ -85,7 +88,13 @@ _f_identity.defvjp(
 
 
 def param_specs(cfg: ModelConfig, tp: str = "tp") -> dict:
-    """PartitionSpecs: Megatron column/row sharding over the tp axis."""
+    """PartitionSpecs: Megatron column/row sharding over the tp axis.
+
+    MoE layers (cfg.num_experts): the E-stacked expert weights shard their
+    INTERMEDIATE dim over tp exactly like the dense MLP (the f/g psum at
+    the call sites finishes the per-expert partial sums); the router is
+    replicated.  Expert parallelism proper (E over an "ep" axis) is
+    :func:`make_train_step_ep`."""
     layer = {
         "attn_norm": P(),
         "wq": P(None, tp),
@@ -93,10 +102,20 @@ def param_specs(cfg: ModelConfig, tp: str = "tp") -> dict:
         "wv": P(None, tp),
         "wo": P(tp, None),
         "mlp_norm": P(),
-        "w_gate": P(None, tp),
-        "w_up": P(None, tp),
-        "w_down": P(tp, None),
     }
+    if cfg.num_experts is None:
+        layer.update({
+            "w_gate": P(None, tp),
+            "w_up": P(None, tp),
+            "w_down": P(tp, None),
+        })
+    else:
+        layer.update({
+            "router": P(),
+            "w_gate": P(None, None, tp),
+            "w_up": P(None, None, tp),
+            "w_down": P(None, tp, None),
+        })
     return {
         "embed": P(),
         "final_norm": P(),
@@ -202,7 +221,7 @@ def _forward_local(
         attn_out = _g_allreduce(o @ layer["wo"], tp_axis)
         x = x + attn_out
         mlp_out = _g_allreduce(
-            _mlp(_f_identity(_rmsnorm(x, layer["mlp_norm"]), tp_axis), layer),
+            _mlp(_f_identity(_rmsnorm(x, layer["mlp_norm"]), tp_axis), layer, cfg.experts_per_token),
             tp_axis,
         )
         x = x + mlp_out
@@ -210,9 +229,9 @@ def _forward_local(
     return x @ params["lm_head"]
 
 
-def _layer_forward(x, layer, positions, cfg: ModelConfig):
-    """One transformer layer on FULL heads, no collectives (the pipeline-
-    parallel stage body; TP's f/g pair lives in _forward_local instead)."""
+def _attn_block(x, layer, positions, cfg: ModelConfig):
+    """Attention sub-layer on FULL heads, no collectives (PP/EP stage body;
+    TP's f/g pair lives in _forward_local instead)."""
     b, s, _ = x.shape
     hq, hkv, g = cfg.num_q_heads, cfg.num_kv_heads, cfg.group_size
     h = _rmsnorm(x, layer["attn_norm"])
@@ -233,8 +252,15 @@ def _layer_forward(x, layer, positions, cfg: ModelConfig):
         .transpose(0, 2, 1, 3)
         .reshape(b, s, hq * cfg.head_dim)
     )
-    x = x + o @ layer["wo"]
-    return x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer)
+    return x + o @ layer["wo"]
+
+
+def _layer_forward(x, layer, positions, cfg: ModelConfig):
+    """One full transformer layer (attention + dense-compute MLP/MoE)."""
+    x = _attn_block(x, layer, positions, cfg)
+    return x + _mlp(
+        _rmsnorm(x, layer["mlp_norm"]), layer, cfg.experts_per_token
+    )
 
 
 def stack_params(params):
@@ -379,6 +405,183 @@ def make_train_step_pp(
             )
             for k, v in grads.items()
         }
+        loss = jax.lax.pmean(loss, dp)
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, dp), grads)
+        return loss, grads
+
+    grad_map = jax.shard_map(
+        local_grads,
+        mesh=mesh,
+        in_specs=(specs, P(dp, None)),
+        out_specs=(P(), specs),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(params, tokens):
+        loss, grads = grad_map(params, tokens)
+        new_params = jax.tree.map(
+            lambda p, g: p - lr * g.astype(p.dtype), params, grads
+        )
+        return loss, new_params
+
+    return step
+
+
+def _moe_mlp_ep(x, layer, cfg: ModelConfig, ep: str, ep_size: int, capacity: int):
+    """Sparse expert-parallel MoE MLP (round 3): capacity dispatch + local
+    experts + psum combine.
+
+    Replicated-activation EP: tokens are replicated across the ep axis (they
+    are dp-sharded only), so no all_to_all is needed — each rank gathers the
+    routed tokens for ITS E/ep experts with a capacity-bucketed dispatch
+    einsum (GShard-style: position-in-expert via cumsum, items past
+    ``capacity`` are dropped), runs its local expert stack, and one psum
+    combines the weighted expert outputs.  Per-rank expert compute is
+    O(E_local * capacity) instead of O(T * E) — the sparse-MoE saving —
+    at the cost of every rank holding the activations (the standard
+    expert-data-parallel deployment).
+
+    Gradient exactness: the two ``_f_identity`` wraps (on the token stream
+    feeding the dispatch einsum and on the router logits) psum the per-rank
+    partial cotangents, and the output ``_g_allreduce`` is psum-forward /
+    identity-backward — every replicated parameter's gradient comes out
+    exact and bitwise-replicated with NO post-hoc collectives.
+
+    Returns (output, aux) where aux is the switch-style load-balancing loss,
+    normalized so perfectly uniform routing gives aux = 1.
+    """
+    b, s, d = x.shape
+    t = b * s
+    k = cfg.experts_per_token
+    e = cfg.num_experts
+    hf = x.reshape(t, d)
+    hf_f = _f_identity(hf, ep)
+    logits = _f_identity(hf @ layer["router"], ep)  # (T, E)
+    wk, idx = jax.lax.top_k(logits, k)
+    wk = jax.nn.softmax(wk.astype(jnp.float32), axis=-1)  # (T, k)
+    flat_e = idx.reshape(t * k)  # row-major (token, choice) routed items
+    onehot = jax.nn.one_hot(flat_e, e, dtype=jnp.int32)  # (T*k, E)
+    pos = jnp.sum(jnp.cumsum(onehot, axis=0) * onehot, axis=1) - 1  # (T*k,)
+    keep = (pos < capacity).astype(jnp.float32)
+    disp = (
+        jax.nn.one_hot(flat_e, e, dtype=jnp.float32) * keep[:, None]
+    )[:, :, None] * jax.nn.one_hot(
+        jnp.clip(pos, 0), capacity, dtype=jnp.float32
+    )[:, None, :]
+    disp = disp.reshape(t, k, e, capacity)
+    dispatch = jnp.sum(disp, axis=1)  # (T, E, C) 0/1
+    combine = jnp.einsum("tkec,tk->tec", disp, wk)  # routing-weighted
+    ein = jnp.einsum("tec,td->ecd", dispatch, hf_f.astype(jnp.float32))
+    rank = jax.lax.axis_index(ep)
+    e_l = e // ep_size
+    ein_l = jax.lax.dynamic_slice_in_dim(
+        ein.astype(x.dtype), rank * e_l, e_l, axis=0
+    )
+    gate = jax.nn.silu(jnp.einsum("ecd,edf->ecf", ein_l, layer["w_gate"]))
+    up = jnp.einsum("ecd,edf->ecf", ein_l, layer["w_up"])
+    ye = jnp.einsum("ecf,efd->ecd", gate * up, layer["w_down"])  # (E_l, C, d)
+    comb_l = jax.lax.dynamic_slice_in_dim(combine, rank * e_l, e_l, axis=1)
+    out = jnp.einsum("tec,ecd->td", comb_l.astype(ye.dtype), ye)
+    out = _g_allreduce(out, ep)
+    # Switch-style load balance: f_e = routed fraction, p_e = mean router
+    # prob; (E/k) * sum(f_e p_e) == 1 under uniform routing.
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    f_e = jnp.mean(
+        jnp.sum(onehot.reshape(t, k, e).astype(jnp.float32), axis=1), axis=0
+    )
+    aux = (e / k) * jnp.sum(f_e * jnp.mean(probs, axis=0))
+    return out.reshape(b, s, d).astype(x.dtype), aux
+
+
+def ep_param_specs(cfg: ModelConfig, ep: str = "ep") -> dict:
+    """PartitionSpecs for expert parallelism: expert stacks sharded on their
+    leading E dim over ep; everything else (attention, router, embeddings)
+    replicated."""
+    if cfg.num_experts is None:
+        raise ValueError("expert parallelism requires cfg.num_experts")
+    layer = {
+        "attn_norm": P(),
+        "wq": P(),
+        "wk": P(),
+        "wv": P(),
+        "wo": P(),
+        "mlp_norm": P(),
+        "router": P(),
+        "w_gate": P(ep, None, None),
+        "w_up": P(ep, None, None),
+        "w_down": P(ep, None, None),
+    }
+    return {
+        "embed": P(),
+        "final_norm": P(),
+        "lm_head": P(),
+        "layers": [dict(layer) for _ in range(cfg.num_layers)],
+    }
+
+
+def shard_params_ep(params, mesh: Mesh, cfg: ModelConfig, ep: str = "ep"):
+    specs = ep_param_specs(cfg, ep)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
+        is_leaf=lambda x: isinstance(x, jax.Array),
+    )
+
+
+def make_train_step_ep(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    *,
+    dp: str = "dp",
+    ep: str = "ep",
+    lr: float = 1e-3,
+    capacity_factor: float = 2.0,
+    aux_coef: float = 0.01,
+):
+    """DP x EP training step for MoE models (round 3).
+
+    ``step(params, tokens) -> (loss, new_params)`` with params from
+    :func:`shard_params_ep`.  Expert capacity per step is
+    ``ceil(capacity_factor * k * T_local / E)``; routed items past it drop
+    (standard GShard semantics — ``capacity_factor >= E / k`` disables
+    dropping entirely, which is also how the differential test pins this
+    step against the dense-compute MoE).  ``aux_coef`` weights the
+    switch-style load-balancing loss.
+    """
+    if cfg.num_experts is None:
+        raise ValueError("make_train_step_ep requires cfg.num_experts")
+    ep_size = mesh.shape[ep]
+    if cfg.num_experts % ep_size:
+        raise ValueError(
+            f"ep={ep_size} must divide num_experts={cfg.num_experts}"
+        )
+    specs = ep_param_specs(cfg, ep)
+    k = cfg.experts_per_token
+
+    def local_grads(params, tokens):
+        b_local, s = tokens.shape
+        capacity = -(-int(capacity_factor * k * b_local * s) // cfg.num_experts)
+        positions = jnp.broadcast_to(jnp.arange(s), (b_local, s))
+
+        def loss_fn(params):
+            x = params["embed"][tokens]
+            aux_total = 0.0
+            for layer in params["layers"]:
+                x = _attn_block(x, layer, positions, cfg)
+                y, aux = _moe_mlp_ep(
+                    _rmsnorm(x, layer["mlp_norm"]), layer, cfg, ep, ep_size,
+                    capacity,
+                )
+                x = x + y
+                aux_total = aux_total + aux
+            x = _rmsnorm(x, params["final_norm"])
+            logits = x @ params["lm_head"]
+            targets = tokens[:, 1:]
+            logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+            nll = jnp.mean(-jnp.take_along_axis(logp, targets[..., None], axis=-1))
+            return nll + aux_coef * aux_total / len(params["layers"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
         loss = jax.lax.pmean(loss, dp)
         grads = jax.tree.map(lambda g: jax.lax.pmean(g, dp), grads)
         return loss, grads
@@ -706,7 +909,7 @@ def make_train_step_sp(
                 .reshape(b, s_local, -1)
             )
             x = x + o @ layer["wo"]
-            x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer)
+            x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer, cfg.experts_per_token)
         x = _rmsnorm(x, params["final_norm"])
         return x @ params["lm_head"]
 

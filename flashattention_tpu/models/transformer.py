@@ -56,6 +56,8 @@ class ModelConfig:
     dtype: str = "bfloat16"
     sliding_window: int | None = None  # Mistral-style local attention
     logit_softcap: float | None = None  # Gemma-2-style score capping
+    num_experts: int | None = None  # Mixtral-style MoE MLP (None = dense)
+    experts_per_token: int = 2  # top-k routing when num_experts is set
 
     @property
     def group_size(self) -> int:
@@ -109,20 +111,35 @@ def init_params(key: jax.Array, cfg: ModelConfig):
         "layers": [],
     }
     for i in range(cfg.num_layers):
-        lk = jax.random.split(keys[3 + i], 7)
-        params["layers"].append(
-            {
-                "attn_norm": jnp.ones((d,), dt),
-                "wq": dense(lk[0], (d, hq * hd), d),
-                "wk": dense(lk[1], (d, hkv * hd), d),
-                "wv": dense(lk[2], (d, hkv * hd), d),
-                "wo": dense(lk[3], (hq * hd, d), hq * hd),
-                "mlp_norm": jnp.ones((d,), dt),
+        lk = jax.random.split(keys[3 + i], 8)
+        layer = {
+            "attn_norm": jnp.ones((d,), dt),
+            "wq": dense(lk[0], (d, hq * hd), d),
+            "wk": dense(lk[1], (d, hkv * hd), d),
+            "wv": dense(lk[2], (d, hkv * hd), d),
+            "wo": dense(lk[3], (hq * hd, d), hq * hd),
+            "mlp_norm": jnp.ones((d,), dt),
+        }
+        if cfg.num_experts is None:
+            layer.update({
                 "w_gate": dense(lk[4], (d, cfg.intermediate), d),
                 "w_up": dense(lk[5], (d, cfg.intermediate), d),
                 "w_down": dense(lk[6], (cfg.intermediate, d), cfg.intermediate),
-            }
-        )
+            })
+        else:
+            # Mixtral-style MoE (round 3): per-expert SwiGLU stacks with a
+            # leading E dim (the axis expert parallelism shards) + a
+            # replicated router.
+            e = cfg.num_experts
+            layer.update({
+                "router": dense(lk[7], (d, e), d),
+                "w_gate": dense(lk[4], (e, d, cfg.intermediate), d),
+                "w_up": dense(lk[5], (e, d, cfg.intermediate), d),
+                "w_down": dense(
+                    lk[6], (e, cfg.intermediate, d), cfg.intermediate
+                ),
+            })
+        params["layers"].append(layer)
     return params
 
 
@@ -148,9 +165,31 @@ def _rope(x, positions, theta):
     ).astype(x.dtype)
 
 
-def _mlp(x, layer):
-    gate = jax.nn.silu(x @ layer["w_gate"])
-    return (gate * (x @ layer["w_up"])) @ layer["w_down"]
+def _mlp(x, layer, top_k: int = 2):
+    """Dense SwiGLU, or (when the layer carries a router) top-k MoE.
+
+    The MoE path here computes EVERY expert on every token and combines the
+    top-k by routing weight — exact, TP-composable (the E-stacked weights
+    column/row-shard their intermediate dim like the dense MLP, the call
+    sites' f/g collectives finish the partial sums), and the right choice
+    for correctness paths and small-scale serving.  The sparse
+    capacity-dispatch computation (only routed tokens reach an expert)
+    lives in the expert-parallel training step
+    (models/train.py::make_train_step_ep).
+    """
+    if "router" not in layer:
+        gate = jax.nn.silu(x @ layer["w_gate"])
+        return (gate * (x @ layer["w_up"])) @ layer["w_down"]
+    e = layer["router"].shape[-1]
+    logits = x @ layer["router"]  # (..., E)
+    wk, idx = jax.lax.top_k(logits, top_k)
+    wk = jax.nn.softmax(wk.astype(jnp.float32), axis=-1)
+    gate = jax.nn.silu(jnp.einsum("...d,edf->...ef", x, layer["w_gate"]))
+    up = jnp.einsum("...d,edf->...ef", x, layer["w_up"])
+    ye = jnp.einsum("...ef,efd->...ed", gate * up, layer["w_down"])  # (..., E, d)
+    sel = jax.nn.one_hot(idx, e, dtype=wk.dtype)  # (..., k, E)
+    w_e = jnp.einsum("...ke,...k->...e", sel, wk)
+    return jnp.einsum("...e,...ed->...d", w_e.astype(x.dtype), ye)
 
 
 def _qkv(x, layer, cfg, positions):
@@ -196,7 +235,7 @@ def prefill(params, tokens: jax.Array, cfg: ModelConfig, interpret=None):
         )
         o = o.transpose(0, 2, 1, 3)
         x = x + o.reshape(b, s, -1) @ layer["wo"]
-        x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer)
+        x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer, cfg.experts_per_token)
     x = _rmsnorm(x, params["final_norm"])
     logits = x @ params["lm_head"]
     return logits, jnp.stack(k_rows), jnp.stack(v_rows)
@@ -288,7 +327,7 @@ def decode_step_impl(
         if tp_axis is not None:
             attn_out = jax.lax.psum(attn_out, tp_axis)
         x = x + attn_out
-        mlp_out = _mlp(_rmsnorm(x, layer["mlp_norm"]), layer)
+        mlp_out = _mlp(_rmsnorm(x, layer["mlp_norm"]), layer, cfg.experts_per_token)
         if tp_axis is not None:
             mlp_out = jax.lax.psum(mlp_out, tp_axis)
         x = x + mlp_out
@@ -418,7 +457,7 @@ def verify_step(
             .reshape(b, kk, cfg.num_q_heads * cfg.head_dim)
         )
         x = x + o @ layer["wo"]
-        x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer)
+        x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer, cfg.experts_per_token)
     x = _rmsnorm(x, params["final_norm"])
     logits = x @ params["lm_head"]
     return logits, k_pages, v_pages, k_scales, v_scales
@@ -659,7 +698,7 @@ def prefill_chunk(
             .reshape(1, t, cfg.num_q_heads * cfg.head_dim)
         )
         x = x + o @ layer["wo"]
-        x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer)
+        x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer, cfg.experts_per_token)
     x = _rmsnorm(x[0], params["final_norm"])
     logits = x @ params["lm_head"]
     return logits, k_pages, v_pages, k_scales, v_scales
@@ -768,7 +807,7 @@ def prefill_chunk_batched(
             .reshape(b, t, cfg.num_q_heads * cfg.head_dim)
         )
         x = x + o @ layer["wo"]
-        x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer)
+        x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer, cfg.experts_per_token)
     # 2D final stage: (B*T, dm) @ (dm, V) reduces element-wise identically to
     # the single-request path's (T, dm) @ (dm, V), keeping batched prefill
     # bitwise-equal to N single dispatches (a 3D matmul may tile the
