@@ -428,7 +428,10 @@ def make_train_step_pp(
     return step
 
 
-def _moe_mlp_ep(x, layer, cfg: ModelConfig, ep: str, ep_size: int, capacity: int):
+def _moe_mlp_ep(
+    x, layer, cfg: ModelConfig, ep: str, ep_size: int, capacity: int,
+    group_size: int | None = None,
+):
     """Sparse expert-parallel MoE MLP (round 3): capacity dispatch + local
     experts + psum combine.
 
@@ -455,41 +458,60 @@ def _moe_mlp_ep(x, layer, cfg: ModelConfig, ep: str, ep_size: int, capacity: int
     t = b * s
     k = cfg.experts_per_token
     e = cfg.num_experts
+    gs = group_size if group_size and group_size < t else t
+    if t % gs:
+        raise ValueError(f"group_size ({gs}) must divide tokens ({t})")
+    n_g = t // gs
     hf = x.reshape(t, d)
     hf_f = _f_identity(hf, ep)
-    logits = _f_identity(hf @ layer["router"], ep)  # (T, E)
+    # Two logits views with different cotangent structure (review finding,
+    # round 3): the COMBINE path's cotangent is a per-rank partial (each rank
+    # only backprops its expert slice) -> f-wrap psums it exact; the AUX
+    # path is computed identically on every rank -> its cotangent is already
+    # replicated-exact, and routing it through the same f-wrap would
+    # multiply the aux gradient by ep_size.
+    logits_raw = hf @ layer["router"]  # (T, E): aux path, replicated grads
+    logits = _f_identity(logits_raw, ep)  # combine path, partial grads
     wk, idx = jax.lax.top_k(logits, k)
     wk = jax.nn.softmax(wk.astype(jnp.float32), axis=-1)  # (T, k)
-    flat_e = idx.reshape(t * k)  # row-major (token, choice) routed items
-    onehot = jax.nn.one_hot(flat_e, e, dtype=jnp.int32)  # (T*k, E)
-    pos = jnp.sum(jnp.cumsum(onehot, axis=0) * onehot, axis=1) - 1  # (T*k,)
-    keep = (pos < capacity).astype(jnp.float32)
+    # GShard-style token GROUPS (review finding, round 3): position-in-expert
+    # counts and the dispatch one-hots live per fixed-size group, so the
+    # dispatch tensor is (G, gs*k, E, C) with C ~ gs — memory and dispatch
+    # FLOPs linear in T, not the quadratic a single global group costs.
+    flat_e = idx.reshape(n_g, gs * k)  # row-major (token, choice) items
+    onehot = jax.nn.one_hot(flat_e, e, dtype=jnp.int32)  # (G, gs*k, E)
+    pos = jnp.sum(jnp.cumsum(onehot, axis=1) * onehot, axis=2) - 1
+    keep = (pos < capacity).astype(jnp.float32)  # (G, gs*k)
     disp = (
-        jax.nn.one_hot(flat_e, e, dtype=jnp.float32) * keep[:, None]
-    )[:, :, None] * jax.nn.one_hot(
+        jax.nn.one_hot(flat_e, e, dtype=jnp.float32) * keep[..., None]
+    )[..., None] * jax.nn.one_hot(
         jnp.clip(pos, 0), capacity, dtype=jnp.float32
-    )[:, None, :]
-    disp = disp.reshape(t, k, e, capacity)
-    dispatch = jnp.sum(disp, axis=1)  # (T, E, C) 0/1
-    combine = jnp.einsum("tkec,tk->tec", disp, wk)  # routing-weighted
-    ein = jnp.einsum("tec,td->ecd", dispatch, hf_f.astype(jnp.float32))
+    )[..., None, :]
+    disp = disp.reshape(n_g, gs, k, e, capacity)
+    dispatch = jnp.sum(disp, axis=2)  # (G, gs, E, C) 0/1
+    combine = jnp.einsum(
+        "gtkec,gtk->gtec", disp, wk.reshape(n_g, gs, k)
+    )  # routing-weighted
+    ein = jnp.einsum(
+        "gtec,gtd->egcd", dispatch, hf_f.astype(jnp.float32).reshape(n_g, gs, d)
+    )  # (E, G, C, d)
     rank = jax.lax.axis_index(ep)
     e_l = e // ep_size
     ein_l = jax.lax.dynamic_slice_in_dim(
         ein.astype(x.dtype), rank * e_l, e_l, axis=0
-    )
+    ).reshape(e_l, n_g * capacity, d)
     gate = jax.nn.silu(jnp.einsum("ecd,edf->ecf", ein_l, layer["w_gate"]))
     up = jnp.einsum("ecd,edf->ecf", ein_l, layer["w_up"])
-    ye = jnp.einsum("ecf,efd->ecd", gate * up, layer["w_down"])  # (E_l, C, d)
-    comb_l = jax.lax.dynamic_slice_in_dim(combine, rank * e_l, e_l, axis=1)
-    out = jnp.einsum("tec,ecd->td", comb_l.astype(ye.dtype), ye)
-    out = _g_allreduce(out, ep)
+    ye = jnp.einsum("ecf,efd->ecd", gate * up, layer["w_down"])
+    ye = ye.reshape(e_l, n_g, capacity, d)
+    comb_l = jax.lax.dynamic_slice_in_dim(combine, rank * e_l, e_l, axis=2)
+    out = jnp.einsum("gtec,egcd->gtd", comb_l.astype(ye.dtype), ye)
+    out = _g_allreduce(out.reshape(t, d), ep)
     # Switch-style load balance: f_e = routed fraction, p_e = mean router
-    # prob; (E/k) * sum(f_e p_e) == 1 under uniform routing.
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    f_e = jnp.mean(
-        jnp.sum(onehot.reshape(t, k, e).astype(jnp.float32), axis=1), axis=0
-    )
+    # prob; (E/k) * sum(f_e p_e) == 1 under uniform routing.  From the RAW
+    # logits (see above) so the aux gradient is mesh-size-independent.
+    probs = jax.nn.softmax(logits_raw.astype(jnp.float32), axis=-1)
+    f_e = jnp.mean(onehot.astype(jnp.float32), axis=(0, 1)) * k
     aux = (e / k) * jnp.sum(f_e * jnp.mean(probs, axis=0))
     return out.reshape(b, s, d).astype(x.dtype), aux
 
@@ -537,16 +559,18 @@ def make_train_step_ep(
     lr: float = 1e-3,
     capacity_factor: float = 2.0,
     aux_coef: float = 0.01,
+    group_size: int = 1024,
 ):
     """DP x EP training step for MoE models (round 3).
 
     ``step(params, tokens) -> (loss, new_params)`` with params from
-    :func:`shard_params_ep`.  Expert capacity per step is
-    ``ceil(capacity_factor * k * T_local / E)``; routed items past it drop
-    (standard GShard semantics — ``capacity_factor >= E / k`` disables
-    dropping entirely, which is also how the differential test pins this
-    step against the dense-compute MoE).  ``aux_coef`` weights the
-    switch-style load-balancing loss.
+    :func:`shard_params_ep`.  Tokens dispatch in fixed-size GROUPS of
+    ``group_size`` (largest divisor of T_local is used) with per-group
+    expert capacity ``ceil(capacity_factor * k * group / E)``; routed items
+    past it drop (standard GShard semantics — ``capacity_factor >= E / k``
+    disables dropping entirely, which is also how the differential test
+    pins this step against the dense-compute MoE).  ``aux_coef`` weights
+    the switch-style load-balancing loss.
     """
     if cfg.num_experts is None:
         raise ValueError("make_train_step_ep requires cfg.num_experts")
@@ -560,7 +584,11 @@ def make_train_step_ep(
 
     def local_grads(params, tokens):
         b_local, s = tokens.shape
-        capacity = -(-int(capacity_factor * k * b_local * s) // cfg.num_experts)
+        t = b_local * s
+        gs = min(group_size, t)
+        while t % gs:  # largest divisor <= requested (t is trace-static)
+            gs -= 1
+        capacity = -(-int(capacity_factor * k * gs) // cfg.num_experts)
         positions = jnp.broadcast_to(jnp.arange(s), (b_local, s))
 
         def loss_fn(params):
@@ -570,7 +598,7 @@ def make_train_step_ep(
                 x = _attn_block(x, layer, positions, cfg)
                 y, aux = _moe_mlp_ep(
                     _rmsnorm(x, layer["mlp_norm"]), layer, cfg, ep, ep_size,
-                    capacity,
+                    capacity, gs,
                 )
                 x = x + y
                 aux_total = aux_total + aux
@@ -605,10 +633,20 @@ def make_train_step_ep(
     return step
 
 
-def _make_grad_map(mesh, cfg, *, dp, tp, attn_dropout: float | None = None):
-    """shard_mapped (params, tokens, seed) -> (loss, grads): the DP x TP
-    forward/backward shared by the SGD and optax training steps (one copy to
-    keep loss masking / grad reductions in sync — round-2 review).
+def _make_grad_map(
+    mesh, cfg, *, dp, tp, attn_dropout: float | None = None,
+    packed: bool = False,
+):
+    """shard_mapped forward/backward: the ONE DP x TP grad map shared by the
+    SGD, optax, and packed training steps (one copy keeps loss masking /
+    grad reductions / seed folding in sync — round-2 review, re-affirmed by
+    the round-3 review when the packed step briefly forked it).
+
+    Signature: ``(params, tokens, seed) -> (loss, grads)``, or with
+    ``packed=True`` ``(params, tokens, segment_ids, seed)`` — the loss is
+    then a masked mean over valid next-token targets (same document, not
+    padding) weighted by the GLOBAL valid count, with grads psum-ed (not
+    pmean-ed: the global count already normalizes).
 
     ``seed`` (traced int32, replicated) drives attention dropout when
     ``attn_dropout`` is set; each shard folds its (dp, tp) ranks in so DP
@@ -616,6 +654,8 @@ def _make_grad_map(mesh, cfg, *, dp, tp, attn_dropout: float | None = None):
     coordinates are shard-local, so a shared seed would repeat masks across
     shards).  Unused (pass 0) when dropout is off.
     """
+    if attn_dropout == 0.0:
+        attn_dropout = None  # rate 0 is the identity, not an error
     tp_size = mesh.shape[tp]
     if cfg.num_kv_heads % tp_size:
         raise ValueError(
@@ -623,32 +663,77 @@ def _make_grad_map(mesh, cfg, *, dp, tp, attn_dropout: float | None = None):
         )
     specs = param_specs(cfg, tp)
 
-    def local_grads(params, tokens, seed):
-        if attn_dropout is not None:
-            seed = (
-                seed
-                + jax.lax.axis_index(dp) * jnp.int32(7919)
-                + jax.lax.axis_index(tp) * jnp.int32(104729)
-            )
+    def fold_seed(seed):
+        if attn_dropout is None:
+            return seed
+        return (
+            seed
+            + jax.lax.axis_index(dp) * jnp.int32(7919)
+            + jax.lax.axis_index(tp) * jnp.int32(104729)
+        )
 
-        def loss_fn(params):
-            logits = _forward_local(
-                params, tokens, cfg, tp_size, tp, attn_dropout, seed
-            )
-            targets = tokens[:, 1:]
-            logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
-            nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
-            return jnp.mean(nll)
-
+    def grads_of(loss_fn, params, *, psum_not_pmean):
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        loss = jax.lax.pmean(loss, dp)
-        grads = jax.tree.map(lambda g: jax.lax.pmean(g, dp), grads)
-        return loss, grads
+        red = jax.lax.psum if psum_not_pmean else jax.lax.pmean
+        return red(loss, dp), jax.tree.map(lambda g: red(g, dp), grads)
+
+    if packed:
+
+        def local_grads(params, tokens, segment_ids, seed):
+            seed = fold_seed(seed)
+
+            def loss_fn(params):
+                logits = _forward_local(
+                    params, tokens, cfg, tp_size, tp, attn_dropout, seed,
+                    segment_ids=segment_ids,
+                )
+                targets = tokens[:, 1:]
+                # Valid next-token target: same document, not padding.
+                valid = (
+                    (segment_ids[:, 1:] == segment_ids[:, :-1])
+                    & (segment_ids[:, 1:] >= 0)
+                )
+                logp = jax.nn.log_softmax(
+                    logits[:, :-1].astype(jnp.float32), axis=-1
+                )
+                nll = -jnp.take_along_axis(
+                    logp, targets[..., None], axis=-1
+                )[..., 0]
+                local_sum = jnp.sum(jnp.where(valid, nll, 0.0))
+                # Weight by the GLOBAL valid-token count (count carries no
+                # grad, so a bare psum is safe — the psum-transpose pitfall
+                # this module documents only bites differentiable paths).
+                count = jax.lax.psum(jnp.sum(valid), dp)
+                return local_sum / jnp.maximum(count, 1)
+
+            # Global masked mean = SUM of per-shard local_sum/count grads.
+            return grads_of(loss_fn, params, psum_not_pmean=True)
+
+        in_specs = (specs, P(dp, None), P(dp, None), P())
+    else:
+
+        def local_grads(params, tokens, seed):
+            seed = fold_seed(seed)
+
+            def loss_fn(params):
+                logits = _forward_local(
+                    params, tokens, cfg, tp_size, tp, attn_dropout, seed
+                )
+                targets = tokens[:, 1:]
+                logp = jax.nn.log_softmax(
+                    logits[:, :-1].astype(jnp.float32), axis=-1
+                )
+                nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+                return jnp.mean(nll)
+
+            return grads_of(loss_fn, params, psum_not_pmean=False)
+
+        in_specs = (specs, P(dp, None), P())
 
     return jax.shard_map(
         local_grads,
         mesh=mesh,
-        in_specs=(specs, P(dp, None), P()),
+        in_specs=in_specs,
         out_specs=(P(), specs),
         check_vma=False,
     )
@@ -744,54 +829,8 @@ def make_train_step_packed(
     wasted on real rows' budgets.  Loss = masked mean over valid next-token
     targets, globally weighted across DP shards by valid-token count.
     """
-    tp_size = mesh.shape[tp]
-    if cfg.num_kv_heads % tp_size:
-        raise ValueError(
-            f"tp={tp_size} must divide num_kv_heads={cfg.num_kv_heads}"
-        )
-    specs = param_specs(cfg, tp)
-
-    def local_grads(params, tokens, segment_ids, seed):
-        if attn_dropout is not None:
-            seed = (
-                seed
-                + jax.lax.axis_index(dp) * jnp.int32(7919)
-                + jax.lax.axis_index(tp) * jnp.int32(104729)
-            )
-
-        def loss_fn(params):
-            logits = _forward_local(
-                params, tokens, cfg, tp_size, tp, attn_dropout, seed,
-                segment_ids=segment_ids,
-            )
-            targets = tokens[:, 1:]
-            # Valid next-token target: same document, not padding.
-            valid = (
-                (segment_ids[:, 1:] == segment_ids[:, :-1])
-                & (segment_ids[:, 1:] >= 0)
-            )
-            logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
-            nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-            local_sum = jnp.sum(jnp.where(valid, nll, 0.0))
-            # Weight by the GLOBAL valid-token count (count carries no grad,
-            # so a bare psum is safe here — the psum-transpose pitfall this
-            # module documents only bites differentiable paths).
-            count = jax.lax.psum(jnp.sum(valid), dp)
-            return local_sum / jnp.maximum(count, 1)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        # Global masked mean = sum of per-shard local_sum/count grads: psum
-        # (not pmean — the global count already normalizes).
-        loss = jax.lax.psum(loss, dp)
-        grads = jax.tree.map(lambda g: jax.lax.psum(g, dp), grads)
-        return loss, grads
-
-    grad_map = jax.shard_map(
-        local_grads,
-        mesh=mesh,
-        in_specs=(specs, P(dp, None), P(dp, None), P()),
-        out_specs=(P(), specs),
-        check_vma=False,
+    grad_map = _make_grad_map(
+        mesh, cfg, dp=dp, tp=tp, attn_dropout=attn_dropout, packed=True
     )
 
     @jax.jit

@@ -492,6 +492,8 @@ def flash_attention_bwd(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if dropout_rate == 0.0:
+        dropout_rate = None  # rate 0 is the identity, not an error
     bh, s_q, d = q.shape
     s_kv = k.shape[1]
     precision = resolve_precision(precision, q.dtype)

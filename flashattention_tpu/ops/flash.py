@@ -726,6 +726,8 @@ def flash_attention(
     """
     if window is not None and not causal:
         raise ValueError("window (sliding-window attention) requires causal=True")
+    if dropout_rate == 0.0:
+        dropout_rate = None  # rate 0 is the identity, not an error
     tri_ok = (
         causal
         and isinstance(q_offset, int)

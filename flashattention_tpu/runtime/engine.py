@@ -762,8 +762,9 @@ class Engine:
             for t in out[i]:
                 self._emit(req, int(t))
                 self._n_decode_tokens += 1
-                if req.state == "finished":
-                    break  # finish freed the whole sequence (surplus incl.)
+                if req.state != "running":
+                    break  # finished OR cancelled-by-callback: sequence is
+                    #   freed, surplus tokens discard
         return True
 
     def step_speculative(self, draft_fn, k: int) -> None:
@@ -878,11 +879,12 @@ class Engine:
             for t in emitted[i, :n]:
                 self._emit(req, int(t))
                 self._n_decode_tokens += 1
-                if req.state == "finished":
+                if req.state != "running":
                     break
-            if req.state != "finished":
+            if req.state == "running":
                 # Keep fed[0..accepted]'s rows; drop rejected/surplus rows so
-                # cached rows == emitted length - 1 again.
+                # cached rows == emitted length - 1 again.  (finished OR
+                # cancelled requests already freed their whole sequence.)
                 self.cache.trim(rid, start_lens[rid] + accepted + 1)
 
     def run_speculative(
@@ -1010,6 +1012,13 @@ class Engine:
         return tokens, lps
 
     def _emit(self, req: Request, token: int, logprob=None) -> None:
+        if req.state != "running":
+            # A streaming callback may cancel requests mid-batch (its own or
+            # a peer's): later emissions for that request in the same device
+            # step must be discarded, not appended — and must not re-run the
+            # finish path (running.remove / free_sequence would raise on the
+            # already-torn-down request).
+            return
         req.output.append(token)
         p = self._params_for(req)
         if p.logprobs:

@@ -181,8 +181,11 @@ def test_dropout_rate_validation():
     q, k, v, _ = make_qkv(2, 128, 64)
     with pytest.raises(ValueError, match="dropout_rate"):
         F.flash_attention(q, k, v, block_sizes=BS, dropout_rate=1.5)
-    with pytest.raises(ValueError, match="dropout_rate"):
-        F.flash_attention(q, k, v, block_sizes=BS, dropout_rate=0.0)
+    # rate 0.0 is the identity (the natural "disabled" spelling in sweeps),
+    # not an error — and takes the exact no-dropout code path.
+    o0 = F.flash_attention(q, k, v, block_sizes=BS, dropout_rate=0.0)
+    o = F.flash_attention(q, k, v, block_sizes=BS)
+    assert jnp.array_equal(o0, o)
 
 
 def test_train_step_with_attention_dropout():

@@ -149,3 +149,62 @@ def test_ep_validation():
     dense = moe_cfg(num_experts=None)
     with pytest.raises(ValueError, match="num_experts"):
         make_train_step_ep(mesh, dense)
+
+
+def test_ep_aux_gradient_mesh_independent():
+    """Review finding (round 3): the aux-loss gradient must NOT scale with
+    ep size.  ep=4 and ep=1 with the same aux_coef must produce the same
+    loss AND the same update (the aux path's logits bypass the f-wrap)."""
+    cfg = moe_cfg(num_layers=1)
+    params = transformer.init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (2, 128), 0, cfg.vocab_size)
+    cf = cfg.num_experts / cfg.experts_per_token  # no-drop
+
+    results = []
+    for ep in (1, 4):
+        mesh = Mesh(np.array(jax.devices()[:ep]).reshape(1, ep), ("dp", "ep"))
+        pe = shard_params_ep(params, mesh, cfg)
+        te = jax.device_put(tokens, NamedSharding(mesh, P("dp", None)))
+        step = make_train_step_ep(
+            mesh, cfg, lr=1e-2, capacity_factor=cf, aux_coef=0.1
+        )
+        results.append(step(pe, te))
+    (loss1, new1), (loss4, new4) = results
+    assert float(loss4) == pytest.approx(float(loss1), rel=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6
+        ),
+        new4, new1,
+    )
+
+
+def test_ep_multi_group_dispatch_matches_dense():
+    """Grouped dispatch (several GShard groups) at per-group no-drop
+    capacity still equals the dense-compute MoE step."""
+    cfg = moe_cfg(num_layers=1)
+    params = transformer.init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (2, 128), 0, cfg.vocab_size)
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("dp", "tp"))
+    p1 = shard_params(params, mesh1, cfg)
+    t1 = jax.device_put(tokens, NamedSharding(mesh1, P("dp", None)))
+    loss1, new1 = make_train_step(mesh1, cfg, lr=1e-2)(p1, t1)
+
+    mesh_ep = Mesh(np.array(jax.devices()[:4]).reshape(1, 4), ("dp", "ep"))
+    pe = shard_params_ep(params, mesh_ep, cfg)
+    te = jax.device_put(tokens, NamedSharding(mesh_ep, P("dp", None)))
+    # T = 256 tokens, group_size=64 -> 4 groups of 64; cf=E/k -> C=64 no-drop.
+    step_ep = make_train_step_ep(
+        mesh_ep, cfg, lr=1e-2,
+        capacity_factor=cfg.num_experts / cfg.experts_per_token,
+        aux_coef=0.0, group_size=64,
+    )
+    loss_ep, new_ep = step_ep(pe, te)
+    assert float(loss_ep) == pytest.approx(float(loss1), rel=2e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5
+        ),
+        new_ep, new1,
+    )

@@ -1250,3 +1250,54 @@ def test_mixed_params_multi_step_falls_back(tiny_model):
     rid = eng.add_request(prompt, 6, sampling=SamplingParams(greedy=True))
     out = eng.run(multi_step=4)[rid]
     assert out == reference_generate(params, cfg, prompt, 6)
+
+
+def test_cancel_from_streaming_callback(tiny_model):
+    """A streaming callback cancelling requests mid-batch (the client-
+    disconnect pattern): the cancelled request stops exactly at the cancel
+    point, surplus same-step tokens are discarded, no state corruption."""
+    params, cfg = tiny_model
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    want = reference_generate(params, cfg, prompt, 8)
+
+    # Self-cancel after 3 tokens during multi-token scheduling.
+    eng = _engine(tiny_model)
+
+    def stop_after_3(req, tok):
+        if len(req.output) == 3:
+            eng.cancel(req.req_id)
+
+    rid = eng.add_request(prompt, 8, on_token=stop_after_3)
+    eng.run(multi_step=4)
+    req = eng.requests[rid]
+    assert req.state == "cancelled"
+    assert req.output == want[:3]
+    assert eng.cache.num_free_pages() == eng.cache.config.num_pages
+    assert not eng.has_work()
+
+    # A callback on one request cancelling a PEER in the same decode batch.
+    eng2 = _engine(tiny_model)
+    ra = eng2.add_request(prompt, 6)
+    rb = eng2.add_request([2, 7, 1, 8], 6)
+    eng2.requests[ra].on_token = lambda req, tok: (
+        eng2.cancel(rb) if len(req.output) == 2 else None
+    )
+    outs = eng2.run()
+    assert outs[ra] == want[:6]
+    assert eng2.requests[rb].state == "cancelled"
+    # Peer keeps only what was emitted before the cancel fired.
+    assert len(outs[rb]) <= 2
+    assert eng2.cache.num_free_pages() == eng2.cache.config.num_pages
+
+    # Self-cancel during speculative decoding.
+    eng3 = _engine(tiny_model)
+
+    def stop3(req, tok):
+        if len(req.output) == 2:
+            eng3.cancel(req.req_id)
+
+    r3 = eng3.add_request(prompt, 8, on_token=stop3)
+    eng3.run_speculative(lambda req, n: [0] * n, k=3)
+    assert eng3.requests[r3].state == "cancelled"
+    assert eng3.requests[r3].output == want[:2]
+    assert eng3.cache.num_free_pages() == eng3.cache.config.num_pages
