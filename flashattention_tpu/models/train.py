@@ -307,8 +307,9 @@ def make_train_step_pp(
     dp: str = "dp",
     lr: float = 1e-3,
     n_microbatches: int = 2,
+    optimizer=None,
 ):
-    """GPipe-style pipeline-parallel SGD step (round 3).
+    """GPipe-style pipeline-parallel training step (round 3).
 
     The layer stack shards over the ``pp`` mesh axis (each rank holds
     L/pp consecutive layers, applied with a ``lax.scan`` over its stage
@@ -417,15 +418,7 @@ def make_train_step_pp(
         check_vma=False,
     )
 
-    @jax.jit
-    def step(params, tokens):
-        loss, grads = grad_map(params, tokens)
-        new_params = jax.tree.map(
-            lambda p, g: p - lr * g.astype(p.dtype), params, grads
-        )
-        return loss, new_params
-
-    return step
+    return _make_step(grad_map, lr, optimizer)
 
 
 def _moe_mlp_ep(
@@ -560,6 +553,7 @@ def make_train_step_ep(
     capacity_factor: float = 2.0,
     aux_coef: float = 0.01,
     group_size: int = 1024,
+    optimizer=None,
 ):
     """DP x EP training step for MoE models (round 3).
 
@@ -622,13 +616,34 @@ def make_train_step_ep(
         check_vma=False,
     )
 
+    return _make_step(grad_map, lr, optimizer)
+
+
+def _make_step(grad_call, lr, optimizer):
+    """Jitted parameter-update step around ``grad_call(params, *args) ->
+    (loss, grads)``: plain SGD (``optimizer=None``) or any optax optimizer
+    (the step then threads ``opt_state`` as its second argument, mirroring
+    make_train_step_optax)."""
+    if optimizer is None:
+
+        @jax.jit
+        def step(params, *args, **kw):
+            loss, grads = grad_call(params, *args, **kw)
+            new_params = jax.tree.map(
+                lambda p, g: p - lr * g.astype(p.dtype), params, grads
+            )
+            return loss, new_params
+
+        return step
+
     @jax.jit
-    def step(params, tokens):
-        loss, grads = grad_map(params, tokens)
+    def step(params, opt_state, *args, **kw):
+        loss, grads = grad_call(params, *args, **kw)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
         new_params = jax.tree.map(
-            lambda p, g: p - lr * g.astype(p.dtype), params, grads
+            lambda p, u: p + u.astype(p.dtype), params, updates
         )
-        return loss, new_params
+        return loss, new_params, opt_state
 
     return step
 
@@ -816,6 +831,7 @@ def make_train_step_packed(
     tp: str = "tp",
     lr: float = 1e-3,
     attn_dropout: float | None = None,
+    optimizer=None,
 ):
     """DP x TP training step over PACKED rows (round 3).
 
@@ -833,17 +849,12 @@ def make_train_step_packed(
         mesh, cfg, dp=dp, tp=tp, attn_dropout=attn_dropout, packed=True
     )
 
-    @jax.jit
-    def step(params, tokens, segment_ids, seed=0):
-        loss, grads = grad_map(
+    def grad_call(params, tokens, segment_ids, seed=0):
+        return grad_map(
             params, tokens, segment_ids, jnp.asarray(seed, jnp.int32)
         )
-        new_params = jax.tree.map(
-            lambda p, g: p - lr * g.astype(p.dtype), params, grads
-        )
-        return loss, new_params
 
-    return step
+    return _make_step(grad_call, lr, optimizer)
 
 
 def make_train_step_sp(

@@ -208,3 +208,37 @@ def test_ep_multi_group_dispatch_matches_dense():
         ),
         new_ep, new1,
     )
+
+
+def test_new_steps_accept_optax():
+    """packed/pp/ep steps take any optax optimizer (opt_state threaded)."""
+    import optax
+
+    from flashattention_tpu.models.train import (
+        make_train_step_ep, make_train_step_packed, shard_params,
+    )
+
+    cfg = moe_cfg(num_layers=1)
+    params = transformer.init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (2, 128), 0, cfg.vocab_size)
+    opt = optax.adamw(1e-3)
+
+    mesh_ep = Mesh(np.array(jax.devices()[:4]).reshape(1, 4), ("dp", "ep"))
+    pe = shard_params_ep(params, mesh_ep, cfg)
+    te = jax.device_put(tokens, NamedSharding(mesh_ep, P("dp", None)))
+    step = make_train_step_ep(mesh_ep, cfg, optimizer=opt)
+    opt_state = jax.jit(opt.init)(pe)
+    losses = []
+    for _ in range(3):
+        loss, pe, opt_state = step(pe, opt_state, te)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0], losses
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("dp", "tp"))
+    p1 = shard_params(params, mesh1, cfg)
+    t1 = jax.device_put(tokens, NamedSharding(mesh1, P("dp", None)))
+    seg = jnp.zeros_like(t1)
+    step_p = make_train_step_packed(mesh1, cfg, optimizer=opt)
+    os1 = jax.jit(opt.init)(p1)
+    loss, p1, os1 = step_p(p1, os1, t1, seg)
+    assert np.isfinite(float(loss))

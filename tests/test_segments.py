@@ -270,3 +270,53 @@ def test_packed_train_step_learns_with_dropout():
         losses.append(float(loss))
     assert all(np.isfinite(losses)), losses
     assert losses[-1] < losses[0], losses
+
+
+# ── document packing utility ─────────────────────────────────────────────────
+
+
+def test_pack_documents_roundtrip_and_train():
+    from flashattention_tpu.models.train import (
+        make_train_step_packed, shard_params,
+    )
+    from flashattention_tpu.models import transformer
+    from flashattention_tpu.utils.packing import PAD_SEGMENT, pack_documents
+
+    rng = np.random.default_rng(0)
+    docs = [list(rng.integers(1, 60, size=n)) for n in (100, 60, 90, 30, 120, 56)]
+    tokens, segs = pack_documents(docs, 128)
+    assert tokens.shape == segs.shape and tokens.shape[1] == 128
+    # Every document appears exactly once, contiguously, with one segment id.
+    found = []
+    for r in range(tokens.shape[0]):
+        for seg in np.unique(segs[r]):
+            if seg == PAD_SEGMENT:
+                continue
+            sel = segs[r] == seg
+            idx = np.flatnonzero(sel)
+            assert np.array_equal(idx, np.arange(idx[0], idx[-1] + 1))
+            found.append(list(tokens[r][sel]))
+    assert sorted(map(tuple, found)) == sorted(map(tuple, docs))
+    # Padding is a contiguous tail, marked with the invalid segment id.
+    for r in range(segs.shape[0]):
+        pad = np.flatnonzero(segs[r] == PAD_SEGMENT)
+        if len(pad):
+            assert pad[0] + len(pad) == segs.shape[1]  # tail only
+    # And the packed rows train end-to-end.
+    cfg = _tiny_cfg()
+    params = transformer.init_params(jax.random.key(0), cfg)
+    mesh = _mesh11()
+    params = shard_params(params, mesh, cfg)
+    step = make_train_step_packed(mesh, cfg, lr=1e-2)
+    loss, _ = step(params, jnp.asarray(tokens), jnp.asarray(segs))
+    assert np.isfinite(float(loss))
+
+
+def test_pack_documents_overflow():
+    from flashattention_tpu.utils.packing import pack_documents
+
+    with pytest.raises(ValueError, match="truncate"):
+        pack_documents([list(range(300))], 128)
+    toks, segs = pack_documents([list(range(300))], 128, truncate=True)
+    assert toks.shape == (1, 128)
+    assert list(toks[0]) == list(range(128))
