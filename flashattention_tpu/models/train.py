@@ -866,6 +866,7 @@ def make_train_step_sp(
     lr: float = 1e-3,
     zigzag: bool = False,
     optimizer=None,
+    attn_dropout: float | None = None,
 ):
     """Sequence-parallel training step: sequences shard over the ``sp`` axis
     and attention runs through the *differentiable ring* (parallel/ring.py),
@@ -893,6 +894,12 @@ def make_train_step_sp(
     opt_state), with the update applied OUTSIDE shard_map so the state tree
     shards like the (replicated) params; otherwise plain SGD at ``lr`` with
     the original (params, tokens) -> (loss, params) signature.
+
+    ``attn_dropout`` (round 3): attention dropout through the ring — each
+    (device, source-chunk) partial draws an independent regenerated mask in
+    BOTH passes (parallel/ring seed folds cover the sp rank; the dp rank and
+    layer index fold in here).  The step then takes a trailing traced-int32
+    ``seed`` argument, exactly like :func:`make_train_step`.
     """
     from flashattention_tpu.parallel.ring import (
         ring_attention_vjp_local,
@@ -900,14 +907,20 @@ def make_train_step_sp(
         zigzag_shard,
     )
 
+    if attn_dropout == 0.0:
+        attn_dropout = None  # rate 0 is the identity, not an error
+
     sp_size = mesh.shape[sp]
     g = cfg.group_size
     specs = param_specs(cfg, tp="__none__")  # no tp axis: replicate weights
     specs = jax.tree.map(lambda s: P(), specs, is_leaf=lambda x: isinstance(x, P))
 
-    def forward_local(params, tokens):
+    def forward_local(params, tokens, seed):
         b, s_local = tokens.shape
         sp_idx = jax.lax.axis_index(sp)
+        if attn_dropout is not None:
+            # dp-rank fold: the ring itself only decorrelates over sp.
+            seed = seed + jax.lax.axis_index(dp) * jnp.int32(7919)
         if zigzag:
             # Local rows = [global half-chunk sp_idx ; half-chunk 2N-1-sp_idx].
             c = s_local // 2
@@ -922,6 +935,7 @@ def make_train_step_sp(
                 axis_name=sp, axis_size=sp_size, scale=cfg.head_dim**-0.5,
                 q_seq_len=s_local if g > 1 else None,
                 window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
+                dropout_rate=attn_dropout,
             )
         else:
             positions = s_local * sp_idx + jnp.broadcast_to(
@@ -932,10 +946,11 @@ def make_train_step_sp(
                 scale=cfg.head_dim**-0.5,
                 q_seq_len=s_local if g > 1 else None,
                 window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
+                dropout_rate=attn_dropout,
             )
         kvh = cfg.num_kv_heads
         x = params["embed"][tokens]
-        for layer in params["layers"]:
+        for li, layer in enumerate(params["layers"]):
             h = _rmsnorm(x, layer["attn_norm"])
             q = (h @ layer["wq"]).reshape(b, s_local, cfg.num_q_heads, cfg.head_dim)
             k = (h @ layer["wk"]).reshape(b, s_local, kvh, cfg.head_dim)
@@ -952,7 +967,13 @@ def make_train_step_sp(
             )
             kf = k.transpose(0, 2, 1, 3).reshape(b * kvh, s_local, cfg.head_dim)
             vf = v.transpose(0, 2, 1, 3).reshape(b * kvh, s_local, cfg.head_dim)
-            o = ring(qf, kf, vf)
+            if attn_dropout is not None:
+                # Per-layer seed: golden-ratio odd multiplier (int32 wrap)
+                # keeps consecutive step seeds' layer streams disjoint.
+                lseed = seed * jnp.int32(-1640531527) + jnp.int32(li + 1)
+                o = ring(qf, kf, vf, lseed)
+            else:
+                o = ring(qf, kf, vf)
             o = (
                 o.reshape(b, kvh, g, s_local, cfg.head_dim)
                 .transpose(0, 3, 1, 2, 4)
@@ -963,9 +984,9 @@ def make_train_step_sp(
         x = _rmsnorm(x, params["final_norm"])
         return x @ params["lm_head"]
 
-    def local_grads(params, tokens, targets, valid):
+    def local_grads(params, tokens, targets, valid, seed):
         def loss_fn(params):
-            logits = forward_local(params, tokens)
+            logits = forward_local(params, tokens, seed)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
             # Sum of this shard's valid terms over the GLOBAL count: grads
@@ -979,8 +1000,8 @@ def make_train_step_sp(
         grads = jax.tree.map(lambda g_: jax.lax.psum(g_, (dp, sp)), grads)
         return loss, grads
 
-    def local_step(params, tokens, targets, valid):
-        loss, grads = local_grads(params, tokens, targets, valid)
+    def local_step(params, tokens, targets, valid, seed):
+        loss, grads = local_grads(params, tokens, targets, valid, seed)
         new_params = jax.tree.map(
             lambda p, g_: p - lr * g_.astype(p.dtype), params, grads
         )
@@ -1007,31 +1028,32 @@ def make_train_step_sp(
             )
         return tokens, targets, valid
 
-    if optimizer is None:
-
-        def step(params, tokens):
-            tokens, targets, valid = _prep(tokens)
-            return jax.shard_map(
-                local_step,
-                mesh=mesh,
-                in_specs=(specs, P(dp, sp), P(dp, sp), P(dp, sp)),
-                out_specs=(P(), specs),
-                check_vma=False,
-            )(params, tokens, targets, valid)
-
-        return jax.jit(step)
-
+    step_map = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(specs, P(dp, sp), P(dp, sp), P(dp, sp), P()),
+        out_specs=(P(), specs),
+        check_vma=False,
+    )
     grad_map = jax.shard_map(
         local_grads,
         mesh=mesh,
-        in_specs=(specs, P(dp, sp), P(dp, sp), P(dp, sp)),
+        in_specs=(specs, P(dp, sp), P(dp, sp), P(dp, sp), P()),
         out_specs=(P(), specs),
         check_vma=False,
     )
 
-    def opt_step(params, opt_state, tokens):
+    if optimizer is None:
+
+        def step(params, tokens, seed=0):
+            tokens, targets, valid = _prep(tokens)
+            return step_map(params, tokens, targets, valid, jnp.int32(seed))
+
+        return jax.jit(step)
+
+    def opt_step(params, opt_state, tokens, seed=0):
         tokens, targets, valid = _prep(tokens)
-        loss, grads = grad_map(params, tokens, targets, valid)
+        loss, grads = grad_map(params, tokens, targets, valid, jnp.int32(seed))
         updates, opt_state = optimizer.update(grads, opt_state, params)
         new_params = jax.tree.map(
             lambda p, u: p + u.astype(p.dtype), params, updates

@@ -94,6 +94,38 @@ class ModelConfig:
             intermediate=11008,
         )
 
+    # ── model-family presets (round 3) ──────────────────────────────────
+    # Geometry presets for the architecture families every feature in this
+    # stack exists to serve; num_layers defaults to a 2-layer slice for
+    # benchmarking (pass num_layers= for the full depth).
+
+    @classmethod
+    def mistral7b(cls, num_layers: int = 2) -> "ModelConfig":
+        """Mistral-7B-class: GQA 32q/8kv, d=128, sliding window 4096."""
+        return cls(
+            vocab_size=32000, num_layers=num_layers, d_model=4096,
+            num_q_heads=32, num_kv_heads=8, head_dim=128,
+            intermediate=14336, sliding_window=4096,
+        )
+
+    @classmethod
+    def gemma2_9b(cls, num_layers: int = 2) -> "ModelConfig":
+        """Gemma-2-9B-class: GQA 16q/8kv, d=256, logit softcaps."""
+        return cls(
+            vocab_size=256128, num_layers=num_layers, d_model=3584,
+            num_q_heads=16, num_kv_heads=8, head_dim=256,
+            intermediate=14336, sliding_window=4096, logit_softcap=50.0,
+        )
+
+    @classmethod
+    def mixtral8x7b(cls, num_layers: int = 2) -> "ModelConfig":
+        """Mixtral-8x7B-class: Mistral geometry + 8-expert top-2 MoE MLP."""
+        return cls(
+            vocab_size=32000, num_layers=num_layers, d_model=4096,
+            num_q_heads=32, num_kv_heads=8, head_dim=128,
+            intermediate=14336, num_experts=8, experts_per_token=2,
+        )
+
 
 def init_params(key: jax.Array, cfg: ModelConfig):
     """Random-init parameter pytree (scaled normal, fan-in)."""

@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from flashattention_tpu.ops.flash import BlockSizes, flash_attention
@@ -506,27 +507,51 @@ def make_zigzag_ring_attention(
 # diagonal / skip) mirrors the forward's.
 
 
+def _ring_chunk_seed(dropout_seed, my_idx, src, piece=0):
+    """Per-(device, source-chunk, piece) dropout seed (round 3).
+
+    The kernel's dropout coordinates are LOCAL (raw q-block row, chunk-local
+    column), so every ring step of every device would reuse the same mask
+    bits under one seed; folding (my_idx, src, piece) decorrelates them.
+    The BACKWARD ring folds identically per step, so the regenerated masks
+    match the forward bit-for-bit.  int32 wrap-around is intended.
+    """
+    return (
+        jnp.asarray(dropout_seed, jnp.int32) * jnp.int32(-1640531527)
+        + jnp.asarray(my_idx, jnp.int32) * jnp.int32(7927)
+        + jnp.asarray(src, jnp.int32) * jnp.int32(104729)
+        + jnp.int32(piece)
+    )
+
+
 def _ring_fwd_residuals(q, k, v, *, axis_name, axis_size, causal, scale,
                         block_sizes, interpret, q_seq_len=None,
-                        window=None, logit_softcap=None):
-    """Forward ring pass that also returns the global (per-row) lse."""
+                        window=None, logit_softcap=None,
+                        dropout_rate=None, dropout_seed=0):
+    """Forward ring pass that also returns the global (per-row) lse.
+
+    With ``dropout_rate``, each partial applies regenerated-mask attention
+    dropout under a per-(device, source-chunk) folded seed; the (l, m)
+    residuals stay the UNdropped statistics, so the online-softmax merge and
+    the global lse are exactly what the backward ring expects."""
     from flashattention_tpu.ops.flash import flash_attention
 
     bh, s_rows, d = q.shape
     my_idx = jax.lax.axis_index(axis_name)
 
     def partial_with(causal_flag):
-        def f(kb, vb):
+        def f(kb, vb, seed):
             return flash_attention(
                 q, kb, vb, causal=causal_flag, scale=scale,
                 block_sizes=block_sizes, save_residuals=True,
                 interpret=interpret, q_seq_len=q_seq_len,
                 logit_softcap=logit_softcap,
+                dropout_rate=dropout_rate, dropout_seed=seed,
             )
         return f
 
-    def partial_skip(kb, vb):
-        del kb, vb
+    def partial_skip(kb, vb, seed):
+        del kb, vb, seed
         return (
             jnp.zeros((bh, s_rows, d), q.dtype),
             jnp.zeros((bh, s_rows), jnp.float32),
@@ -541,6 +566,7 @@ def _ring_fwd_residuals(q, k, v, *, axis_name, axis_size, causal, scale,
 
     def compute(step, kb, vb, o, l, m):
         src = jax.lax.rem(my_idx - step + axis_size, axis_size)
+        seed = _ring_chunk_seed(dropout_seed, my_idx, src)
         if causal and window is not None:
             # Sliding window on the ring (round 3; VERDICT #6): one windowed-
             # causal kernel at traced offset covers past AND diagonal chunks
@@ -548,24 +574,27 @@ def _ring_fwd_residuals(q, k, v, *, axis_name, axis_size, causal, scale,
             s_chunk = kb.shape[1]
             offset = (my_idx - src) * s_chunk
 
-            def partial_win(kb, vb):
+            def partial_win(kb, vb, seed):
                 return flash_attention(
                     q, kb, vb, causal=True, scale=scale, q_offset=offset,
                     block_sizes=block_sizes, save_residuals=True,
                     interpret=interpret, q_seq_len=q_seq_len,
                     window=window, logit_softcap=logit_softcap,
+                    dropout_rate=dropout_rate, dropout_seed=seed,
                 )
 
             live = (src <= my_idx) & (offset < window + s_chunk - 1)
-            po, pl_, pm = jax.lax.cond(live, partial_win, partial_skip, kb, vb)
+            po, pl_, pm = jax.lax.cond(
+                live, partial_win, partial_skip, kb, vb, seed
+            )
         elif causal:
             case = jnp.where(src == my_idx, 1, jnp.where(src < my_idx, 0, 2))
             po, pl_, pm = jax.lax.switch(
                 case, [partial_with(False), partial_with(True), partial_skip],
-                kb, vb,
+                kb, vb, seed,
             )
         else:
-            po, pl_, pm = partial_with(False)(kb, vb)
+            po, pl_, pm = partial_with(False)(kb, vb, seed)
         return merge_partials(o, l, m, po, pl_, pm)
 
     def body(step, carry):
@@ -595,9 +624,16 @@ def ring_attention_vjp_local(
     q_seq_len: int | None = None,
     window: int | None = None,
     logit_softcap: float | None = None,
+    dropout_rate: float | None = None,
 ):
     """Build the per-shard differentiable ring-attention fn (for use inside
     an existing shard_map, e.g. an SP training step).
+
+    ``dropout_rate`` (round 3): attention dropout across the ring — each
+    (device, source-chunk) partial draws an independent regenerated mask
+    (see _ring_chunk_seed) and the backward ring rebuilds the same masks.
+    The returned fn then takes a fourth ``dropout_seed`` argument (traced
+    int32; vary per training step).
 
     ``q_seq_len`` enables GQA row folding: see :func:`ring_attention_local`
     — q (B*KVH, G*S_local, d) vs unrepeated KV; dK/dV accumulate over all G
@@ -611,36 +647,41 @@ def ring_attention_vjp_local(
 
     if window is not None and not causal:
         raise ValueError("window (sliding-window attention) requires causal=True")
+    if dropout_rate == 0.0:
+        dropout_rate = None
 
     @jax.custom_vjp
-    def ring(q, k, v):
+    def ring(q, k, v, dropout_seed):
         o, _ = _ring_fwd_residuals(
             q, k, v, axis_name=axis_name, axis_size=axis_size, causal=causal,
             scale=scale, block_sizes=block_sizes, interpret=interpret,
             q_seq_len=q_seq_len, window=window, logit_softcap=logit_softcap,
+            dropout_rate=dropout_rate, dropout_seed=dropout_seed,
         )
         return o
 
-    def ring_fwd(q, k, v):
+    def ring_fwd(q, k, v, dropout_seed):
         o, lse = _ring_fwd_residuals(
             q, k, v, axis_name=axis_name, axis_size=axis_size, causal=causal,
             scale=scale, block_sizes=block_sizes, interpret=interpret,
             q_seq_len=q_seq_len, window=window, logit_softcap=logit_softcap,
+            dropout_rate=dropout_rate, dropout_seed=dropout_seed,
         )
-        return o, (q, k, v, o, lse)
+        return o, (q, k, v, o, lse, dropout_seed)
 
     def ring_bwd(res, do):
-        q, k, v, o, lse = res
+        q, k, v, o, lse, dropout_seed = res
         my_idx = jax.lax.axis_index(axis_name)
         zeros_kv = jnp.zeros_like(k, dtype=jnp.float32)
 
         def grads_with(causal_flag, offset=0):
-            def f(kb, vb):
+            def f(kb, vb, seed):
                 dq_p, dk_p, dv_p = flash_attention_bwd(
                     q, kb, vb, o, lse, do, causal=causal_flag, scale=scale,
                     q_offset=offset, block_sizes=block_sizes,
                     interpret=interpret, q_seq_len=q_seq_len,
                     window=window, logit_softcap=logit_softcap,
+                    dropout_rate=dropout_rate, dropout_seed=seed,
                 )
                 return (
                     dq_p.astype(jnp.float32),
@@ -649,28 +690,31 @@ def ring_attention_vjp_local(
                 )
             return f
 
-        def grads_skip(kb, vb):
-            del kb, vb
+        def grads_skip(kb, vb, seed):
+            del kb, vb, seed
             return jnp.zeros_like(q, dtype=jnp.float32), zeros_kv, zeros_kv
 
         def body(step, carry):
             dq, dk_acc, dv_acc, kb, vb = carry
             src = jax.lax.rem(my_idx - step + axis_size, axis_size)
+            # Same per-(device, source-chunk) fold as the forward ring: the
+            # backward kernels regenerate identical dropout masks.
+            seed = _ring_chunk_seed(dropout_seed, my_idx, src)
             if causal and window is not None:
                 s_chunk = kb.shape[1]
                 offset = (my_idx - src) * s_chunk
                 live = (src <= my_idx) & (offset < window + s_chunk - 1)
                 dq_p, dk_p, dv_p = jax.lax.cond(
-                    live, grads_with(True, offset), grads_skip, kb, vb
+                    live, grads_with(True, offset), grads_skip, kb, vb, seed
                 )
             elif causal:
                 case = jnp.where(src == my_idx, 1, jnp.where(src < my_idx, 0, 2))
                 dq_p, dk_p, dv_p = jax.lax.switch(
                     case, [grads_with(False), grads_with(True), grads_skip],
-                    kb, vb,
+                    kb, vb, seed,
                 )
             else:
-                dq_p, dk_p, dv_p = grads_with(False)(kb, vb)
+                dq_p, dk_p, dv_p = grads_with(False)(kb, vb, seed)
             dq += dq_p
             dk_acc += dk_p
             dv_acc += dv_p
@@ -688,9 +732,15 @@ def ring_attention_vjp_local(
             0, axis_size, body,
             (jnp.zeros_like(q, dtype=jnp.float32), zeros_kv, zeros_kv, k, v),
         )
-        return dq.astype(q.dtype), dk_acc.astype(k.dtype), dv_acc.astype(v.dtype)
+        dseed = np.zeros(np.shape(dropout_seed), jax.dtypes.float0)
+        return (
+            dq.astype(q.dtype), dk_acc.astype(k.dtype),
+            dv_acc.astype(v.dtype), dseed,
+        )
 
     ring.defvjp(ring_fwd, ring_bwd)
+    if dropout_rate is None:
+        return lambda q, k, v: ring(q, k, v, 0)
     return ring
 
 
@@ -705,24 +755,39 @@ def make_ring_attention_vjp(
     interpret: bool | None = None,
     window: int | None = None,
     logit_softcap: float | None = None,
+    dropout_rate: float | None = None,
 ):
     """Differentiable ring attention over ``mesh`` (same layout as
     :func:`make_ring_attention`): enables long-context training where the KV
-    sequence never fits one chip."""
+    sequence never fits one chip.
+
+    With ``dropout_rate`` the returned fn takes a fourth ``dropout_seed``
+    argument (traced int32) driving regenerated-mask attention dropout; see
+    :func:`ring_attention_vjp_local`."""
     axis_size = mesh.shape[axis_name]
     spec = P(batch_axis if batch_axis else None, axis_name, None)
     ring = ring_attention_vjp_local(
         axis_name=axis_name, axis_size=axis_size, causal=causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
         window=window, logit_softcap=logit_softcap,
+        dropout_rate=dropout_rate,
     )
-    fn = jax.shard_map(
-        lambda q, k, v: ring(q, k, v),
-        mesh=mesh,
-        in_specs=(spec, spec, spec),
-        out_specs=spec,
-        check_vma=False,
-    )
+    if dropout_rate is not None and dropout_rate != 0.0:
+        fn = jax.shard_map(
+            lambda q, k, v, seed: ring(q, k, v, seed),
+            mesh=mesh,
+            in_specs=(spec, spec, spec, P()),
+            out_specs=spec,
+            check_vma=False,
+        )
+    else:
+        fn = jax.shard_map(
+            lambda q, k, v: ring(q, k, v),
+            mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+            check_vma=False,
+        )
     return jax.jit(fn)
 
 
@@ -766,7 +831,8 @@ def _seg_concat(lo, hi, g):
 
 def _zigzag_fwd_residuals(q, k, v, *, axis_name, axis_size, scale,
                           block_sizes, interpret, q_seq_len=None,
-                          window=None, logit_softcap=None):
+                          window=None, logit_softcap=None,
+                          dropout_rate=None, dropout_seed=0):
     """Zigzag forward that also returns the merged global lse (causal only).
 
     ``q_seq_len`` enables GQA row folding (q = (B*KVH, G*S_local, d) against
@@ -775,7 +841,13 @@ def _zigzag_fwd_residuals(q, k, v, *, axis_name, axis_size, scale,
     ``window`` (round 3; VERDICT #6): absolute-distance masking breaks the
     concat trick, so each q half runs against each KV half separately at the
     true traced offset between their zigzag bases (see
-    :func:`zigzag_ring_attention_local`)."""
+    :func:`zigzag_ring_attention_local`).
+
+    ``dropout_rate`` (round 3): every per-(device, source-chunk, piece)
+    kernel call draws an independent regenerated mask — piece 0 is the q_lo /
+    full-q call, piece 1 (and 2 under windowing) the q_hi calls — via
+    :func:`_ring_chunk_seed`, so the backward ring rebuilds identical masks
+    from the same folds."""
     from flashattention_tpu.ops.flash import flash_attention
 
     bh, rows, d = q.shape
@@ -783,13 +855,14 @@ def _zigzag_fwd_residuals(q, k, v, *, axis_name, axis_size, scale,
     my_idx = jax.lax.axis_index(axis_name)
     n2 = 2 * axis_size
 
-    def flash(qq, kk, vv, causal_flag, q_offset=0, seg=None):
+    def flash(qq, kk, vv, causal_flag, q_offset=0, seg=None, seed=0):
         return flash_attention(
             qq, kk, vv, causal=causal_flag, scale=scale, q_offset=q_offset,
             block_sizes=block_sizes, save_residuals=True, interpret=interpret,
             q_seq_len=seg if g > 1 else None,
             logit_softcap=logit_softcap,
             window=window if causal_flag else None,
+            dropout_rate=dropout_rate, dropout_seed=seed,
         )
 
     def skip(nrows):
@@ -801,20 +874,22 @@ def _zigzag_fwd_residuals(q, k, v, *, axis_name, axis_size, scale,
 
     q_lo, q_hi = _seg_split(q, g, s_local)
 
-    def case_diag(kb, vb):
-        o1, l1, m1 = flash(q_lo, kb[:, :c], vb[:, :c], True, seg=c)
-        o2, l2, m2 = flash(q_hi, kb, vb, True, q_offset=c, seg=c)
+    def case_diag(kb, vb, s0, s1):
+        o1, l1, m1 = flash(q_lo, kb[:, :c], vb[:, :c], True, seg=c, seed=s0)
+        o2, l2, m2 = flash(q_hi, kb, vb, True, q_offset=c, seg=c, seed=s1)
         return (
             _seg_concat(o1, o2, g),
             _seg_concat(l1, l2, g),
             _seg_concat(m1, m2, g),
         )
 
-    def case_past(kb, vb):
-        return flash(q, kb[:, :c], vb[:, :c], False)
+    def case_past(kb, vb, s0, s1):
+        del s1
+        return flash(q, kb[:, :c], vb[:, :c], False, seed=s0)
 
-    def case_future_lo(kb, vb):
-        o2, l2, m2 = flash(q_hi, kb, vb, False)
+    def case_future_lo(kb, vb, s0, s1):
+        del s0
+        o2, l2, m2 = flash(q_hi, kb, vb, False, seed=s1)
         o1, l1, m1 = skip(g * c)
         return (
             _seg_concat(o1, o2, g),
@@ -827,18 +902,23 @@ def _zigzag_fwd_residuals(q, k, v, *, axis_name, axis_size, scale,
         # GQA-folded: every piece is a seg=c fold at a traced offset.
         kv_lo, v_lo = kb[:, :c], vb[:, :c]
         kv_hi, v_hi = kb[:, c:], vb[:, c:]
+        s0, s1, s2 = (
+            _ring_chunk_seed(dropout_seed, my_idx, src, p) for p in range(3)
+        )
         off_l = (my_idx - src) * c
         live_l = (src <= my_idx) & (off_l < window + c - 1)
         p_lo = jax.lax.cond(
             live_l,
-            lambda kk, vv: flash(q_lo, kk, vv, True, q_offset=off_l, seg=c),
+            lambda kk, vv: flash(q_lo, kk, vv, True, q_offset=off_l, seg=c,
+                                 seed=s0),
             lambda kk, vv: skip(g * c),
             kv_lo, v_lo,
         )
         off_a = (n2 - 1 - my_idx - src) * c
         p_hi_a = jax.lax.cond(
             off_a < window + c - 1,
-            lambda kk, vv: flash(q_hi, kk, vv, True, q_offset=off_a, seg=c),
+            lambda kk, vv: flash(q_hi, kk, vv, True, q_offset=off_a, seg=c,
+                                 seed=s1),
             lambda kk, vv: skip(g * c),
             kv_lo, v_lo,
         )
@@ -846,7 +926,8 @@ def _zigzag_fwd_residuals(q, k, v, *, axis_name, axis_size, scale,
         live_b = (src >= my_idx) & (off_b < window + c - 1)
         p_hi_b = jax.lax.cond(
             live_b,
-            lambda kk, vv: flash(q_hi, kk, vv, True, q_offset=off_b, seg=c),
+            lambda kk, vv: flash(q_hi, kk, vv, True, q_offset=off_b, seg=c,
+                                 seed=s2),
             lambda kk, vv: skip(g * c),
             kv_hi, v_hi,
         )
@@ -869,9 +950,11 @@ def _zigzag_fwd_residuals(q, k, v, *, axis_name, axis_size, scale,
         if window is not None:
             po, pl_, pm = compute_win(src, kb, vb)
         else:
+            s0 = _ring_chunk_seed(dropout_seed, my_idx, src, 0)
+            s1 = _ring_chunk_seed(dropout_seed, my_idx, src, 1)
             case = jnp.where(src == my_idx, 0, jnp.where(src < my_idx, 1, 2))
             po, pl_, pm = jax.lax.switch(
-                case, [case_diag, case_past, case_future_lo], kb, vb
+                case, [case_diag, case_past, case_future_lo], kb, vb, s0, s1
             )
         return merge_partials(o, l, m, po, pl_, pm)
 
@@ -901,6 +984,7 @@ def zigzag_ring_attention_vjp_local(
     q_seq_len: int | None = None,
     window: int | None = None,
     logit_softcap: float | None = None,
+    dropout_rate: float | None = None,
 ):
     """Build the per-shard differentiable *zigzag* ring-attention fn (for use
     inside an existing shard_map, e.g. the SP training step): load-balanced
@@ -914,28 +998,40 @@ def zigzag_ring_attention_vjp_local(
     ``window``/``logit_softcap`` (round 3; VERDICT #6): sliding-window /
     capped attention — both passes decompose each ring step into per-half
     windowed-causal kernels at traced zigzag-base offsets (see
-    :func:`_zigzag_fwd_residuals`)."""
+    :func:`_zigzag_fwd_residuals`).
+
+    ``dropout_rate`` (round 3): attention dropout across the zigzag ring —
+    every (device, source-chunk, piece) kernel call draws an independent
+    regenerated mask and the backward ring rebuilds the identical masks from
+    the same (my_idx, src, piece) seed folds.  The returned fn then takes a
+    fourth ``dropout_seed`` argument (traced int32; vary per training step).
+    """
     from flashattention_tpu.ops.backward import flash_attention_bwd
 
+    if dropout_rate == 0.0:
+        dropout_rate = None
+
     @jax.custom_vjp
-    def zring(q, k, v):
+    def zring(q, k, v, dropout_seed):
         o, _ = _zigzag_fwd_residuals(
             q, k, v, axis_name=axis_name, axis_size=axis_size, scale=scale,
             block_sizes=block_sizes, interpret=interpret, q_seq_len=q_seq_len,
             window=window, logit_softcap=logit_softcap,
+            dropout_rate=dropout_rate, dropout_seed=dropout_seed,
         )
         return o
 
-    def zring_fwd(q, k, v):
+    def zring_fwd(q, k, v, dropout_seed):
         o, lse = _zigzag_fwd_residuals(
             q, k, v, axis_name=axis_name, axis_size=axis_size, scale=scale,
             block_sizes=block_sizes, interpret=interpret, q_seq_len=q_seq_len,
             window=window, logit_softcap=logit_softcap,
+            dropout_rate=dropout_rate, dropout_seed=dropout_seed,
         )
-        return o, (q, k, v, o, lse)
+        return o, (q, k, v, o, lse, dropout_seed)
 
     def zring_bwd(res, do):
-        q, k, v, o, lse = res
+        q, k, v, o, lse, dropout_seed = res
         bh, rows, d = q.shape
         g, s_local, c = _zigzag_segments(bh, rows, q_seq_len)
         my_idx = jax.lax.axis_index(axis_name)
@@ -947,13 +1043,15 @@ def zigzag_ring_attention_vjp_local(
         do_lo, do_hi = _seg_split(do, g, s_local)
         lse_lo, lse_hi = _seg_split(lse, g, s_local)
 
-        def bwd(qq, kk, vv, oo, ll, dd, causal_flag, q_offset=0, seg=None):
+        def bwd(qq, kk, vv, oo, ll, dd, causal_flag, q_offset=0, seg=None,
+                seed=0):
             dq_p, dk_p, dv_p = flash_attention_bwd(
                 qq, kk, vv, oo, ll, dd, causal=causal_flag, scale=scale,
                 q_offset=q_offset, block_sizes=block_sizes, interpret=interpret,
                 q_seq_len=seg if g > 1 else None,
                 logit_softcap=logit_softcap,
                 window=window if causal_flag else None,
+                dropout_rate=dropout_rate, dropout_seed=seed,
             )
             return (
                 dq_p.astype(jnp.float32),
@@ -961,21 +1059,23 @@ def zigzag_ring_attention_vjp_local(
                 dv_p.astype(jnp.float32),
             )
 
-        def case_diag(kb, vb):
+        def case_diag(kb, vb, s0, s1):
             # q_lo vs own lo half (causal) + q_hi vs the whole pair (causal,
             # offset c) — exactly the forward's diagonal decomposition.
             dq1, dk1, dv1 = bwd(q_lo, kb[:, :c], vb[:, :c], o_lo, lse_lo,
-                                do_lo, True, seg=c)
+                                do_lo, True, seg=c, seed=s0)
             dq2, dkp, dvp = bwd(q_hi, kb, vb, o_hi, lse_hi, do_hi, True,
-                                q_offset=c, seg=c)
+                                q_offset=c, seg=c, seed=s1)
             dq = _seg_concat(dq1, dq2, g)
             dk = jnp.concatenate([dk1 + dkp[:, :c], dkp[:, c:]], 1)
             dv = jnp.concatenate([dv1 + dvp[:, :c], dvp[:, c:]], 1)
             return dq, dk, dv
 
-        def case_past(kb, vb):
+        def case_past(kb, vb, s0, s1):
             # Both q halves attend kb's lo half fully; hi half untouched.
-            dq, dkl, dvl = bwd(q, kb[:, :c], vb[:, :c], o, lse, do, False)
+            del s1
+            dq, dkl, dvl = bwd(q, kb[:, :c], vb[:, :c], o, lse, do, False,
+                               seed=s0)
             zeros = jnp.zeros((bh, c, d), jnp.float32)
             return (
                 dq,
@@ -983,9 +1083,11 @@ def zigzag_ring_attention_vjp_local(
                 jnp.concatenate([dvl, zeros], 1),
             )
 
-        def case_future_lo(kb, vb):
+        def case_future_lo(kb, vb, s0, s1):
             # Only q_hi attends (both halves of) the future pair.
-            dq2, dkp, dvp = bwd(q_hi, kb, vb, o_hi, lse_hi, do_hi, False)
+            del s0
+            dq2, dkp, dvp = bwd(q_hi, kb, vb, o_hi, lse_hi, do_hi, False,
+                                seed=s1)
             dq = _seg_concat(jnp.zeros((bh, g * c, d), jnp.float32), dq2, g)
             return dq, dkp, dvp
 
@@ -996,13 +1098,16 @@ def zigzag_ring_attention_vjp_local(
             kv_hi, v_hi = kb[:, c:], vb[:, c:]
             zq = jnp.zeros((bh, g * c, d), jnp.float32)
             zkv = jnp.zeros((bh, c, d), jnp.float32)
+            s0, s1, s2 = (
+                _ring_chunk_seed(dropout_seed, my_idx, src, p) for p in range(3)
+            )
 
             off_l = (my_idx - src) * c
             live_l = (src <= my_idx) & (off_l < window + c - 1)
             dq_lo, dk_lo1, dv_lo1 = jax.lax.cond(
                 live_l,
                 lambda kk, vv: bwd(q_lo, kk, vv, o_lo, lse_lo, do_lo, True,
-                                   q_offset=off_l, seg=c),
+                                   q_offset=off_l, seg=c, seed=s0),
                 lambda kk, vv: (zq, zkv, zkv),
                 kv_lo, v_lo,
             )
@@ -1010,7 +1115,7 @@ def zigzag_ring_attention_vjp_local(
             dq_hi_a, dk_lo2, dv_lo2 = jax.lax.cond(
                 off_a < window + c - 1,
                 lambda kk, vv: bwd(q_hi, kk, vv, o_hi, lse_hi, do_hi, True,
-                                   q_offset=off_a, seg=c),
+                                   q_offset=off_a, seg=c, seed=s1),
                 lambda kk, vv: (zq, zkv, zkv),
                 kv_lo, v_lo,
             )
@@ -1019,7 +1124,7 @@ def zigzag_ring_attention_vjp_local(
             dq_hi_b, dk_hi, dv_hi = jax.lax.cond(
                 live_b,
                 lambda kk, vv: bwd(q_hi, kk, vv, o_hi, lse_hi, do_hi, True,
-                                   q_offset=off_b, seg=c),
+                                   q_offset=off_b, seg=c, seed=s2),
                 lambda kk, vv: (zq, zkv, zkv),
                 kv_hi, v_hi,
             )
@@ -1034,9 +1139,14 @@ def zigzag_ring_attention_vjp_local(
             if window is not None:
                 dq_p, dk_p, dv_p = grads_win(src, kb, vb)
             else:
+                # Same per-(device, source-chunk, piece) folds as the forward
+                # ring: the backward kernels regenerate identical masks.
+                s0 = _ring_chunk_seed(dropout_seed, my_idx, src, 0)
+                s1 = _ring_chunk_seed(dropout_seed, my_idx, src, 1)
                 case = jnp.where(src == my_idx, 0, jnp.where(src < my_idx, 1, 2))
                 dq_p, dk_p, dv_p = jax.lax.switch(
-                    case, [case_diag, case_past, case_future_lo], kb, vb
+                    case, [case_diag, case_past, case_future_lo], kb, vb,
+                    s0, s1,
                 )
             dq += dq_p
             dk_acc += dk_p
@@ -1059,9 +1169,15 @@ def zigzag_ring_attention_vjp_local(
                 k, v,
             ),
         )
-        return dq.astype(q.dtype), dk_acc.astype(k.dtype), dv_acc.astype(v.dtype)
+        dseed = np.zeros(np.shape(dropout_seed), jax.dtypes.float0)
+        return (
+            dq.astype(q.dtype), dk_acc.astype(k.dtype),
+            dv_acc.astype(v.dtype), dseed,
+        )
 
     zring.defvjp(zring_fwd, zring_bwd)
+    if dropout_rate is None:
+        return lambda q, k, v: zring(q, k, v, 0)
     return zring
 
 
@@ -1075,24 +1191,39 @@ def make_zigzag_ring_attention_vjp(
     interpret: bool | None = None,
     window: int | None = None,
     logit_softcap: float | None = None,
+    dropout_rate: float | None = None,
 ):
     """Differentiable zigzag ring attention: load-balanced causal long-context
     *training* — every device does constant work in both passes.
 
     Same zigzag layout as :func:`make_zigzag_ring_attention` (use
-    :func:`zigzag_shard`); gradients come back in the same layout."""
+    :func:`zigzag_shard`); gradients come back in the same layout.
+
+    With ``dropout_rate`` the returned fn takes a fourth ``dropout_seed``
+    argument (traced int32) driving regenerated-mask attention dropout; see
+    :func:`zigzag_ring_attention_vjp_local`."""
     axis_size = mesh.shape[axis_name]
     spec = P(batch_axis if batch_axis else None, axis_name, None)
     zring = zigzag_ring_attention_vjp_local(
         axis_name=axis_name, axis_size=axis_size, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
         window=window, logit_softcap=logit_softcap,
+        dropout_rate=dropout_rate,
     )
-    fn = jax.shard_map(
-        lambda q, k, v: zring(q, k, v),
-        mesh=mesh,
-        in_specs=(spec, spec, spec),
-        out_specs=spec,
-        check_vma=False,
-    )
+    if dropout_rate is not None and dropout_rate != 0.0:
+        fn = jax.shard_map(
+            lambda q, k, v, seed: zring(q, k, v, seed),
+            mesh=mesh,
+            in_specs=(spec, spec, spec, P()),
+            out_specs=spec,
+            check_vma=False,
+        )
+    else:
+        fn = jax.shard_map(
+            lambda q, k, v: zring(q, k, v),
+            mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+            check_vma=False,
+        )
     return jax.jit(fn)

@@ -218,3 +218,182 @@ def test_train_step_with_attention_dropout():
     step_plain = make_train_step(mesh, cfg, lr=5e-2)
     loss, _ = step_plain(params, tokens)
     assert np.isfinite(float(loss))
+
+
+# ── ring-attention dropout (round 3) ─────────────────────────────────────
+# The ring folds (device, source-chunk, piece) into the seed because kernel
+# dropout coordinates are chunk-local; these oracles re-assemble the exact
+# global keep matrix from the same folds and check both rings against dense
+# attention with that explicit mask (values AND grads).
+
+def _fold(seed, i, src, piece=0):
+    from flashattention_tpu.parallel.ring import _ring_chunk_seed
+
+    # The keep-mask hash consumes the seed mod 2**32; mask the (possibly
+    # negative) int32 fold into that range so plain-int plumbing works.
+    return int(_ring_chunk_seed(seed, i, src, piece)) & 0xFFFFFFFF
+
+
+def _ring_keeps(seed, bh, n, s_local, rate):
+    """Global (bh, S, S) keep matrix of the plain ring's per-chunk draws."""
+    s = n * s_local
+    keeps = np.zeros((bh, s, s), bool)
+    for i in range(n):
+        for src in range(n):
+            fs = _fold(seed, i, src)
+            for b in range(bh):
+                keeps[
+                    b, i * s_local:(i + 1) * s_local,
+                    src * s_local:(src + 1) * s_local,
+                ] = np.asarray(
+                    F.dropout_keep_mask(fs, b, 0, 0, (s_local, s_local), rate)
+                )
+    return jnp.asarray(keeps)
+
+
+def _zigzag_keeps(seed, bh, n, s_local, rate):
+    """Global keep matrix of the zigzag ring's per-(i, src, piece) draws.
+
+    Device i holds rows [half-chunk i ; half-chunk 2n-1-i] (c rows each);
+    the KV pair that started on src is [half-chunk src ; half-chunk
+    2n-1-src].  Mirrors case_diag / case_past / case_future_lo exactly.
+    """
+    c = s_local // 2
+    s = n * s_local
+    keeps = np.zeros((bh, s, s), bool)
+
+    def col(src, cc):  # local kv col -> global col
+        return src * c + cc if cc < c else (2 * n - 1 - src) * c + (cc - c)
+
+    for i in range(n):
+        hi_base = (2 * n - 1 - i) * c
+        for src in range(n):
+            if src == i:
+                for b in range(bh):
+                    m0 = np.asarray(F.dropout_keep_mask(
+                        _fold(seed, i, src, 0), b, 0, 0, (c, c), rate))
+                    keeps[b, i * c:(i + 1) * c, i * c:(i + 1) * c] = m0
+                    m1 = np.asarray(F.dropout_keep_mask(
+                        _fold(seed, i, src, 1), b, 0, 0, (c, 2 * c), rate))
+                    for cc in range(2 * c):
+                        keeps[b, hi_base:hi_base + c, col(src, cc)] = m1[:, cc]
+            elif src < i:
+                for b in range(bh):
+                    m = np.asarray(F.dropout_keep_mask(
+                        _fold(seed, i, src, 0), b, 0, 0, (2 * c, c), rate))
+                    keeps[b, i * c:(i + 1) * c, src * c:(src + 1) * c] = m[:c]
+                    keeps[b, hi_base:hi_base + c, src * c:(src + 1) * c] = m[c:]
+            else:
+                for b in range(bh):
+                    m = np.asarray(F.dropout_keep_mask(
+                        _fold(seed, i, src, 1), b, 0, 0, (c, 2 * c), rate))
+                    for cc in range(2 * c):
+                        keeps[b, hi_base:hi_base + c, col(src, cc)] = m[:, cc]
+    return jnp.asarray(keeps)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_dropout_matches_assembled_oracle(causal):
+    from flashattention_tpu.parallel.ring import make_ring_attention_vjp
+
+    n, bh, s_local, d = 4, 2, 128, 32
+    rate, seed = 0.2, 17
+    s = n * s_local
+    scale = d**-0.5
+    mesh = Mesh(np.array(jax.devices()[:n]), ("sp",))
+    q, k, v, do = make_qkv(bh, s, d, key=13)
+    keeps = _ring_keeps(seed, bh, n, s_local, rate)
+
+    spec = NamedSharding(mesh, P(None, "sp", None))
+    qs, ks_, vs = (jax.device_put(x, spec) for x in (q, k, v))
+    ring = make_ring_attention_vjp(
+        mesh, axis_name="sp", causal=causal, scale=scale, dropout_rate=rate
+    )
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ring(q, k, v, jnp.int32(seed)) * do)
+
+    def loss_or(q, k, v):
+        return jnp.sum(oracle(q, k, v, keeps, rate, causal=causal, scale=scale) * do)
+
+    got_o = ring(qs, ks_, vs, jnp.int32(seed))
+    want_o = oracle(q, k, v, keeps, rate, causal=causal, scale=scale)
+    assert float(jnp.max(jnp.abs(got_o - want_o))) < 5e-4
+
+    got = jax.grad(loss_ring, argnums=(0, 1, 2))(qs, ks_, vs)
+    want = jax.grad(loss_or, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", got, want):
+        err = float(jnp.max(jnp.abs(a - b)))
+        assert err < 5e-4, (name, err)
+
+
+def test_zigzag_ring_dropout_matches_assembled_oracle():
+    from flashattention_tpu.parallel.ring import (
+        make_zigzag_ring_attention_vjp,
+        zigzag_shard,
+        zigzag_unshard,
+    )
+
+    n, bh, s_local, d = 4, 2, 256, 32
+    rate, seed = 0.25, 23
+    s = n * s_local
+    scale = d**-0.5
+    mesh = Mesh(np.array(jax.devices()[:n]), ("sp",))
+    q, k, v, do = make_qkv(bh, s, d, key=29)
+    keeps = _zigzag_keeps(seed, bh, n, s_local, rate)
+
+    qz, kz, vz, dz = (zigzag_shard(x, n) for x in (q, k, v, do))
+    spec = NamedSharding(mesh, P(None, "sp", None))
+    qz, kz, vz = (jax.device_put(x, spec) for x in (qz, kz, vz))
+    zring = make_zigzag_ring_attention_vjp(
+        mesh, axis_name="sp", scale=scale, dropout_rate=rate
+    )
+
+    got_o = zigzag_unshard(zring(qz, kz, vz, jnp.int32(seed)), n)
+    want_o = oracle(q, k, v, keeps, rate, causal=True, scale=scale)
+    assert float(jnp.max(jnp.abs(got_o - want_o))) < 5e-4
+
+    def loss_z(q, k, v):
+        return jnp.sum(zring(q, k, v, jnp.int32(seed)) * dz)
+
+    def loss_or(q, k, v):
+        return jnp.sum(oracle(q, k, v, keeps, rate, causal=True, scale=scale) * do)
+
+    got = jax.grad(loss_z, argnums=(0, 1, 2))(qz, kz, vz)
+    want = jax.grad(loss_or, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", got, want):
+        err = float(jnp.max(jnp.abs(zigzag_unshard(a, n) - b)))
+        assert err < 5e-4, (name, err)
+
+
+@pytest.mark.parametrize("zigzag", [False, True])
+def test_sp_train_step_with_attention_dropout(zigzag):
+    """DP x SP ring training with attn_dropout: deterministic per seed, new
+    seed changes the draw, loss stays finite over steps."""
+    from flashattention_tpu.models.train import make_train_step_sp
+
+    dp, sp = 2, 4
+    mesh = Mesh(np.array(jax.devices()[: dp * sp]).reshape(dp, sp), ("dp", "sp"))
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=2, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(
+        jax.random.key(1), (2 * dp, sp * 2 * 128), 0, cfg.vocab_size
+    )
+    step = make_train_step_sp(
+        mesh, cfg, lr=5e-2, zigzag=zigzag, attn_dropout=0.1
+    )
+    l0a, _ = step(params, tokens, 0)
+    l0b, _ = step(params, tokens, 0)
+    l1, _ = step(params, tokens, 1)
+    assert float(l0a) == float(l0b)
+    assert float(l0a) != float(l1)
+    for i in range(3):
+        loss, params = step(params, tokens, i)
+        assert np.isfinite(float(loss))
+    # Dropout off keeps the historical two-arg signature working.
+    step_plain = make_train_step_sp(mesh, cfg, lr=5e-2, zigzag=zigzag)
+    loss, _ = step_plain(params, tokens)
+    assert np.isfinite(float(loss))

@@ -355,3 +355,18 @@ def test_pp_validation():
     mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 4), ("dp", "pp"))
     with pytest.raises(ValueError, match="num_layers"):
         make_train_step_pp(mesh, cfg)
+
+
+def test_model_family_presets_construct_and_run():
+    """The Mistral/Gemma-2/Mixtral-class presets build valid configs whose
+    distinguishing features (GQA ratio, window, softcap, MoE) are set; the
+    feature paths themselves are trained elsewhere in this file and in
+    test_dropout/test_moe."""
+    from flashattention_tpu.models.transformer import ModelConfig
+
+    m = ModelConfig.mistral7b()
+    assert m.group_size == 4 and m.sliding_window == 4096
+    g = ModelConfig.gemma2_9b()
+    assert g.head_dim == 256 and g.logit_softcap == 50.0
+    x = ModelConfig.mixtral8x7b(num_layers=3)
+    assert x.num_experts == 8 and x.experts_per_token == 2 and x.num_layers == 3
