@@ -229,9 +229,15 @@ def _forward_local(
     return x @ params["lm_head"]
 
 
-def _attn_block(x, layer, positions, cfg: ModelConfig):
+def _attn_block(x, layer, positions, cfg: ModelConfig,
+                attn_dropout: float | None = None, dropout_seed=0):
     """Attention sub-layer on FULL heads, no collectives (PP/EP stage body;
-    TP's f/g pair lives in _forward_local instead)."""
+    TP's f/g pair lives in _forward_local instead).
+
+    ``dropout_seed`` must already fold every rank/layer coordinate the caller
+    wants decorrelated (PP folds global layer + pipeline step + dp; EP folds
+    dp + layer only — ep ranks replicate activations, so their masks MUST be
+    bit-identical or the psum-combine algebra breaks)."""
     b, s, _ = x.shape
     hq, hkv, g = cfg.num_q_heads, cfg.num_kv_heads, cfg.group_size
     h = _rmsnorm(x, layer["attn_norm"])
@@ -246,6 +252,7 @@ def _attn_block(x, layer, positions, cfg: ModelConfig):
     o = attention_vjp(
         qf, kf, vf, True, cfg.head_dim**-0.5, None, None, None,
         s if g > 1 else None, cfg.sliding_window, cfg.logit_softcap,
+        attn_dropout, dropout_seed,
     )
     o = (
         o.reshape(b, hq, s, cfg.head_dim)
@@ -255,9 +262,10 @@ def _attn_block(x, layer, positions, cfg: ModelConfig):
     return x + o @ layer["wo"]
 
 
-def _layer_forward(x, layer, positions, cfg: ModelConfig):
+def _layer_forward(x, layer, positions, cfg: ModelConfig,
+                   attn_dropout: float | None = None, dropout_seed=0):
     """One full transformer layer (attention + dense-compute MLP/MoE)."""
-    x = _attn_block(x, layer, positions, cfg)
+    x = _attn_block(x, layer, positions, cfg, attn_dropout, dropout_seed)
     return x + _mlp(
         _rmsnorm(x, layer["mlp_norm"]), layer, cfg.experts_per_token
     )
@@ -308,6 +316,7 @@ def make_train_step_pp(
     lr: float = 1e-3,
     n_microbatches: int = 2,
     optimizer=None,
+    attn_dropout: float | None = None,
 ):
     """GPipe-style pipeline-parallel training step (round 3).
 
@@ -326,12 +335,20 @@ def make_train_step_pp(
     ``step(params, tokens) -> (loss, new_params)`` with params from
     :func:`shard_params_pp` (stacked layout).  Requires
     ``num_layers % pp == 0`` and ``B_local % n_microbatches == 0``.
+
+    ``attn_dropout`` (round 3): the step takes a trailing traced-int32
+    ``seed``; each kernel call's mask decorrelates over (dp rank, pipeline
+    step, global layer index) — the pipeline step subsumes the microbatch
+    identity, and the global layer fold keeps the same seed from reusing
+    masks across stages.
     """
     pp_size = mesh.shape[pp]
     if cfg.num_layers % pp_size:
         raise ValueError(
             f"pp={pp_size} must divide num_layers={cfg.num_layers}"
         )
+    if attn_dropout == 0.0:
+        attn_dropout = None  # rate 0 is the identity, not an error
     from flashattention_tpu.models.transformer import init_params
 
     example = jax.eval_shape(
@@ -339,8 +356,9 @@ def make_train_step_pp(
     )
     specs = pp_param_specs(cfg, example, pp)
     M = n_microbatches
+    gold = jnp.int32(-1640531527)
 
-    def local_grads(params, tokens):
+    def _local_grads(params, tokens, seed):
         rank = jax.lax.axis_index(pp)
         b_local, s = tokens.shape
         if b_local % M:
@@ -350,16 +368,30 @@ def make_train_step_pp(
         mb_b = b_local // M
         positions = jnp.broadcast_to(jnp.arange(s), (mb_b, s))
         perm = [(p, p + 1) for p in range(pp_size - 1)]
+        layer_base = rank * jnp.int32(cfg.num_layers // pp_size)
+        seed = seed * gold + jax.lax.axis_index(dp) * jnp.int32(7919)
 
         def loss_fn(params):
             mbs = tokens.reshape(M, mb_b, s)
             stage = params["layers"]  # (L/pp, ...) local slice
 
-            def apply_stage(x):
-                def body(x, layer):
-                    return _layer_forward(x, layer, positions, cfg), None
+            def apply_stage(x, t):
+                tseed = seed * gold + jnp.int32(t)
 
-                return jax.lax.scan(body, x, stage)[0]
+                def body(x, xs):
+                    layer, li = xs
+                    lseed = tseed * gold + layer_base + li + 1
+                    return (
+                        _layer_forward(
+                            x, layer, positions, cfg, attn_dropout, lseed
+                        ),
+                        None,
+                    )
+
+                n_stage = cfg.num_layers // pp_size
+                return jax.lax.scan(
+                    body, x, (stage, jnp.arange(n_stage, dtype=jnp.int32))
+                )[0]
 
             x_recv = jnp.zeros(
                 (mb_b, s, cfg.d_model), params["embed"].dtype
@@ -371,7 +403,7 @@ def make_train_step_pp(
                 # garbage would 0*NaN-poison the masked-out backward).
                 inp0 = params["embed"][mbs[min(t, M - 1)]]
                 x_in = jnp.where(rank == 0, inp0, x_recv)
-                y = apply_stage(x_in)
+                y = apply_stage(x_in, t)
                 x_recv = jax.lax.ppermute(y, pp, perm)
                 if t >= pp_size - 1:
                     out_mb = t - (pp_size - 1)
@@ -410,10 +442,19 @@ def make_train_step_pp(
         grads = jax.tree.map(lambda g: jax.lax.pmean(g, dp), grads)
         return loss, grads
 
+    if attn_dropout is None:
+        local_grads = lambda params, tokens: _local_grads(
+            params, tokens, jnp.int32(0)
+        )
+        in_specs = (specs, P(dp, None))
+    else:
+        local_grads = _local_grads
+        in_specs = (specs, P(dp, None), P())
+
     grad_map = jax.shard_map(
         local_grads,
         mesh=mesh,
-        in_specs=(specs, P(dp, None)),
+        in_specs=in_specs,
         out_specs=(P(), specs),
         check_vma=False,
     )
@@ -554,6 +595,7 @@ def make_train_step_ep(
     aux_coef: float = 0.01,
     group_size: int = 1024,
     optimizer=None,
+    attn_dropout: float | None = None,
 ):
     """DP x EP training step for MoE models (round 3).
 
@@ -565,6 +607,11 @@ def make_train_step_ep(
     disables dropping entirely, which is also how the differential test
     pins this step against the dense-compute MoE).  ``aux_coef`` weights
     the switch-style load-balancing loss.
+
+    ``attn_dropout`` (round 3): the step takes a trailing traced-int32
+    ``seed``; masks fold (dp rank, layer) but deliberately NOT the ep rank —
+    ep replicates activations, and rank-divergent masks would break the
+    psum-combine algebra (see _moe_mlp_ep).
     """
     if cfg.num_experts is None:
         raise ValueError("make_train_step_ep requires cfg.num_experts")
@@ -573,10 +620,13 @@ def make_train_step_ep(
         raise ValueError(
             f"ep={ep_size} must divide num_experts={cfg.num_experts}"
         )
+    if attn_dropout == 0.0:
+        attn_dropout = None  # rate 0 is the identity, not an error
     specs = ep_param_specs(cfg, ep)
     k = cfg.experts_per_token
+    gold = jnp.int32(-1640531527)
 
-    def local_grads(params, tokens):
+    def _local_grads(params, tokens, seed):
         b_local, s = tokens.shape
         t = b_local * s
         gs = min(group_size, t)
@@ -584,12 +634,16 @@ def make_train_step_ep(
             gs -= 1
         capacity = -(-int(capacity_factor * k * gs) // cfg.num_experts)
         positions = jnp.broadcast_to(jnp.arange(s), (b_local, s))
+        seed = seed * gold + jax.lax.axis_index(dp) * jnp.int32(7919)
 
         def loss_fn(params):
             x = params["embed"][tokens]
             aux_total = 0.0
-            for layer in params["layers"]:
-                x = _attn_block(x, layer, positions, cfg)
+            for li, layer in enumerate(params["layers"]):
+                x = _attn_block(
+                    x, layer, positions, cfg, attn_dropout,
+                    seed * gold + jnp.int32(li + 1),
+                )
                 y, aux = _moe_mlp_ep(
                     _rmsnorm(x, layer["mlp_norm"]), layer, cfg, ep, ep_size,
                     capacity, gs,
@@ -608,10 +662,19 @@ def make_train_step_ep(
         grads = jax.tree.map(lambda g: jax.lax.pmean(g, dp), grads)
         return loss, grads
 
+    if attn_dropout is None:
+        local_grads = lambda params, tokens: _local_grads(
+            params, tokens, jnp.int32(0)
+        )
+        in_specs = (specs, P(dp, None))
+    else:
+        local_grads = _local_grads
+        in_specs = (specs, P(dp, None), P())
+
     grad_map = jax.shard_map(
         local_grads,
         mesh=mesh,
-        in_specs=(specs, P(dp, None)),
+        in_specs=in_specs,
         out_specs=(P(), specs),
         check_vma=False,
     )
@@ -681,8 +744,11 @@ def _make_grad_map(
     def fold_seed(seed):
         if attn_dropout is None:
             return seed
+        # Multiplicative golden-ratio mix BEFORE the rank terms: an additive
+        # fold would alias linear (step, rank) pairs (step s, rank r+1 ==
+        # step s+7919, rank r when seeds are step numbers).
         return (
-            seed
+            seed * jnp.int32(-1640531527)
             + jax.lax.axis_index(dp) * jnp.int32(7919)
             + jax.lax.axis_index(tp) * jnp.int32(104729)
         )
@@ -919,8 +985,12 @@ def make_train_step_sp(
         b, s_local = tokens.shape
         sp_idx = jax.lax.axis_index(sp)
         if attn_dropout is not None:
-            # dp-rank fold: the ring itself only decorrelates over sp.
-            seed = seed + jax.lax.axis_index(dp) * jnp.int32(7919)
+            # dp-rank fold: the ring itself only decorrelates over sp.  The
+            # golden-ratio multiply keeps linear (step, rank) pairs from
+            # aliasing (see _make_grad_map.fold_seed).
+            seed = seed * jnp.int32(-1640531527) + jax.lax.axis_index(
+                dp
+            ) * jnp.int32(7919)
         if zigzag:
             # Local rows = [global half-chunk sp_idx ; half-chunk 2N-1-sp_idx].
             c = s_local // 2

@@ -744,6 +744,29 @@ def ring_attention_vjp_local(
     return ring
 
 
+def _shard_map_ring_vjp(ring, mesh, spec, batch_axis, dropout_rate):
+    """shard_map a per-shard differentiable ring fn, folding the batch-axis
+    rank into the dropout seed (multiplicative golden-ratio mix, so linear
+    (step, rank) collisions like step+7919·rank never alias streams)."""
+    if dropout_rate is not None and dropout_rate != 0.0:
+
+        def shard_fn(q, k, v, seed):
+            if batch_axis is not None:
+                seed = seed * jnp.int32(-1640531527) + jax.lax.axis_index(
+                    batch_axis
+                ) * jnp.int32(7919)
+            return ring(q, k, v, seed)
+
+        in_specs = (spec, spec, spec, P())
+    else:
+        shard_fn = lambda q, k, v: ring(q, k, v)
+        in_specs = (spec, spec, spec)
+    return jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=in_specs, out_specs=spec,
+        check_vma=False,
+    ))
+
+
 def make_ring_attention_vjp(
     mesh: Mesh,
     *,
@@ -763,7 +786,9 @@ def make_ring_attention_vjp(
 
     With ``dropout_rate`` the returned fn takes a fourth ``dropout_seed``
     argument (traced int32) driving regenerated-mask attention dropout; see
-    :func:`ring_attention_vjp_local`."""
+    :func:`ring_attention_vjp_local`.  The ``batch_axis`` rank (if any) is
+    folded into the seed here — the ring's own folds only decorrelate the
+    ``axis_name`` rank, and the kernel's head coordinate is shard-local."""
     axis_size = mesh.shape[axis_name]
     spec = P(batch_axis if batch_axis else None, axis_name, None)
     ring = ring_attention_vjp_local(
@@ -772,23 +797,7 @@ def make_ring_attention_vjp(
         window=window, logit_softcap=logit_softcap,
         dropout_rate=dropout_rate,
     )
-    if dropout_rate is not None and dropout_rate != 0.0:
-        fn = jax.shard_map(
-            lambda q, k, v, seed: ring(q, k, v, seed),
-            mesh=mesh,
-            in_specs=(spec, spec, spec, P()),
-            out_specs=spec,
-            check_vma=False,
-        )
-    else:
-        fn = jax.shard_map(
-            lambda q, k, v: ring(q, k, v),
-            mesh=mesh,
-            in_specs=(spec, spec, spec),
-            out_specs=spec,
-            check_vma=False,
-        )
-    return jax.jit(fn)
+    return _shard_map_ring_vjp(ring, mesh, spec, batch_axis, dropout_rate)
 
 
 def _zigzag_segments(bh, rows, q_seq_len):
@@ -1201,7 +1210,9 @@ def make_zigzag_ring_attention_vjp(
 
     With ``dropout_rate`` the returned fn takes a fourth ``dropout_seed``
     argument (traced int32) driving regenerated-mask attention dropout; see
-    :func:`zigzag_ring_attention_vjp_local`."""
+    :func:`zigzag_ring_attention_vjp_local`.  The ``batch_axis`` rank (if
+    any) is folded into the seed here, as in :func:`make_ring_attention_vjp`.
+    """
     axis_size = mesh.shape[axis_name]
     spec = P(batch_axis if batch_axis else None, axis_name, None)
     zring = zigzag_ring_attention_vjp_local(
@@ -1210,20 +1221,4 @@ def make_zigzag_ring_attention_vjp(
         window=window, logit_softcap=logit_softcap,
         dropout_rate=dropout_rate,
     )
-    if dropout_rate is not None and dropout_rate != 0.0:
-        fn = jax.shard_map(
-            lambda q, k, v, seed: zring(q, k, v, seed),
-            mesh=mesh,
-            in_specs=(spec, spec, spec, P()),
-            out_specs=spec,
-            check_vma=False,
-        )
-    else:
-        fn = jax.shard_map(
-            lambda q, k, v: zring(q, k, v),
-            mesh=mesh,
-            in_specs=(spec, spec, spec),
-            out_specs=spec,
-            check_vma=False,
-        )
-    return jax.jit(fn)
+    return _shard_map_ring_vjp(zring, mesh, spec, batch_axis, dropout_rate)

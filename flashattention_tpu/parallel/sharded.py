@@ -23,6 +23,7 @@ __all__ = [
     "make_allgather_cp_attention",
     "make_reduce_cp_attention",
     "make_ulysses_attention",
+    "make_ulysses_attention_vjp",
 ]
 
 
@@ -229,6 +230,96 @@ def make_ulysses_attention(
                 interpret=interpret,
             )
         # (B, H/N, S, d) -> (B, H, S/N, d): scatter sequence, gather heads.
+        return jax.lax.all_to_all(
+            o, axis_name, split_axis=2, concat_axis=1, tiled=True
+        )
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def make_ulysses_attention_vjp(
+    mesh: Mesh,
+    *,
+    axis_name: str = "sp",
+    causal: bool = False,
+    scale: float = 1.0,
+    block_sizes: BlockSizes | None = None,
+    interpret: bool | None = None,
+):
+    """Differentiable Ulysses sequence parallelism (round 3).
+
+    Same layout and collectives as :func:`make_ulysses_attention`; the local
+    kernel is the VJP-capable fused attention, and the gradient of the comm
+    pattern falls out of autodiff — ``all_to_all`` is self-transposing (its
+    cotangent is the reverse all_to_all) and the GQA KV ``all_gather``'s
+    transpose is a reduce-scatter, so no hand-written backward schedule is
+    needed (contrast the ring, whose custom VJP re-rotates KV).
+
+    vs the differentiable ring for SP *training*: two all-to-alls per
+    direction instead of N-1 ppermutes and no partial-merge numerics, at the
+    cost of holding the full sequence for H/N heads (forward and backward).
+    """
+    from flashattention_tpu.ops.backward import attention_vjp
+
+    axis_size = mesh.shape[axis_name]
+    spec = P(None, None, axis_name, None)
+
+    def local(q, k, v):
+        b, h, s_local, d = q.shape
+        kvh = k.shape[1]
+        if h % axis_size:
+            raise ValueError(f"heads ({h}) must divide over {axis_name}={axis_size}")
+        h_local = h // axis_size
+        s = s_local * axis_size
+        qh = jax.lax.all_to_all(
+            q, axis_name, split_axis=1, concat_axis=2, tiled=True
+        )
+        if kvh == h:
+            kh, vh = (
+                jax.lax.all_to_all(
+                    x, axis_name, split_axis=1, concat_axis=2, tiled=True
+                )
+                for x in (k, v)
+            )
+            o = attention_vjp(
+                qh.reshape(b * h_local, s, d),
+                kh.reshape(b * h_local, s, d),
+                vh.reshape(b * h_local, s, d),
+                causal, scale, block_sizes, None, interpret,
+            ).reshape(b, h_local, s, d)
+        else:
+            # GQA: all-gather the (G-times smaller) KV along sequence and
+            # slice this device's KV-head range — identical to the forward-
+            # only wrapper; the gather's transpose reduce-scatters dK/dV
+            # back to their sequence shards automatically.
+            g = h // kvh
+            if h_local % g and g % h_local:
+                raise ValueError(
+                    f"local q heads ({h_local}) must align with GQA groups "
+                    f"({g}): need h_local % g == 0 or g % h_local == 0"
+                )
+            kf = jax.lax.all_gather(k, axis_name, axis=2, tiled=True)
+            vf = jax.lax.all_gather(v, axis_name, axis=2, tiled=True)
+            idx = jax.lax.axis_index(axis_name)
+            kv_count = max(1, h_local // g)
+            kv_start = (idx * h_local) // g
+            ks_ = jax.lax.dynamic_slice_in_dim(kf, kv_start, kv_count, axis=1)
+            vs_ = jax.lax.dynamic_slice_in_dim(vf, kv_start, kv_count, axis=1)
+            # Fold (B, H/N) and the per-KV-head q groups into the kernel's
+            # GQA row layout: rows g-major per KV head, unrepeated KV.
+            gl = h_local // kv_count  # q groups per local KV head
+            qf = qh.reshape(b * kv_count, gl * s, d)
+            o = attention_vjp(
+                qf,
+                ks_.reshape(b * kv_count, s, d),
+                vs_.reshape(b * kv_count, s, d),
+                causal, scale, block_sizes, None, interpret,
+                s if gl > 1 else None,
+            ).reshape(b, kv_count, gl, s, d).reshape(b, h_local, s, d)
         return jax.lax.all_to_all(
             o, axis_name, split_axis=2, concat_axis=1, tiled=True
         )

@@ -30,7 +30,8 @@ def make_qkv(bh, s, d, dtype=jnp.float32, key=0):
     return q, k, v, do
 
 
-def oracle(q, k, v, keeps, rate, *, causal, scale, q_seq_len=None):
+def oracle(q, k, v, keeps, rate, *, causal, scale, q_seq_len=None,
+           window=None):
     """Plain-jnp attention applying the explicit keep mask post-softmax."""
     q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
     s_kv = k.shape[1]
@@ -39,7 +40,10 @@ def oracle(q, k, v, keeps, rate, *, causal, scale, q_seq_len=None):
         rows = jnp.arange(q.shape[1])
         if q_seq_len is not None:
             rows = rows % q_seq_len  # GQA fold: position is row % segment
-        m = rows[:, None] >= jnp.arange(s_kv)[None, :]
+        cols = jnp.arange(s_kv)[None, :]
+        m = rows[:, None] >= cols
+        if window is not None:
+            m &= cols > rows[:, None] - window
         s = jnp.where(m[None], s, -1e30)
     p = jax.nn.softmax(s, axis=-1)
     z = jnp.where(keeps, p, 0.0) / (1 - rate)
@@ -397,3 +401,112 @@ def test_sp_train_step_with_attention_dropout(zigzag):
     step_plain = make_train_step_sp(mesh, cfg, lr=5e-2, zigzag=zigzag)
     loss, _ = step_plain(params, tokens)
     assert np.isfinite(float(loss))
+
+
+def _zigzag_win_keeps(seed, bh, n, s_local, rate):
+    """Global keep matrix of the WINDOWED zigzag ring's three per-(i, src)
+    pieces: 0 = q_lo vs kv_lo, 1 = q_hi vs kv_lo, 2 = q_hi vs kv_hi (each a
+    (c, c) chunk-local draw; q_lo never attends kv_hi — causally dead)."""
+    c = s_local // 2
+    s = n * s_local
+    keeps = np.zeros((bh, s, s), bool)
+    for i in range(n):
+        lo, hi = i * c, (2 * n - 1 - i) * c
+        for src in range(n):
+            klo, khi = src * c, (2 * n - 1 - src) * c
+            for b in range(bh):
+                pieces = [
+                    (lo, klo, 0),
+                    (hi, klo, 1),
+                    (hi, khi, 2),
+                ]
+                for rbase, cbase, piece in pieces:
+                    m = np.asarray(F.dropout_keep_mask(
+                        _fold(seed, i, src, piece), b, 0, 0, (c, c), rate))
+                    keeps[b, rbase:rbase + c, cbase:cbase + c] = m
+    return jnp.asarray(keeps)
+
+
+def test_ring_dropout_window_matches_assembled_oracle():
+    """Windowed causal ring + dropout: the per-(device, chunk) piece-0 folds
+    reassemble to the oracle's keep matrix under the sliding-window mask."""
+    from flashattention_tpu.parallel.ring import make_ring_attention_vjp
+
+    n, bh, s_local, d = 4, 2, 128, 32
+    rate, seed, win = 0.2, 37, 192
+    s = n * s_local
+    scale = d**-0.5
+    mesh = Mesh(np.array(jax.devices()[:n]), ("sp",))
+    q, k, v, do = make_qkv(bh, s, d, key=43)
+    keeps = _ring_keeps(seed, bh, n, s_local, rate)
+
+    spec = NamedSharding(mesh, P(None, "sp", None))
+    qs, ks_, vs = (jax.device_put(x, spec) for x in (q, k, v))
+    ring = make_ring_attention_vjp(
+        mesh, axis_name="sp", causal=True, scale=scale, window=win,
+        dropout_rate=rate,
+    )
+
+    got_o = ring(qs, ks_, vs, jnp.int32(seed))
+    want_o = oracle(q, k, v, keeps, rate, causal=True, scale=scale, window=win)
+    assert float(jnp.max(jnp.abs(got_o - want_o))) < 5e-4
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ring(q, k, v, jnp.int32(seed)) * do)
+
+    def loss_or(q, k, v):
+        return jnp.sum(
+            oracle(q, k, v, keeps, rate, causal=True, scale=scale, window=win)
+            * do
+        )
+
+    got = jax.grad(loss_ring, argnums=(0, 1, 2))(qs, ks_, vs)
+    want = jax.grad(loss_or, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", got, want):
+        err = float(jnp.max(jnp.abs(a - b)))
+        assert err < 5e-4, (name, err)
+
+
+def test_zigzag_ring_dropout_window_matches_assembled_oracle():
+    """Windowed zigzag ring + dropout: the 3-piece (i, src) seed folds of
+    compute_win/grads_win reassemble to the oracle's keep matrix — the
+    Mistral-class (sliding window + dropout) long-context training path."""
+    from flashattention_tpu.parallel.ring import (
+        make_zigzag_ring_attention_vjp,
+        zigzag_shard,
+        zigzag_unshard,
+    )
+
+    n, bh, s_local, d = 4, 2, 256, 32
+    rate, seed, win = 0.25, 53, 320
+    s = n * s_local
+    scale = d**-0.5
+    mesh = Mesh(np.array(jax.devices()[:n]), ("sp",))
+    q, k, v, do = make_qkv(bh, s, d, key=59)
+    keeps = _zigzag_win_keeps(seed, bh, n, s_local, rate)
+
+    qz, kz, vz, dz = (zigzag_shard(x, n) for x in (q, k, v, do))
+    spec = NamedSharding(mesh, P(None, "sp", None))
+    qz, kz, vz = (jax.device_put(x, spec) for x in (qz, kz, vz))
+    zring = make_zigzag_ring_attention_vjp(
+        mesh, axis_name="sp", scale=scale, window=win, dropout_rate=rate
+    )
+
+    got_o = zigzag_unshard(zring(qz, kz, vz, jnp.int32(seed)), n)
+    want_o = oracle(q, k, v, keeps, rate, causal=True, scale=scale, window=win)
+    assert float(jnp.max(jnp.abs(got_o - want_o))) < 5e-4
+
+    def loss_z(q, k, v):
+        return jnp.sum(zring(q, k, v, jnp.int32(seed)) * dz)
+
+    def loss_or(q, k, v):
+        return jnp.sum(
+            oracle(q, k, v, keeps, rate, causal=True, scale=scale, window=win)
+            * do
+        )
+
+    got = jax.grad(loss_z, argnums=(0, 1, 2))(qz, kz, vz)
+    want = jax.grad(loss_or, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", got, want):
+        err = float(jnp.max(jnp.abs(zigzag_unshard(a, n) - b)))
+        assert err < 5e-4, (name, err)

@@ -242,3 +242,43 @@ def test_new_steps_accept_optax():
     os1 = jax.jit(opt.init)(p1)
     loss, p1, os1 = step_p(p1, os1, t1, seg)
     assert np.isfinite(float(loss))
+
+
+def test_ep_dropout_matches_dense_at_full_capacity():
+    """EP attention dropout (round 3): at dp=tp=1 the dense step's seed folds
+    reduce to exactly the EP step's (dp-rank + per-layer golden-ratio mix, no
+    ep fold — ep ranks replicate activations), so EP at no-drop capacity with
+    dropout must STILL reproduce the dense step bit-for-bit per seed."""
+    cfg = moe_cfg(num_layers=2)
+    params = transformer.init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (2, 128), 0, cfg.vocab_size)
+    rate, seed = 0.2, 5
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("dp", "tp"))
+    p1 = shard_params(params, mesh1, cfg)
+    t1 = jax.device_put(tokens, NamedSharding(mesh1, P("dp", None)))
+    step1 = make_train_step(mesh1, cfg, lr=1e-2, attn_dropout=rate)
+    loss1, new1 = step1(p1, t1, seed)
+
+    mesh_ep = Mesh(np.array(jax.devices()[:4]).reshape(1, 4), ("dp", "ep"))
+    pe = shard_params_ep(params, mesh_ep, cfg)
+    te = jax.device_put(tokens, NamedSharding(mesh_ep, P("dp", None)))
+    step_ep = make_train_step_ep(
+        mesh_ep, cfg, lr=1e-2,
+        capacity_factor=cfg.num_experts / cfg.experts_per_token,
+        aux_coef=0.0, attn_dropout=rate,
+    )
+    loss_ep, new_ep = step_ep(pe, te, seed)
+
+    assert float(loss_ep) == pytest.approx(float(loss1), rel=2e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5
+        ),
+        new_ep, new1,
+    )
+    # Determinism / seed sensitivity on the EP side.
+    loss_ep2, _ = step_ep(pe, te, seed)
+    loss_ep3, _ = step_ep(pe, te, seed + 1)
+    assert float(loss_ep2) == float(loss_ep)
+    assert float(loss_ep3) != float(loss_ep)

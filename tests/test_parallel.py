@@ -670,3 +670,44 @@ def test_ring_attention_quantized_kv_gqa():
         causal=True,
     )
     validate_result(o, want, 5e-2)
+
+
+@pytest.mark.parametrize("hq,hkv", [(8, 8), (8, 2), (16, 4)])
+def test_ulysses_vjp_matches_dense_grads(hq, hkv):
+    """Differentiable Ulysses (round 3): grads == dense-oracle autodiff.
+
+    The comm pattern's backward falls out of autodiff (all_to_all is
+    self-transposing; the GQA KV all_gather transposes to reduce-scatter);
+    this pins both the MHA head-scatter and the GQA gather+fold layouts."""
+    from flashattention_tpu.parallel.sharded import make_ulysses_attention_vjp
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(1, 8), ("dp", "sp"))
+    b, s, d = 2, 8 * 128, 32
+    ks = jax.random.split(jax.random.key(60 + hq), 4)
+    q = make_random(ks[0], (b, hq, s, d))
+    k = make_random(ks[1], (b, hkv, s, d))
+    v = make_random(ks[2], (b, hkv, s, d))
+    t = make_random(ks[3], (b, hq, s, d))
+    g = hq // hkv
+
+    def loss_ref(q, k, v):
+        o = attention_reference(
+            q.reshape(b * hq, s, d),
+            jnp.repeat(k, g, 1).reshape(b * hq, s, d),
+            jnp.repeat(v, g, 1).reshape(b * hq, s, d),
+            causal=True,
+        )
+        return jnp.sum(o * t.reshape(b * hq, s, d))
+
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    spec = NamedSharding(mesh, P(None, None, "sp", None))
+    qd, kd, vd = (jax.device_put(x, spec) for x in (q, k, v))
+    fn = make_ulysses_attention_vjp(mesh, axis_name="sp", causal=True)
+
+    def loss_u(q, k, v):
+        return jnp.sum(fn(q, k, v) * t)
+
+    got = jax.grad(loss_u, argnums=(0, 1, 2))(qd, kd, vd)
+    for name, a, b in zip("dq dk dv".split(), got, want):
+        validate_result(a, b, 5e-3, name=name)

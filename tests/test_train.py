@@ -370,3 +370,40 @@ def test_model_family_presets_construct_and_run():
     assert g.head_dim == 256 and g.logit_softcap == 50.0
     x = ModelConfig.mixtral8x7b(num_layers=3)
     assert x.num_experts == 8 and x.experts_per_token == 2 and x.num_layers == 3
+
+
+def test_pp_train_step_with_attention_dropout():
+    """PP attention dropout (round 3): deterministic per seed, new seed
+    changes the draw, finite over steps; masks fold (dp, pipeline step,
+    global layer)."""
+    from flashattention_tpu.models.train import (
+        make_train_step_pp, shard_params_pp,
+    )
+
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=4, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "pp"))
+    pp_params = shard_params_pp(params, mesh, cfg)
+    tokens = jax.device_put(
+        jax.random.randint(jax.random.key(2), (4, 128), 0, cfg.vocab_size),
+        NamedSharding(mesh, P("dp", None)),
+    )
+    step = make_train_step_pp(
+        mesh, cfg, lr=5e-2, n_microbatches=2, attn_dropout=0.1
+    )
+    l0a, _ = step(pp_params, tokens, 0)
+    l0b, _ = step(pp_params, tokens, 0)
+    l1, _ = step(pp_params, tokens, 1)
+    assert float(l0a) == float(l0b)
+    assert float(l0a) != float(l1)
+    p = pp_params
+    for i in range(3):
+        loss, p = step(p, tokens, i)
+        assert np.isfinite(float(loss))
+    # Dropout off keeps the historical two-arg signature working.
+    step_plain = make_train_step_pp(mesh, cfg, lr=5e-2, n_microbatches=2)
+    loss, _ = step_plain(pp_params, tokens)
+    assert np.isfinite(float(loss))
