@@ -407,3 +407,107 @@ def test_pp_train_step_with_attention_dropout():
     step_plain = make_train_step_pp(mesh, cfg, lr=5e-2, n_microbatches=2)
     loss, _ = step_plain(pp_params, tokens)
     assert np.isfinite(float(loss))
+
+
+# ── 3D parallelism: DP x TP x SP (round 3) ──────────────────────────────────
+
+
+@pytest.mark.parametrize("zigzag", [False, True])
+def test_3d_matches_single_device(zigzag):
+    """DP x TP x SP (2x2x2) must reproduce the dense single-device loss and
+    parameter update: Megatron f/g grads + ring-SP psum compose exactly."""
+    from flashattention_tpu.models.train import make_train_step_3d
+
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=2, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+    s = 2 * 2 * 128 if zigzag else 2 * 128
+    tokens = jax.random.randint(jax.random.key(1), (4, s), 0, cfg.vocab_size)
+
+    mesh1 = make_mesh(1, 1)
+    p1 = shard_params(params, mesh1, cfg)
+    t1 = jax.device_put(tokens, NamedSharding(mesh1, P("dp", None)))
+    step1 = make_train_step(mesh1, cfg, lr=1e-2)
+    loss1, new1 = step1(p1, t1)
+
+    mesh3 = Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 2, 2), ("dp", "tp", "sp")
+    )
+    p3 = shard_params(params, mesh3, cfg)
+    t3 = jax.device_put(tokens, NamedSharding(mesh3, P("dp", "sp")))
+    step3 = make_train_step_3d(mesh3, cfg, lr=1e-2, zigzag=zigzag)
+    loss3, new3 = step3(p3, t3)
+
+    assert float(loss3) == pytest.approx(float(loss1), rel=2e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5
+        ),
+        new3, new1,
+    )
+
+
+def test_3d_train_step_with_attention_dropout():
+    """3D step with attn_dropout: deterministic per seed, seed-sensitive,
+    finite; masks fold (dp, tp, layer) + the ring's (sp, chunk, piece)."""
+    from flashattention_tpu.models.train import make_train_step_3d
+
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=2, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+    mesh3 = Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 2, 2), ("dp", "tp", "sp")
+    )
+    p3 = shard_params(params, mesh3, cfg)
+    tokens = jax.device_put(
+        jax.random.randint(jax.random.key(2), (4, 2 * 128), 0, cfg.vocab_size),
+        NamedSharding(mesh3, P("dp", "sp")),
+    )
+    step = make_train_step_3d(mesh3, cfg, lr=5e-2, attn_dropout=0.1)
+    l0a, _ = step(p3, tokens, 0)
+    l0b, _ = step(p3, tokens, 0)
+    l1, _ = step(p3, tokens, 1)
+    assert float(l0a) == float(l0b)
+    assert float(l0a) != float(l1)
+    p = p3
+    for i in range(3):
+        loss, p = step(p, tokens, i)
+        assert np.isfinite(float(loss))
+
+
+def test_3d_optax_matches_sgd():
+    """3D step with an optax SGD == the built-in SGD update."""
+    import optax
+
+    from flashattention_tpu.models.train import make_train_step_3d
+
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=1, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+    mesh3 = Mesh(
+        np.array(jax.devices()[:8]).reshape(2, 2, 2), ("dp", "tp", "sp")
+    )
+    p3 = shard_params(params, mesh3, cfg)
+    tokens = jax.device_put(
+        jax.random.randint(jax.random.key(3), (4, 2 * 128), 0, cfg.vocab_size),
+        NamedSharding(mesh3, P("dp", "sp")),
+    )
+    step_sgd = make_train_step_3d(mesh3, cfg, lr=1e-2)
+    loss_a, new_a = step_sgd(p3, tokens)
+
+    opt = optax.sgd(1e-2)
+    step_opt = make_train_step_3d(mesh3, cfg, optimizer=opt)
+    loss_b, new_b, _ = step_opt(p3, opt.init(p3), tokens)
+    assert float(loss_a) == pytest.approx(float(loss_b), rel=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        new_a, new_b,
+    )
