@@ -45,6 +45,9 @@ __all__ = [
     "make_train_step_3d",
     "make_train_step_pp",
     "make_train_step_ep",
+    "make_train_step_fsdp",
+    "fsdp_param_specs",
+    "shard_params_fsdp",
     "packed_positions",
     "stack_params",
     "shard_params_pp",
@@ -1333,3 +1336,168 @@ def make_train_step_3d(
         return loss, new_params, opt_state
 
     return jax.jit(opt_step)
+
+
+def fsdp_param_specs(params, mesh: Mesh, fsdp: str = "dp") -> dict:
+    """ZeRO-3-style at-rest sharding specs: every leaf shards its first
+    ``fsdp``-divisible dim; indivisible leaves (tiny norms) replicate.
+
+    The reference has no multi-device story at all (SURVEY.md 2.15/2.16);
+    this is the framework's weight-sharded data parallelism — param memory
+    per chip is O(total/N) at rest, full weights exist only transiently
+    inside the step (gathered per step, the ZeRO-3 deployment).
+    """
+    size = mesh.shape[fsdp]
+
+    def spec_for(x):
+        for i, dim in enumerate(x.shape):
+            if dim % size == 0 and dim >= size:
+                return P(*([None] * i + [fsdp]))
+        return P()
+
+    return jax.tree.map(spec_for, params)
+
+
+def shard_params_fsdp(params, mesh: Mesh, fsdp: str = "dp"):
+    specs = fsdp_param_specs(params, mesh, fsdp)
+    return (
+        jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            params, specs, is_leaf=lambda x: isinstance(x, jax.Array),
+        ),
+        specs,
+    )
+
+
+def make_train_step_fsdp(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    *,
+    fsdp: str = "dp",
+    lr: float = 1e-3,
+    optimizer=None,
+    attn_dropout: float | None = None,
+):
+    """Fully-sharded data-parallel (ZeRO-3-class) training step (round 3).
+
+    Params live SHARDED over the ``fsdp`` axis (:func:`shard_params_fsdp`);
+    each step all-gathers every leaf to full just-in-time inside the
+    shard_map, runs the dense forward on the local batch shard, and the
+    gradients come back already reduce-scattered — the transpose of a tiled
+    ``all_gather`` is ``psum_scatter``, so autodiff through the gather IS
+    the ZeRO gradient bucketing, with no hand-written reduce.  The local
+    loss is pre-divided by the axis size so that psum-scatter yields the
+    exact global-mean gradient.  Optimizer state (optax) mirrors the
+    sharded params, so it is O(total/N) per chip too — the ZeRO point.
+
+    ``step(params, tokens[, seed]) -> (loss, new_params)`` (optax variant
+    threads opt_state).  ``attn_dropout`` folds (fsdp rank, layer).
+    """
+    if attn_dropout == 0.0:
+        attn_dropout = None  # rate 0 is the identity, not an error
+    size = mesh.shape[fsdp]
+    g = cfg.group_size
+    hkv = cfg.num_kv_heads
+    hd = cfg.head_dim
+    gold = jnp.int32(-1640531527)
+
+    from flashattention_tpu.models.transformer import init_params
+
+    example = jax.eval_shape(lambda: init_params(jax.random.key(0), cfg))
+    specs = fsdp_param_specs(example, mesh, fsdp)
+
+    def gather_full(shard, spec):
+        axes = [i for i, a in enumerate(spec) if a == fsdp]
+        if not axes:
+            return shard
+        return jax.lax.all_gather(shard, fsdp, axis=axes[0], tiled=True)
+
+    def forward(params, tokens, seed):
+        b, s = tokens.shape
+        positions = jnp.broadcast_to(jnp.arange(s), (b, s))
+        x = params["embed"][tokens]
+        for li, layer in enumerate(params["layers"]):
+            h = _rmsnorm(x, layer["attn_norm"])
+            q = _rope(
+                (h @ layer["wq"]).reshape(b, s, cfg.num_q_heads, hd),
+                positions, cfg.rope_theta,
+            )
+            k = _rope(
+                (h @ layer["wk"]).reshape(b, s, hkv, hd),
+                positions, cfg.rope_theta,
+            )
+            v = (h @ layer["wv"]).reshape(b, s, hkv, hd)
+            qf = q.transpose(0, 2, 1, 3).reshape(b * hkv, g * s, hd)
+            kf = k.transpose(0, 2, 1, 3).reshape(b * hkv, s, hd)
+            vf = v.transpose(0, 2, 1, 3).reshape(b * hkv, s, hd)
+            lseed = (
+                seed * gold + jnp.int32(li + 1)
+                if attn_dropout is not None else 0
+            )
+            o = attention_vjp(
+                qf, kf, vf, True, hd**-0.5, None, None, None,
+                s if g > 1 else None, cfg.sliding_window, cfg.logit_softcap,
+                attn_dropout, lseed,
+            )
+            o = (
+                o.reshape(b, cfg.num_q_heads, s, hd)
+                .transpose(0, 2, 1, 3)
+                .reshape(b, s, -1)
+            )
+            x = x + o @ layer["wo"]
+            x = x + _mlp(
+                _rmsnorm(x, layer["mlp_norm"]), layer, cfg.experts_per_token
+            )
+        return _rmsnorm(x, params["final_norm"]) @ params["lm_head"]
+
+    def local_grads(shards, tokens, seed):
+        if attn_dropout is not None:
+            seed = seed * gold + jax.lax.axis_index(fsdp) * jnp.int32(7919)
+
+        def loss_fn(shards):
+            params = jax.tree.map(
+                gather_full, shards, specs,
+                is_leaf=lambda x: isinstance(x, P),
+            )
+            logits = forward(params, tokens, seed)
+            targets = tokens[:, 1:]
+            logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), -1)
+            nll = jnp.mean(-jnp.take_along_axis(logp, targets[..., None], -1))
+            # Pre-divide by the axis size: the gather's transpose psum-
+            # scatters shard grads (a SUM over fsdp), so this yields the
+            # exact global-mean gradient with no post-hoc rescale.
+            return nll / size
+
+        loss, grads = jax.value_and_grad(loss_fn)(shards)
+        return jax.lax.psum(loss, fsdp), grads
+
+    grad_map = jax.shard_map(
+        local_grads,
+        mesh=mesh,
+        in_specs=(specs, P(fsdp, None), P()),
+        out_specs=(P(), specs),
+        check_vma=False,
+    )
+
+    if optimizer is None:
+
+        @jax.jit
+        def step(params, tokens, seed=0):
+            loss, grads = grad_map(params, tokens, jnp.int32(seed))
+            new_params = jax.tree.map(
+                lambda p, g_: p - lr * g_.astype(p.dtype), params, grads
+            )
+            return loss, new_params
+
+        return step
+
+    @jax.jit
+    def opt_step(params, opt_state, tokens, seed=0):
+        loss, grads = grad_map(params, tokens, jnp.int32(seed))
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        new_params = jax.tree.map(
+            lambda p, u: p + u.astype(p.dtype), params, updates
+        )
+        return loss, new_params, opt_state
+
+    return opt_step
