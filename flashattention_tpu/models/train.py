@@ -160,7 +160,7 @@ def packed_positions(segment_ids):
 def _forward_local(
     params, tokens, cfg: ModelConfig, tp_size: int, tp_axis: str,
     attn_dropout: float | None = None, dropout_seed=None,
-    segment_ids=None,
+    segment_ids=None, remat: bool = False,
 ):
     """Per-device forward on the local TP shard of heads/intermediate.
 
@@ -172,6 +172,12 @@ def _forward_local(
     the fused kernel's regenerated-mask path.  The seed must already be
     shard-unique (see _make_grad_map); each layer folds its index in so
     layers draw independent masks.
+
+    ``remat`` (round 3): wrap each layer in ``jax.checkpoint`` — activation
+    memory drops from O(L) layer activations to O(1) + recompute in the
+    backward (the flash kernel already recomputes its own tiles, so the
+    whole backward stays memory-flat in depth).  Dropout composes: the
+    recomputed forward regenerates identical masks from the same seeds.
     """
     b, s = tokens.shape
     hq_local = cfg.num_q_heads // tp_size
@@ -192,7 +198,8 @@ def _forward_local(
     else:
         positions = jnp.broadcast_to(jnp.arange(s), (b, s))
         seg_qf = seg_kvf = None
-    for li, layer in enumerate(params["layers"]):
+
+    def one_layer(x, layer, lseed):
         h = _f_identity(_rmsnorm(x, layer["attn_norm"]), tp_axis)
         q = (h @ layer["wq"]).reshape(b, s, hq_local, cfg.head_dim)
         k = (h @ layer["wk"]).reshape(b, s, hkv_local, cfg.head_dim)
@@ -206,12 +213,6 @@ def _forward_local(
         qf = q.transpose(0, 2, 1, 3).reshape(b * hkv_local, g * s, cfg.head_dim)
         kf = k.transpose(0, 2, 1, 3).reshape(b * hkv_local, s, cfg.head_dim)
         vf = v.transpose(0, 2, 1, 3).reshape(b * hkv_local, s, cfg.head_dim)
-        if attn_dropout is not None:
-            # Per-layer seed: golden-ratio odd multiplier (int32 wrap) keeps
-            # consecutive step seeds' layer streams disjoint.
-            lseed = dropout_seed * jnp.int32(-1640531527) + jnp.int32(li + 1)
-        else:
-            lseed = 0
         o = attention_vjp(
             qf, kf, vf, True, cfg.head_dim**-0.5, None, None, None,
             s if g > 1 else None, cfg.sliding_window, cfg.logit_softcap,
@@ -223,13 +224,22 @@ def _forward_local(
             .reshape(b, s, hq_local * cfg.head_dim)
         )
         # Row-sharded output projection: local partial sum + all-reduce (g).
-        attn_out = _g_allreduce(o @ layer["wo"], tp_axis)
-        x = x + attn_out
-        mlp_out = _g_allreduce(
+        x = x + _g_allreduce(o @ layer["wo"], tp_axis)
+        return x + _g_allreduce(
             _mlp(_f_identity(_rmsnorm(x, layer["mlp_norm"]), tp_axis), layer, cfg.experts_per_token),
             tp_axis,
         )
-        x = x + mlp_out
+
+    if remat:
+        one_layer = jax.checkpoint(one_layer)
+    for li, layer in enumerate(params["layers"]):
+        if attn_dropout is not None:
+            # Per-layer seed: golden-ratio odd multiplier (int32 wrap) keeps
+            # consecutive step seeds' layer streams disjoint.
+            lseed = dropout_seed * jnp.int32(-1640531527) + jnp.int32(li + 1)
+        else:
+            lseed = 0
+        x = one_layer(x, layer, lseed)
     x = _rmsnorm(x, params["final_norm"])
     return x @ params["lm_head"]
 
@@ -322,6 +332,7 @@ def make_train_step_pp(
     n_microbatches: int = 2,
     optimizer=None,
     attn_dropout: float | None = None,
+    remat: bool = False,
 ):
     """GPipe-style pipeline-parallel training step (round 3).
 
@@ -380,18 +391,21 @@ def make_train_step_pp(
             mbs = tokens.reshape(M, mb_b, s)
             stage = params["layers"]  # (L/pp, ...) local slice
 
+            def stage_layer(x, layer, lseed):
+                return _layer_forward(
+                    x, layer, positions, cfg, attn_dropout, lseed
+                )
+
+            if remat:
+                stage_layer = jax.checkpoint(stage_layer)
+
             def apply_stage(x, t):
                 tseed = seed * gold + jnp.int32(t)
 
                 def body(x, xs):
                     layer, li = xs
                     lseed = tseed * gold + layer_base + li + 1
-                    return (
-                        _layer_forward(
-                            x, layer, positions, cfg, attn_dropout, lseed
-                        ),
-                        None,
-                    )
+                    return (stage_layer(x, layer, lseed), None)
 
                 n_stage = cfg.num_layers // pp_size
                 return jax.lax.scan(
@@ -601,6 +615,7 @@ def make_train_step_ep(
     group_size: int = 1024,
     optimizer=None,
     attn_dropout: float | None = None,
+    remat: bool = False,
 ):
     """DP x EP training step for MoE models (round 3).
 
@@ -641,19 +656,24 @@ def make_train_step_ep(
         positions = jnp.broadcast_to(jnp.arange(s), (b_local, s))
         seed = seed * gold + jax.lax.axis_index(dp) * jnp.int32(7919)
 
+        def one_layer(x, layer, lseed):
+            x = _attn_block(x, layer, positions, cfg, attn_dropout, lseed)
+            y, aux = _moe_mlp_ep(
+                _rmsnorm(x, layer["mlp_norm"]), layer, cfg, ep, ep_size,
+                capacity, gs,
+            )
+            return x + y, aux
+
+        if remat:
+            one_layer = jax.checkpoint(one_layer)
+
         def loss_fn(params):
             x = params["embed"][tokens]
             aux_total = 0.0
             for li, layer in enumerate(params["layers"]):
-                x = _attn_block(
-                    x, layer, positions, cfg, attn_dropout,
-                    seed * gold + jnp.int32(li + 1),
+                x, aux = one_layer(
+                    x, layer, seed * gold + jnp.int32(li + 1)
                 )
-                y, aux = _moe_mlp_ep(
-                    _rmsnorm(x, layer["mlp_norm"]), layer, cfg, ep, ep_size,
-                    capacity, gs,
-                )
-                x = x + y
                 aux_total = aux_total + aux
             x = _rmsnorm(x, params["final_norm"])
             logits = x @ params["lm_head"]
@@ -718,7 +738,7 @@ def _make_step(grad_call, lr, optimizer):
 
 def _make_grad_map(
     mesh, cfg, *, dp, tp, attn_dropout: float | None = None,
-    packed: bool = False,
+    packed: bool = False, remat: bool = False,
 ):
     """shard_mapped forward/backward: the ONE DP x TP grad map shared by the
     SGD, optax, and packed training steps (one copy keeps loss masking /
@@ -771,7 +791,7 @@ def _make_grad_map(
             def loss_fn(params):
                 logits = _forward_local(
                     params, tokens, cfg, tp_size, tp, attn_dropout, seed,
-                    segment_ids=segment_ids,
+                    segment_ids=segment_ids, remat=remat,
                 )
                 targets = tokens[:, 1:]
                 # Valid next-token target: same document, not padding.
@@ -803,7 +823,8 @@ def _make_grad_map(
 
             def loss_fn(params):
                 logits = _forward_local(
-                    params, tokens, cfg, tp_size, tp, attn_dropout, seed
+                    params, tokens, cfg, tp_size, tp, attn_dropout, seed,
+                    remat=remat,
                 )
                 targets = tokens[:, 1:]
                 logp = jax.nn.log_softmax(
@@ -833,6 +854,7 @@ def make_train_step(
     tp: str = "tp",
     lr: float = 1e-3,
     attn_dropout: float | None = None,
+    remat: bool = False,
 ):
     """Jitted (params, tokens) -> (loss, new_params) SGD step over the mesh.
 
@@ -842,8 +864,14 @@ def make_train_step(
     With ``attn_dropout`` the step takes an extra ``seed`` argument
     (per-step int32; pass the step counter) driving the fused kernel's
     attention dropout: ``step(params, tokens, seed)``.
+
+    ``remat=True`` checkpoints each layer (jax.checkpoint): activation
+    memory O(1) in depth at ~1/3 extra FLOPs — bitwise-identical loss and
+    gradients (pinned by tests/test_train.py).
     """
-    grad_map = _make_grad_map(mesh, cfg, dp=dp, tp=tp, attn_dropout=attn_dropout)
+    grad_map = _make_grad_map(
+        mesh, cfg, dp=dp, tp=tp, attn_dropout=attn_dropout, remat=remat
+    )
 
     @jax.jit
     def step(params, tokens, seed=0):
@@ -864,6 +892,7 @@ def make_train_step_optax(
     dp: str = "dp",
     tp: str = "tp",
     attn_dropout: float | None = None,
+    remat: bool = False,
 ):
     """DP x TP training step with an arbitrary optax optimizer (round 2).
 
@@ -880,7 +909,9 @@ def make_train_step_optax(
         opt_state = jax.jit(opt.init)(params)   # params already sharded
         loss, params, opt_state = step(params, opt_state, tokens)
     """
-    grad_map = _make_grad_map(mesh, cfg, dp=dp, tp=tp, attn_dropout=attn_dropout)
+    grad_map = _make_grad_map(
+        mesh, cfg, dp=dp, tp=tp, attn_dropout=attn_dropout, remat=remat
+    )
 
     @jax.jit
     def step(params, opt_state, tokens, seed=0):
@@ -903,6 +934,7 @@ def make_train_step_packed(
     lr: float = 1e-3,
     attn_dropout: float | None = None,
     optimizer=None,
+    remat: bool = False,
 ):
     """DP x TP training step over PACKED rows (round 3).
 
@@ -917,7 +949,8 @@ def make_train_step_packed(
     targets, globally weighted across DP shards by valid-token count.
     """
     grad_map = _make_grad_map(
-        mesh, cfg, dp=dp, tp=tp, attn_dropout=attn_dropout, packed=True
+        mesh, cfg, dp=dp, tp=tp, attn_dropout=attn_dropout, packed=True,
+        remat=remat,
     )
 
     def grad_call(params, tokens, segment_ids, seed=0):
@@ -938,6 +971,7 @@ def make_train_step_sp(
     zigzag: bool = False,
     optimizer=None,
     attn_dropout: float | None = None,
+    remat: bool = False,
 ):
     """Sequence-parallel training step: sequences shard over the ``sp`` axis
     and attention runs through the *differentiable ring* (parallel/ring.py),
@@ -1024,8 +1058,8 @@ def make_train_step_sp(
                 dropout_rate=attn_dropout,
             )
         kvh = cfg.num_kv_heads
-        x = params["embed"][tokens]
-        for li, layer in enumerate(params["layers"]):
+
+        def one_layer(x, layer, lseed):
             h = _rmsnorm(x, layer["attn_norm"])
             q = (h @ layer["wq"]).reshape(b, s_local, cfg.num_q_heads, cfg.head_dim)
             k = (h @ layer["wk"]).reshape(b, s_local, kvh, cfg.head_dim)
@@ -1043,9 +1077,6 @@ def make_train_step_sp(
             kf = k.transpose(0, 2, 1, 3).reshape(b * kvh, s_local, cfg.head_dim)
             vf = v.transpose(0, 2, 1, 3).reshape(b * kvh, s_local, cfg.head_dim)
             if attn_dropout is not None:
-                # Per-layer seed: golden-ratio odd multiplier (int32 wrap)
-                # keeps consecutive step seeds' layer streams disjoint.
-                lseed = seed * jnp.int32(-1640531527) + jnp.int32(li + 1)
                 o = ring(qf, kf, vf, lseed)
             else:
                 o = ring(qf, kf, vf)
@@ -1055,7 +1086,24 @@ def make_train_step_sp(
                 .reshape(b, s_local, -1)
             )
             x = x + o @ layer["wo"]
-            x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer, cfg.experts_per_token)
+            return x + _mlp(
+                _rmsnorm(x, layer["mlp_norm"]), layer, cfg.experts_per_token
+            )
+
+        if remat:
+            # Checkpoint each layer: the backward re-runs the forward ring
+            # (same seed folds -> identical dropout masks), so activation
+            # memory stays O(1) in depth at ring-scale sequence lengths.
+            one_layer = jax.checkpoint(one_layer)
+        x = params["embed"][tokens]
+        for li, layer in enumerate(params["layers"]):
+            if attn_dropout is not None:
+                # Per-layer seed: golden-ratio odd multiplier (int32 wrap)
+                # keeps consecutive step seeds' layer streams disjoint.
+                lseed = seed * jnp.int32(-1640531527) + jnp.int32(li + 1)
+            else:
+                lseed = 0
+            x = one_layer(x, layer, lseed)
         x = _rmsnorm(x, params["final_norm"])
         return x @ params["lm_head"]
 
@@ -1149,6 +1197,7 @@ def make_train_step_3d(
     zigzag: bool = False,
     optimizer=None,
     attn_dropout: float | None = None,
+    remat: bool = False,
 ):
     """3D-parallel training step: DP x Megatron-TP x ring-SP (round 3).
 
@@ -1227,8 +1276,7 @@ def make_train_step_3d(
                 window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
                 dropout_rate=attn_dropout,
             )
-        x = params["embed"][tokens]
-        for li, layer in enumerate(params["layers"]):
+        def one_layer(x, layer, lseed):
             h = _f_identity(_rmsnorm(x, layer["attn_norm"]), tp)
             q = (h @ layer["wq"]).reshape(b, s_local, hq_local, hd)
             k = (h @ layer["wk"]).reshape(b, s_local, hkv_local, hd)
@@ -1242,7 +1290,7 @@ def make_train_step_3d(
             kf = k.transpose(0, 2, 1, 3).reshape(b * hkv_local, s_local, hd)
             vf = v.transpose(0, 2, 1, 3).reshape(b * hkv_local, s_local, hd)
             if attn_dropout is not None:
-                o = ring(qf, kf, vf, seed * gold + jnp.int32(li + 1))
+                o = ring(qf, kf, vf, lseed)
             else:
                 o = ring(qf, kf, vf)
             o = (
@@ -1251,13 +1299,23 @@ def make_train_step_3d(
                 .reshape(b, s_local, hq_local * hd)
             )
             x = x + _g_allreduce(o @ layer["wo"], tp)
-            x = x + _g_allreduce(
+            return x + _g_allreduce(
                 _mlp(
                     _f_identity(_rmsnorm(x, layer["mlp_norm"]), tp),
                     layer, cfg.experts_per_token,
                 ),
                 tp,
             )
+
+        if remat:
+            one_layer = jax.checkpoint(one_layer)
+        x = params["embed"][tokens]
+        for li, layer in enumerate(params["layers"]):
+            lseed = (
+                seed * gold + jnp.int32(li + 1)
+                if attn_dropout is not None else 0
+            )
+            x = one_layer(x, layer, lseed)
         x = _rmsnorm(x, params["final_norm"])
         return x @ params["lm_head"]
 
@@ -1377,6 +1435,7 @@ def make_train_step_fsdp(
     lr: float = 1e-3,
     optimizer=None,
     attn_dropout: float | None = None,
+    remat: bool = False,
 ):
     """Fully-sharded data-parallel (ZeRO-3-class) training step (round 3).
 
@@ -1392,6 +1451,11 @@ def make_train_step_fsdp(
 
     ``step(params, tokens[, seed]) -> (loss, new_params)`` (optax variant
     threads opt_state).  ``attn_dropout`` folds (fsdp rank, layer).
+
+    ``remat=True`` checkpoints each layer WITH its gather inside: the
+    backward re-gathers one layer's weights at a time instead of holding
+    every gathered layer alive through the backward — peak weight memory
+    O(shard + one layer) rather than O(total), the full ZeRO-3 behavior.
     """
     if attn_dropout == 0.0:
         attn_dropout = None  # rate 0 is the identity, not an error
@@ -1405,6 +1469,7 @@ def make_train_step_fsdp(
 
     example = jax.eval_shape(lambda: init_params(jax.random.key(0), cfg))
     specs = fsdp_param_specs(example, mesh, fsdp)
+    layer_specs = specs["layers"][0]
 
     def gather_full(shard, spec):
         axes = [i for i, a in enumerate(spec) if a == fsdp]
@@ -1412,11 +1477,20 @@ def make_train_step_fsdp(
             return shard
         return jax.lax.all_gather(shard, fsdp, axis=axes[0], tiled=True)
 
-    def forward(params, tokens, seed):
+    def gather_tree(shard_tree, spec_tree):
+        return jax.tree.map(
+            gather_full, shard_tree, spec_tree,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+
+    def forward(shards, tokens, seed):
         b, s = tokens.shape
         positions = jnp.broadcast_to(jnp.arange(s), (b, s))
-        x = params["embed"][tokens]
-        for li, layer in enumerate(params["layers"]):
+
+        def one_layer(x, layer_shards, lseed):
+            # Gather INSIDE the (possibly checkpointed) layer: under remat
+            # the residual is the shard, and the backward re-gathers.
+            layer = gather_tree(layer_shards, layer_specs)
             h = _rmsnorm(x, layer["attn_norm"])
             q = _rope(
                 (h @ layer["wq"]).reshape(b, s, cfg.num_q_heads, hd),
@@ -1430,10 +1504,6 @@ def make_train_step_fsdp(
             qf = q.transpose(0, 2, 1, 3).reshape(b * hkv, g * s, hd)
             kf = k.transpose(0, 2, 1, 3).reshape(b * hkv, s, hd)
             vf = v.transpose(0, 2, 1, 3).reshape(b * hkv, s, hd)
-            lseed = (
-                seed * gold + jnp.int32(li + 1)
-                if attn_dropout is not None else 0
-            )
             o = attention_vjp(
                 qf, kf, vf, True, hd**-0.5, None, None, None,
                 s if g > 1 else None, cfg.sliding_window, cfg.logit_softcap,
@@ -1445,21 +1515,28 @@ def make_train_step_fsdp(
                 .reshape(b, s, -1)
             )
             x = x + o @ layer["wo"]
-            x = x + _mlp(
+            return x + _mlp(
                 _rmsnorm(x, layer["mlp_norm"]), layer, cfg.experts_per_token
             )
-        return _rmsnorm(x, params["final_norm"]) @ params["lm_head"]
+
+        if remat:
+            one_layer = jax.checkpoint(one_layer)
+        x = gather_tree(shards["embed"], specs["embed"])[tokens]
+        for li, layer_shards in enumerate(shards["layers"]):
+            lseed = (
+                seed * gold + jnp.int32(li + 1)
+                if attn_dropout is not None else 0
+            )
+            x = one_layer(x, layer_shards, lseed)
+        x = _rmsnorm(x, gather_tree(shards["final_norm"], specs["final_norm"]))
+        return x @ gather_tree(shards["lm_head"], specs["lm_head"])
 
     def local_grads(shards, tokens, seed):
         if attn_dropout is not None:
             seed = seed * gold + jax.lax.axis_index(fsdp) * jnp.int32(7919)
 
         def loss_fn(shards):
-            params = jax.tree.map(
-                gather_full, shards, specs,
-                is_leaf=lambda x: isinstance(x, P),
-            )
-            logits = forward(params, tokens, seed)
+            logits = forward(shards, tokens, seed)
             targets = tokens[:, 1:]
             logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), -1)
             nll = jnp.mean(-jnp.take_along_axis(logp, targets[..., None], -1))

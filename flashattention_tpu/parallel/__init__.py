@@ -17,4 +17,5 @@ from flashattention_tpu.parallel.sharded import (
     make_data_parallel_attention,
     make_reduce_cp_attention,
     make_ulysses_attention,
+    make_ulysses_attention_vjp,
 )

@@ -588,3 +588,120 @@ def test_fsdp_optax_and_dropout():
     for i in range(3):
         loss, p, s = step(p, s, tokens, i)
         assert np.isfinite(float(loss))
+
+
+def test_remat_matches_no_remat_everywhere():
+    """jax.checkpoint layer rematerialization is semantics-preserving: every
+    step family produces the same loss and update with remat on/off —
+    including under dropout (the recomputed forward regenerates identical
+    masks from the same seed folds)."""
+    from flashattention_tpu.models.train import (
+        make_train_step_3d,
+        make_train_step_ep,
+        make_train_step_fsdp,
+        make_train_step_pp,
+        make_train_step_sp,
+        shard_params_ep,
+        shard_params_fsdp,
+        shard_params_pp,
+    )
+
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=2, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+
+    def check(a, b, what):
+        la, pa = a
+        lb, pb = b
+        assert float(la) == pytest.approx(float(lb), rel=1e-6), what
+        jax.tree.map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=1e-6, err_msg=what
+            ),
+            pa, pb,
+        )
+
+    # Dense DP x TP, with dropout.
+    mesh = make_mesh(2, 2)
+    p = shard_params(params, mesh, cfg)
+    t = jax.device_put(
+        jax.random.randint(jax.random.key(1), (4, 128), 0, 64),
+        NamedSharding(mesh, P("dp", None)),
+    )
+    a = make_train_step(mesh, cfg, lr=1e-2, attn_dropout=0.1)(p, t, 3)
+    b = make_train_step(mesh, cfg, lr=1e-2, attn_dropout=0.1, remat=True)(p, t, 3)
+    check(a, b, "dense+dropout")
+
+    # SP zigzag ring.
+    mesh_sp = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    p_sp = jax.device_put(params, NamedSharding(mesh_sp, P()))
+    t_sp = jax.device_put(
+        jax.random.randint(jax.random.key(2), (2, 4 * 2 * 128), 0, 64),
+        NamedSharding(mesh_sp, P("dp", "sp")),
+    )
+    a = make_train_step_sp(mesh_sp, cfg, lr=1e-2, zigzag=True)(p_sp, t_sp)
+    b = make_train_step_sp(mesh_sp, cfg, lr=1e-2, zigzag=True, remat=True)(
+        p_sp, t_sp
+    )
+    check(a, b, "sp-zigzag")
+
+    # 3D.
+    mesh3 = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2), ("dp", "tp", "sp"))
+    p3 = shard_params(params, mesh3, cfg)
+    t3 = jax.device_put(
+        jax.random.randint(jax.random.key(3), (4, 2 * 128), 0, 64),
+        NamedSharding(mesh3, P("dp", "sp")),
+    )
+    a = make_train_step_3d(mesh3, cfg, lr=1e-2)(p3, t3)
+    b = make_train_step_3d(mesh3, cfg, lr=1e-2, remat=True)(p3, t3)
+    check(a, b, "3d")
+
+    # FSDP (gather inside the checkpointed layer).
+    mesh_f = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    pf, _ = shard_params_fsdp(params, mesh_f)
+    tf = jax.device_put(
+        jax.random.randint(jax.random.key(4), (8, 128), 0, 64),
+        NamedSharding(mesh_f, P("dp", None)),
+    )
+    a = make_train_step_fsdp(mesh_f, cfg, lr=1e-2, attn_dropout=0.1)(pf, tf, 5)
+    b = make_train_step_fsdp(mesh_f, cfg, lr=1e-2, attn_dropout=0.1, remat=True)(
+        pf, tf, 5
+    )
+    check(a, b, "fsdp+dropout")
+
+    # PP.
+    mesh_pp = Mesh(np.array(jax.devices()[:4]).reshape(1, 4), ("dp", "pp"))
+    cfg_pp = transformer.ModelConfig(
+        vocab_size=64, num_layers=4, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+    )
+    params_pp = transformer.init_params(jax.random.key(5), cfg_pp)
+    ppp = shard_params_pp(params_pp, mesh_pp, cfg_pp)
+    tpp = jax.device_put(
+        jax.random.randint(jax.random.key(6), (4, 128), 0, 64),
+        NamedSharding(mesh_pp, P("dp", None)),
+    )
+    a = make_train_step_pp(mesh_pp, cfg_pp, lr=1e-2, n_microbatches=2)(ppp, tpp)
+    b = make_train_step_pp(
+        mesh_pp, cfg_pp, lr=1e-2, n_microbatches=2, remat=True
+    )(ppp, tpp)
+    check(a, b, "pp")
+
+    # EP MoE.
+    cfg_ep = transformer.ModelConfig(
+        vocab_size=64, num_layers=2, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+        num_experts=4, experts_per_token=2,
+    )
+    params_ep = transformer.init_params(jax.random.key(7), cfg_ep)
+    mesh_ep = Mesh(np.array(jax.devices()[:4]).reshape(1, 4), ("dp", "ep"))
+    pe = shard_params_ep(params_ep, mesh_ep, cfg_ep)
+    te = jax.device_put(
+        jax.random.randint(jax.random.key(8), (2, 128), 0, 64),
+        NamedSharding(mesh_ep, P("dp", None)),
+    )
+    a = make_train_step_ep(mesh_ep, cfg_ep, lr=1e-2)(pe, te)
+    b = make_train_step_ep(mesh_ep, cfg_ep, lr=1e-2, remat=True)(pe, te)
+    check(a, b, "ep")
