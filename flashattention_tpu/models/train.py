@@ -961,6 +961,95 @@ def make_train_step_packed(
     return _make_step(grad_call, lr, optimizer)
 
 
+def _make_seq_sharded_step(
+    mesh, forward_local, specs, *, dp, sp, zigzag, lr, optimizer,
+):
+    """Shared DP x SP step tail for the SP and 3D steps (one copy keeps the
+    loss masking, (dp, sp) reductions, zigzag _prep, and seed plumbing in
+    sync — the same policy _make_grad_map enforces for the DP x TP family).
+
+    ``forward_local(params, tokens, seed) -> logits`` runs per shard inside
+    shard_map; ``specs`` are the param PartitionSpecs (replicated for SP,
+    Megatron tp-sharded for 3D)."""
+    from flashattention_tpu.parallel.ring import zigzag_shard
+
+    sp_size = mesh.shape[sp]
+
+    def local_grads(params, tokens, targets, valid, seed):
+        def loss_fn(params):
+            logits = forward_local(params, tokens, seed)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+            # Sum of this shard's valid terms over the GLOBAL count: grads
+            # are then partial sums, made total by the psum below.
+            return jnp.sum(nll * valid) / jax.lax.psum(
+                jnp.sum(valid), (dp, sp)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss = jax.lax.psum(loss, (dp, sp))
+        grads = jax.tree.map(lambda g_: jax.lax.psum(g_, (dp, sp)), grads)
+        return loss, grads
+
+    def local_step(params, tokens, targets, valid, seed):
+        loss, grads = local_grads(params, tokens, targets, valid, seed)
+        new_params = jax.tree.map(
+            lambda p, g_: p - lr * g_.astype(p.dtype), params, grads
+        )
+        return loss, new_params
+
+    def _prep(tokens):
+        # Next-token targets and validity computed on the global view, then
+        # sharded alongside the tokens (zigzag: all three get the same global
+        # permutation first, so each local row's target stays its own next
+        # token and the loss is layout-invariant).
+        targets = jnp.concatenate(
+            [tokens[:, 1:], jnp.zeros_like(tokens[:, :1])], axis=1
+        )
+        valid = jnp.concatenate(
+            [
+                jnp.ones(tokens[:, 1:].shape, jnp.float32),
+                jnp.zeros_like(tokens[:, :1], dtype=jnp.float32),
+            ],
+            axis=1,
+        )
+        if zigzag:
+            tokens, targets, valid = (
+                zigzag_shard(t, sp_size, axis=1) for t in (tokens, targets, valid)
+            )
+        return tokens, targets, valid
+
+    tspec = P(dp, sp)
+    in_specs = (specs, tspec, tspec, tspec, P())
+    step_map = jax.shard_map(
+        local_step, mesh=mesh, in_specs=in_specs, out_specs=(P(), specs),
+        check_vma=False,
+    )
+    grad_map = jax.shard_map(
+        local_grads, mesh=mesh, in_specs=in_specs, out_specs=(P(), specs),
+        check_vma=False,
+    )
+
+    if optimizer is None:
+
+        def step(params, tokens, seed=0):
+            tokens, targets, valid = _prep(tokens)
+            return step_map(params, tokens, targets, valid, jnp.int32(seed))
+
+        return jax.jit(step)
+
+    def opt_step(params, opt_state, tokens, seed=0):
+        tokens, targets, valid = _prep(tokens)
+        loss, grads = grad_map(params, tokens, targets, valid, jnp.int32(seed))
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        new_params = jax.tree.map(
+            lambda p, u: p + u.astype(p.dtype), params, updates
+        )
+        return loss, new_params, opt_state
+
+    return jax.jit(opt_step)
+
+
 def make_train_step_sp(
     mesh: Mesh,
     cfg: ModelConfig,
@@ -1009,7 +1098,6 @@ def make_train_step_sp(
     from flashattention_tpu.parallel.ring import (
         ring_attention_vjp_local,
         zigzag_ring_attention_vjp_local,
-        zigzag_shard,
     )
 
     if attn_dropout == 0.0:
@@ -1107,83 +1195,10 @@ def make_train_step_sp(
         x = _rmsnorm(x, params["final_norm"])
         return x @ params["lm_head"]
 
-    def local_grads(params, tokens, targets, valid, seed):
-        def loss_fn(params):
-            logits = forward_local(params, tokens, seed)
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-            # Sum of this shard's valid terms over the GLOBAL count: grads
-            # are then partial sums, made total by the psum below.
-            return jnp.sum(nll * valid) / jax.lax.psum(
-                jnp.sum(valid), (dp, sp)
-            )
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        loss = jax.lax.psum(loss, (dp, sp))
-        grads = jax.tree.map(lambda g_: jax.lax.psum(g_, (dp, sp)), grads)
-        return loss, grads
-
-    def local_step(params, tokens, targets, valid, seed):
-        loss, grads = local_grads(params, tokens, targets, valid, seed)
-        new_params = jax.tree.map(
-            lambda p, g_: p - lr * g_.astype(p.dtype), params, grads
-        )
-        return loss, new_params
-
-    def _prep(tokens):
-        # Next-token targets and validity computed on the global view, then
-        # sharded alongside the tokens (zigzag: all three get the same global
-        # permutation first, so each local row's target stays its own next
-        # token and the loss is layout-invariant).
-        targets = jnp.concatenate(
-            [tokens[:, 1:], jnp.zeros_like(tokens[:, :1])], axis=1
-        )
-        valid = jnp.concatenate(
-            [
-                jnp.ones(tokens[:, 1:].shape, jnp.float32),
-                jnp.zeros_like(tokens[:, :1], dtype=jnp.float32),
-            ],
-            axis=1,
-        )
-        if zigzag:
-            tokens, targets, valid = (
-                zigzag_shard(t, sp_size, axis=1) for t in (tokens, targets, valid)
-            )
-        return tokens, targets, valid
-
-    step_map = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(specs, P(dp, sp), P(dp, sp), P(dp, sp), P()),
-        out_specs=(P(), specs),
-        check_vma=False,
+    return _make_seq_sharded_step(
+        mesh, forward_local, specs, dp=dp, sp=sp, zigzag=zigzag, lr=lr,
+        optimizer=optimizer,
     )
-    grad_map = jax.shard_map(
-        local_grads,
-        mesh=mesh,
-        in_specs=(specs, P(dp, sp), P(dp, sp), P(dp, sp), P()),
-        out_specs=(P(), specs),
-        check_vma=False,
-    )
-
-    if optimizer is None:
-
-        def step(params, tokens, seed=0):
-            tokens, targets, valid = _prep(tokens)
-            return step_map(params, tokens, targets, valid, jnp.int32(seed))
-
-        return jax.jit(step)
-
-    def opt_step(params, opt_state, tokens, seed=0):
-        tokens, targets, valid = _prep(tokens)
-        loss, grads = grad_map(params, tokens, targets, valid, jnp.int32(seed))
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        new_params = jax.tree.map(
-            lambda p, u: p + u.astype(p.dtype), params, updates
-        )
-        return loss, new_params, opt_state
-
-    return jax.jit(opt_step)
 
 
 def make_train_step_3d(
@@ -1223,7 +1238,6 @@ def make_train_step_3d(
     from flashattention_tpu.parallel.ring import (
         ring_attention_vjp_local,
         zigzag_ring_attention_vjp_local,
-        zigzag_shard,
     )
 
     if attn_dropout == 0.0:
@@ -1319,81 +1333,12 @@ def make_train_step_3d(
         x = _rmsnorm(x, params["final_norm"])
         return x @ params["lm_head"]
 
-    def local_grads(params, tokens, targets, valid, seed):
-        def loss_fn(params):
-            logits = forward_local(params, tokens, seed)
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-            # Shard-local valid terms over the GLOBAL count; tp shards
-            # compute identical losses (x is tp-replicated after the g
-            # collectives), so only (dp, sp) reduce.
-            return jnp.sum(nll * valid) / jax.lax.psum(
-                jnp.sum(valid), (dp, sp)
-            )
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        loss = jax.lax.psum(loss, (dp, sp))
-        grads = jax.tree.map(lambda g_: jax.lax.psum(g_, (dp, sp)), grads)
-        return loss, grads
-
-    def local_step(params, tokens, targets, valid, seed):
-        loss, grads = local_grads(params, tokens, targets, valid, seed)
-        new_params = jax.tree.map(
-            lambda p, g_: p - lr * g_.astype(p.dtype), params, grads
-        )
-        return loss, new_params
-
-    def _prep(tokens):
-        targets = jnp.concatenate(
-            [tokens[:, 1:], jnp.zeros_like(tokens[:, :1])], axis=1
-        )
-        valid = jnp.concatenate(
-            [
-                jnp.ones(tokens[:, 1:].shape, jnp.float32),
-                jnp.zeros_like(tokens[:, :1], dtype=jnp.float32),
-            ],
-            axis=1,
-        )
-        if zigzag:
-            tokens, targets, valid = (
-                zigzag_shard(t, sp_size, axis=1) for t in (tokens, targets, valid)
-            )
-        return tokens, targets, valid
-
-    tspec = P(dp, sp)
-    step_map = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(specs, tspec, tspec, tspec, P()),
-        out_specs=(P(), specs),
-        check_vma=False,
+    # tp shards compute identical losses (x is tp-replicated after the g
+    # collectives), so the shared (dp, sp)-reducing tail applies unchanged.
+    return _make_seq_sharded_step(
+        mesh, forward_local, specs, dp=dp, sp=sp, zigzag=zigzag, lr=lr,
+        optimizer=optimizer,
     )
-    grad_map = jax.shard_map(
-        local_grads,
-        mesh=mesh,
-        in_specs=(specs, tspec, tspec, tspec, P()),
-        out_specs=(P(), specs),
-        check_vma=False,
-    )
-
-    if optimizer is None:
-
-        def step(params, tokens, seed=0):
-            tokens, targets, valid = _prep(tokens)
-            return step_map(params, tokens, targets, valid, jnp.int32(seed))
-
-        return jax.jit(step)
-
-    def opt_step(params, opt_state, tokens, seed=0):
-        tokens, targets, valid = _prep(tokens)
-        loss, grads = grad_map(params, tokens, targets, valid, jnp.int32(seed))
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        new_params = jax.tree.map(
-            lambda p, u: p + u.astype(p.dtype), params, updates
-        )
-        return loss, new_params, opt_state
-
-    return jax.jit(opt_step)
 
 
 def fsdp_param_specs(params, mesh: Mesh, fsdp: str = "dp") -> dict:
@@ -1460,9 +1405,6 @@ def make_train_step_fsdp(
     if attn_dropout == 0.0:
         attn_dropout = None  # rate 0 is the identity, not an error
     size = mesh.shape[fsdp]
-    g = cfg.group_size
-    hkv = cfg.num_kv_heads
-    hd = cfg.head_dim
     gold = jnp.int32(-1640531527)
 
     from flashattention_tpu.models.transformer import init_params
@@ -1489,35 +1431,10 @@ def make_train_step_fsdp(
 
         def one_layer(x, layer_shards, lseed):
             # Gather INSIDE the (possibly checkpointed) layer: under remat
-            # the residual is the shard, and the backward re-gathers.
+            # the residual is the shard, and the backward re-gathers.  The
+            # body is the shared full-head layer (PP/EP stage body).
             layer = gather_tree(layer_shards, layer_specs)
-            h = _rmsnorm(x, layer["attn_norm"])
-            q = _rope(
-                (h @ layer["wq"]).reshape(b, s, cfg.num_q_heads, hd),
-                positions, cfg.rope_theta,
-            )
-            k = _rope(
-                (h @ layer["wk"]).reshape(b, s, hkv, hd),
-                positions, cfg.rope_theta,
-            )
-            v = (h @ layer["wv"]).reshape(b, s, hkv, hd)
-            qf = q.transpose(0, 2, 1, 3).reshape(b * hkv, g * s, hd)
-            kf = k.transpose(0, 2, 1, 3).reshape(b * hkv, s, hd)
-            vf = v.transpose(0, 2, 1, 3).reshape(b * hkv, s, hd)
-            o = attention_vjp(
-                qf, kf, vf, True, hd**-0.5, None, None, None,
-                s if g > 1 else None, cfg.sliding_window, cfg.logit_softcap,
-                attn_dropout, lseed,
-            )
-            o = (
-                o.reshape(b, cfg.num_q_heads, s, hd)
-                .transpose(0, 2, 1, 3)
-                .reshape(b, s, -1)
-            )
-            x = x + o @ layer["wo"]
-            return x + _mlp(
-                _rmsnorm(x, layer["mlp_norm"]), layer, cfg.experts_per_token
-            )
+            return _layer_forward(x, layer, positions, cfg, attn_dropout, lseed)
 
         if remat:
             one_layer = jax.checkpoint(one_layer)
@@ -1546,6 +1463,14 @@ def make_train_step_fsdp(
             return nll / size
 
         loss, grads = jax.value_and_grad(loss_fn)(shards)
+        # Sharded leaves come back exact (the gather's transpose psum-
+        # scatters across fsdp); REPLICATED leaves (no divisible dim, e.g.
+        # odd-sized norms) have no gather in their path, so their per-device
+        # partial grads need the explicit psum.
+        grads = jax.tree.map(
+            lambda g_, sp_: g_ if fsdp in sp_ else jax.lax.psum(g_, fsdp),
+            grads, specs, is_leaf=lambda x: isinstance(x, P),
+        )
         return jax.lax.psum(loss, fsdp), grads
 
     grad_map = jax.shard_map(

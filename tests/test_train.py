@@ -705,3 +705,42 @@ def test_remat_matches_no_remat_everywhere():
     a = make_train_step_ep(mesh_ep, cfg_ep, lr=1e-2)(pe, te)
     b = make_train_step_ep(mesh_ep, cfg_ep, lr=1e-2, remat=True)(pe, te)
     check(a, b, "ep")
+
+
+def test_fsdp_replicated_leaves_exact():
+    """FSDP with dims that DON'T divide the axis: indivisible leaves
+    replicate, and their grads must still psum over fsdp (review finding —
+    the gather transpose only reduces sharded leaves)."""
+    from flashattention_tpu.models.train import (
+        fsdp_param_specs, make_train_step_fsdp, shard_params_fsdp,
+    )
+
+    # vocab=62, d_model=68: embed/norms/lm_head have NO dim divisible by 8
+    # (they replicate); wq/wo etc. shard via their 128-sized head dim.
+    cfg = transformer.ModelConfig(
+        vocab_size=62, num_layers=2, d_model=68, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    specs = fsdp_param_specs(params, mesh)
+    assert specs["final_norm"] == P()  # really exercises the replicated path
+    assert specs["layers"][0]["wq"] == P(None, "dp")
+
+    tokens = jax.random.randint(jax.random.key(1), (8, 128), 0, cfg.vocab_size)
+    mesh1 = make_mesh(1, 1)
+    p1 = shard_params(params, mesh1, cfg)
+    t1 = jax.device_put(tokens, NamedSharding(mesh1, P("dp", None)))
+    loss1, new1 = make_train_step(mesh1, cfg, lr=1e-2)(p1, t1)
+
+    pf, _ = shard_params_fsdp(params, mesh)
+    tf = jax.device_put(tokens, NamedSharding(mesh, P("dp", None)))
+    loss_f, new_f = make_train_step_fsdp(mesh, cfg, lr=1e-2)(pf, tf)
+
+    assert float(loss_f) == pytest.approx(float(loss1), rel=2e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5
+        ),
+        new_f, new1,
+    )
