@@ -92,14 +92,79 @@ _f_identity.defvjp(
 )
 
 
-def param_specs(cfg: ModelConfig, tp: str = "tp") -> dict:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _vocab_parallel_nll(logits, targets, tp_axis):
+    """Per-token NLL from VOCAB-column-sharded logits (round 3).
+
+    Megatron embedding-parallel cross-entropy: each tp shard holds logits
+    for its vocab slice (B, S, V/tp); the loss needs one pmax + two psums
+    of (B, S) scalars — the (B, S, V) softmax never materializes anywhere,
+    and no shard ever holds full-vocab logits.  The backward is hand-written
+    because it is purely LOCAL (d_logits = softmax_local − onehot_local):
+    autodiff through the psums would hit the psum-transpose trap this
+    module documents at the f/g pair.
+    """
+    nll, _ = _vp_nll_fwd(logits, targets, tp_axis)
+    return nll
+
+
+def _vp_nll_fwd(logits, targets, tp_axis):
+    lf = logits.astype(jnp.float32)
+    v_local = lf.shape[-1]
+    start = jax.lax.axis_index(tp_axis) * v_local
+    m = jax.lax.pmax(jnp.max(lf, axis=-1), tp_axis)
+    z = jax.lax.psum(jnp.sum(jnp.exp(lf - m[..., None]), axis=-1), tp_axis)
+    lse = m + jnp.log(z)
+    idx = targets - start
+    ok = (idx >= 0) & (idx < v_local)
+    tgt = jax.lax.psum(
+        jnp.where(
+            ok,
+            jnp.take_along_axis(
+                lf, jnp.clip(idx, 0, v_local - 1)[..., None], axis=-1
+            )[..., 0],
+            0.0,
+        ),
+        tp_axis,
+    )
+    nll = lse - tgt
+    return nll, (logits, lse, idx, ok)
+
+
+def _vp_nll_bwd(tp_axis, res, dnll):
+    logits, lse, idx, ok = res
+    lf = logits.astype(jnp.float32)
+    probs = jnp.exp(lf - lse[..., None])
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, lf.shape, lf.ndim - 1)
+        == idx[..., None]
+    ) & ok[..., None]
+    d = (probs - onehot.astype(jnp.float32)) * dnll[..., None]
+    import numpy as _np
+
+    # Int targets carry no tangent: float0 cotangent of the same shape.
+    return d.astype(logits.dtype), _np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_vocab_parallel_nll.defvjp(_vp_nll_fwd, _vp_nll_bwd)
+
+
+def param_specs(
+    cfg: ModelConfig, tp: str = "tp", vocab_parallel: bool = False
+) -> dict:
     """PartitionSpecs: Megatron column/row sharding over the tp axis.
 
     MoE layers (cfg.num_experts): the E-stacked expert weights shard their
     INTERMEDIATE dim over tp exactly like the dense MLP (the f/g psum at
     the call sites finishes the per-expert partial sums); the router is
     replicated.  Expert parallelism proper (E over an "ep" axis) is
-    :func:`make_train_step_ep`."""
+    :func:`make_train_step_ep`.
+
+    ``vocab_parallel`` (round 3): shard the embedding table and lm_head over
+    the VOCAB dim too (Megatron embedding parallelism) — at Gemma-class
+    vocabularies (256k) these are the largest weights in the model.  The
+    lookup masks+psums, and the loss runs the distributed cross-entropy
+    (:func:`_vocab_parallel_nll`) on column-sharded logits."""
     layer = {
         "attn_norm": P(),
         "wq": P(None, tp),
@@ -122,15 +187,18 @@ def param_specs(cfg: ModelConfig, tp: str = "tp") -> dict:
             "w_down": P(None, tp, None),
         })
     return {
-        "embed": P(),
+        "embed": P(tp, None) if vocab_parallel else P(),
         "final_norm": P(),
-        "lm_head": P(),
+        "lm_head": P(None, tp) if vocab_parallel else P(),
         "layers": [dict(layer) for _ in range(cfg.num_layers)],
     }
 
 
-def shard_params(params, mesh: Mesh, cfg: ModelConfig, tp: str = "tp"):
-    specs = param_specs(cfg, tp)
+def shard_params(
+    params, mesh: Mesh, cfg: ModelConfig, tp: str = "tp",
+    vocab_parallel: bool = False,
+):
+    specs = param_specs(cfg, tp, vocab_parallel)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
         is_leaf=lambda x: isinstance(x, jax.Array),
@@ -160,7 +228,7 @@ def packed_positions(segment_ids):
 def _forward_local(
     params, tokens, cfg: ModelConfig, tp_size: int, tp_axis: str,
     attn_dropout: float | None = None, dropout_seed=None,
-    segment_ids=None, remat: bool = False,
+    segment_ids=None, remat: bool = False, vocab_parallel: bool = False,
 ):
     """Per-device forward on the local TP shard of heads/intermediate.
 
@@ -183,7 +251,22 @@ def _forward_local(
     hq_local = cfg.num_q_heads // tp_size
     hkv_local = cfg.num_kv_heads // tp_size
     g = cfg.group_size  # validates num_q_heads % num_kv_heads == 0
-    x = params["embed"][tokens]
+    if vocab_parallel:
+        # Vocab-row-sharded embedding: each shard looks up the ids it owns
+        # (others contribute zero) and one g-style psum rebuilds the row —
+        # backward identity, so the table's grad stays an exact local shard.
+        emb = params["embed"]
+        start = jax.lax.axis_index(tp_axis) * emb.shape[0]
+        idx = tokens - start
+        ok = (idx >= 0) & (idx < emb.shape[0])
+        x = _g_allreduce(
+            jnp.where(
+                ok[..., None], emb[jnp.clip(idx, 0, emb.shape[0] - 1)], 0.0
+            ),
+            tp_axis,
+        )
+    else:
+        x = params["embed"][tokens]
     if segment_ids is not None:
         # Packed rows: positions restart per document; the attention mask
         # cannot cross document boundaries (segment ids thread into the
@@ -241,6 +324,12 @@ def _forward_local(
             lseed = 0
         x = one_layer(x, layer, lseed)
     x = _rmsnorm(x, params["final_norm"])
+    if vocab_parallel:
+        # Column-sharded lm_head: dx = d_logits_local @ lm_head_local.T is a
+        # PARTIAL over this shard's vocab slice — the f-wrap psums it, like
+        # every other column-parallel matmul input.  Output = the shard's
+        # LOCAL logits (B, S, V/tp), fed to _vocab_parallel_nll.
+        x = _f_identity(x, tp_axis)
     return x @ params["lm_head"]
 
 
@@ -738,7 +827,7 @@ def _make_step(grad_call, lr, optimizer):
 
 def _make_grad_map(
     mesh, cfg, *, dp, tp, attn_dropout: float | None = None,
-    packed: bool = False, remat: bool = False,
+    packed: bool = False, remat: bool = False, vocab_parallel: bool = False,
 ):
     """shard_mapped forward/backward: the ONE DP x TP grad map shared by the
     SGD, optax, and packed training steps (one copy keeps loss masking /
@@ -764,7 +853,20 @@ def _make_grad_map(
         raise ValueError(
             f"tp={tp_size} must divide num_kv_heads={cfg.num_kv_heads}"
         )
-    specs = param_specs(cfg, tp)
+    if vocab_parallel and cfg.vocab_size % tp_size:
+        raise ValueError(
+            f"vocab_parallel: tp={tp_size} must divide vocab_size="
+            f"{cfg.vocab_size}"
+        )
+    specs = param_specs(cfg, tp, vocab_parallel)
+
+    def nll_of(logits, targets):
+        # (B, S') per-token NLL; logits may be full-vocab (replicated) or
+        # vocab-column-sharded (vocab_parallel distributed cross-entropy).
+        if vocab_parallel:
+            return _vocab_parallel_nll(logits, targets, tp)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
 
     def fold_seed(seed):
         if attn_dropout is None:
@@ -792,6 +894,7 @@ def _make_grad_map(
                 logits = _forward_local(
                     params, tokens, cfg, tp_size, tp, attn_dropout, seed,
                     segment_ids=segment_ids, remat=remat,
+                    vocab_parallel=vocab_parallel,
                 )
                 targets = tokens[:, 1:]
                 # Valid next-token target: same document, not padding.
@@ -799,12 +902,7 @@ def _make_grad_map(
                     (segment_ids[:, 1:] == segment_ids[:, :-1])
                     & (segment_ids[:, 1:] >= 0)
                 )
-                logp = jax.nn.log_softmax(
-                    logits[:, :-1].astype(jnp.float32), axis=-1
-                )
-                nll = -jnp.take_along_axis(
-                    logp, targets[..., None], axis=-1
-                )[..., 0]
+                nll = nll_of(logits[:, :-1], targets)
                 local_sum = jnp.sum(jnp.where(valid, nll, 0.0))
                 # Weight by the GLOBAL valid-token count (count carries no
                 # grad, so a bare psum is safe — the psum-transpose pitfall
@@ -824,14 +922,10 @@ def _make_grad_map(
             def loss_fn(params):
                 logits = _forward_local(
                     params, tokens, cfg, tp_size, tp, attn_dropout, seed,
-                    remat=remat,
+                    remat=remat, vocab_parallel=vocab_parallel,
                 )
                 targets = tokens[:, 1:]
-                logp = jax.nn.log_softmax(
-                    logits[:, :-1].astype(jnp.float32), axis=-1
-                )
-                nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
-                return jnp.mean(nll)
+                return jnp.mean(nll_of(logits[:, :-1], targets))
 
             return grads_of(loss_fn, params, psum_not_pmean=False)
 
@@ -855,6 +949,7 @@ def make_train_step(
     lr: float = 1e-3,
     attn_dropout: float | None = None,
     remat: bool = False,
+    vocab_parallel: bool = False,
 ):
     """Jitted (params, tokens) -> (loss, new_params) SGD step over the mesh.
 
@@ -870,7 +965,8 @@ def make_train_step(
     gradients (pinned by tests/test_train.py).
     """
     grad_map = _make_grad_map(
-        mesh, cfg, dp=dp, tp=tp, attn_dropout=attn_dropout, remat=remat
+        mesh, cfg, dp=dp, tp=tp, attn_dropout=attn_dropout, remat=remat,
+        vocab_parallel=vocab_parallel,
     )
 
     @jax.jit
@@ -893,6 +989,7 @@ def make_train_step_optax(
     tp: str = "tp",
     attn_dropout: float | None = None,
     remat: bool = False,
+    vocab_parallel: bool = False,
 ):
     """DP x TP training step with an arbitrary optax optimizer (round 2).
 
@@ -910,7 +1007,8 @@ def make_train_step_optax(
         loss, params, opt_state = step(params, opt_state, tokens)
     """
     grad_map = _make_grad_map(
-        mesh, cfg, dp=dp, tp=tp, attn_dropout=attn_dropout, remat=remat
+        mesh, cfg, dp=dp, tp=tp, attn_dropout=attn_dropout, remat=remat,
+        vocab_parallel=vocab_parallel,
     )
 
     @jax.jit
@@ -935,6 +1033,7 @@ def make_train_step_packed(
     attn_dropout: float | None = None,
     optimizer=None,
     remat: bool = False,
+    vocab_parallel: bool = False,
 ):
     """DP x TP training step over PACKED rows (round 3).
 
@@ -950,7 +1049,7 @@ def make_train_step_packed(
     """
     grad_map = _make_grad_map(
         mesh, cfg, dp=dp, tp=tp, attn_dropout=attn_dropout, packed=True,
-        remat=remat,
+        remat=remat, vocab_parallel=vocab_parallel,
     )
 
     def grad_call(params, tokens, segment_ids, seed=0):

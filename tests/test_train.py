@@ -744,3 +744,64 @@ def test_fsdp_replicated_leaves_exact():
         ),
         new_f, new1,
     )
+
+
+def test_vocab_parallel_matches_replicated():
+    """Megatron vocab parallelism (round 3): embed + lm_head sharded over
+    the vocab dim, loss through the distributed cross-entropy (custom-VJP:
+    softmax_local - onehot_local) == the replicated-lm_head step exactly,
+    with the vocab-sharded layout preserved in the update."""
+    from flashattention_tpu.models.train import make_train_step_optax
+    import optax
+
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=2, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+    mesh = make_mesh(2, 2)
+    tokens = jax.device_put(
+        jax.random.randint(jax.random.key(1), (4, 128), 0, cfg.vocab_size),
+        NamedSharding(mesh, P("dp", None)),
+    )
+
+    p_rep = shard_params(params, mesh, cfg)
+    loss_a, new_a = make_train_step(mesh, cfg, lr=1e-2)(p_rep, tokens)
+
+    p_vp = shard_params(params, mesh, cfg, vocab_parallel=True)
+    assert p_vp["embed"].sharding.spec == P("tp", None)
+    assert p_vp["lm_head"].sharding.spec == P(None, "tp")
+    loss_b, new_b = make_train_step(mesh, cfg, lr=1e-2, vocab_parallel=True)(
+        p_vp, tokens
+    )
+
+    assert float(loss_a) == pytest.approx(float(loss_b), rel=2e-5)
+    # 5e-5: the distributed lse and log_softmax reduce in different orders.
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5
+        ),
+        new_a, new_b,
+    )
+    assert new_b["lm_head"].sharding.spec == P(None, "tp")
+
+    # Composes with dropout + remat + optax.
+    opt = optax.sgd(1e-2)
+    step_o = make_train_step_optax(
+        mesh, cfg, opt, attn_dropout=0.1, remat=True, vocab_parallel=True
+    )
+    loss_o, _, _ = step_o(p_vp, opt.init(p_vp), tokens, 7)
+    step_r = make_train_step(
+        mesh, cfg, lr=1e-2, attn_dropout=0.1, remat=True, vocab_parallel=True
+    )
+    loss_r, _ = step_r(p_vp, tokens, 7)
+    assert float(loss_o) == pytest.approx(float(loss_r), rel=1e-6)
+    with pytest.raises(ValueError, match="vocab_parallel"):
+        make_train_step(
+            mesh,
+            transformer.ModelConfig(
+                vocab_size=63, num_layers=1, d_model=64, num_q_heads=4,
+                num_kv_heads=2, head_dim=32, intermediate=64,
+            ),
+            vocab_parallel=True,
+        )
