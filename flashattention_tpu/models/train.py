@@ -47,6 +47,7 @@ __all__ = [
     "make_train_step_ep",
     "make_train_step_fsdp",
     "fsdp_param_specs",
+    "fsdp_tp_param_specs",
     "shard_params_fsdp",
     "packed_positions",
     "stack_params",
@@ -229,6 +230,7 @@ def _forward_local(
     params, tokens, cfg: ModelConfig, tp_size: int, tp_axis: str,
     attn_dropout: float | None = None, dropout_seed=None,
     segment_ids=None, remat: bool = False, vocab_parallel: bool = False,
+    layer_transform=None,
 ):
     """Per-device forward on the local TP shard of heads/intermediate.
 
@@ -246,6 +248,11 @@ def _forward_local(
     backward (the flash kernel already recomputes its own tiles, so the
     whole backward stays memory-flat in depth).  Dropout composes: the
     recomputed forward regenerates identical masks from the same seeds.
+
+    ``layer_transform`` (round 3): applied to each layer's param subtree
+    INSIDE the (possibly checkpointed) layer — the FSDP x TP step passes the
+    fsdp all-gather here, so under remat the backward re-gathers one layer's
+    weights at a time (ZeRO-3 behavior inside a TP forward).
     """
     b, s = tokens.shape
     hq_local = cfg.num_q_heads // tp_size
@@ -283,6 +290,8 @@ def _forward_local(
         seg_qf = seg_kvf = None
 
     def one_layer(x, layer, lseed):
+        if layer_transform is not None:
+            layer = layer_transform(layer)
         h = _f_identity(_rmsnorm(x, layer["attn_norm"]), tp_axis)
         q = (h @ layer["wq"]).reshape(b, s, hq_local, cfg.head_dim)
         k = (h @ layer["wk"]).reshape(b, s, hkv_local, cfg.head_dim)
@@ -1460,8 +1469,41 @@ def fsdp_param_specs(params, mesh: Mesh, fsdp: str = "dp") -> dict:
     return jax.tree.map(spec_for, params)
 
 
-def shard_params_fsdp(params, mesh: Mesh, fsdp: str = "dp"):
-    specs = fsdp_param_specs(params, mesh, fsdp)
+def _add_fsdp_axis(spec, shape, size, fsdp):
+    """Extend a (possibly tp-sharded) spec with the fsdp axis on the first
+    free dim that divides the axis size; leave it alone if none does."""
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    for i, (dim, e) in enumerate(zip(shape, entries)):
+        if e is None and dim % size == 0 and dim >= size:
+            entries[i] = fsdp
+            return P(*entries)
+    return spec
+
+
+def fsdp_tp_param_specs(
+    cfg: ModelConfig, params, mesh: Mesh, fsdp: str = "dp", tp: str = "tp"
+) -> dict:
+    """FSDP x TP 2D specs: Megatron column/row sharding over ``tp`` PLUS
+    at-rest fsdp sharding on each leaf's first free divisible dim — the
+    canonical ZeRO + tensor-parallel production layout."""
+    size = mesh.shape[fsdp]
+    base = param_specs(cfg, tp)
+    return jax.tree.map(
+        lambda x, s: _add_fsdp_axis(s, x.shape, size, fsdp),
+        params, base, is_leaf=lambda t: isinstance(t, P),
+    )
+
+
+def shard_params_fsdp(
+    params, mesh: Mesh, fsdp: str = "dp", *, tp: str | None = None,
+    cfg: ModelConfig | None = None,
+):
+    """device_put params in the at-rest FSDP (or FSDP x TP) layout; returns
+    (sharded_params, specs).  ``tp`` requires ``cfg``."""
+    if tp is None:
+        specs = fsdp_param_specs(params, mesh, fsdp)
+    else:
+        specs = fsdp_tp_param_specs(cfg, params, mesh, fsdp, tp)
     return (
         jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
@@ -1476,6 +1518,7 @@ def make_train_step_fsdp(
     cfg: ModelConfig,
     *,
     fsdp: str = "dp",
+    tp: str | None = None,
     lr: float = 1e-3,
     optimizer=None,
     attn_dropout: float | None = None,
@@ -1500,6 +1543,11 @@ def make_train_step_fsdp(
     backward re-gathers one layer's weights at a time instead of holding
     every gathered layer alive through the backward — peak weight memory
     O(shard + one layer) rather than O(total), the full ZeRO-3 behavior.
+
+    ``tp`` (round 3): FSDP x TP 2D — heads/MLP Megatron-shard over ``tp``
+    (exact f/g gradients) while every leaf ALSO shards over ``fsdp`` at
+    rest (:func:`fsdp_tp_param_specs`); the per-layer gather rebuilds only
+    the tp-local shard.  The canonical ZeRO + tensor-parallel layout.
     """
     if attn_dropout == 0.0:
         attn_dropout = None  # rate 0 is the identity, not an error
@@ -1509,7 +1557,15 @@ def make_train_step_fsdp(
     from flashattention_tpu.models.transformer import init_params
 
     example = jax.eval_shape(lambda: init_params(jax.random.key(0), cfg))
-    specs = fsdp_param_specs(example, mesh, fsdp)
+    if tp is None:
+        specs = fsdp_param_specs(example, mesh, fsdp)
+    else:
+        if cfg.num_kv_heads % mesh.shape[tp]:
+            raise ValueError(
+                f"tp={mesh.shape[tp]} must divide num_kv_heads="
+                f"{cfg.num_kv_heads}"
+            )
+        specs = fsdp_tp_param_specs(cfg, example, mesh, fsdp, tp)
     layer_specs = specs["layers"][0]
 
     def gather_full(shard, spec):
@@ -1525,6 +1581,24 @@ def make_train_step_fsdp(
         )
 
     def forward(shards, tokens, seed):
+        if tp is not None:
+            # FSDP x TP: embed/final/lm_head gather over fsdp up front (one
+            # use each); layers re-gather per layer INSIDE _forward_local's
+            # (possibly checkpointed) layer via layer_transform — tp shards
+            # stay local, the f/g pairs handle the tp collectives.
+            params = {
+                "embed": gather_tree(shards["embed"], specs["embed"]),
+                "final_norm": gather_tree(
+                    shards["final_norm"], specs["final_norm"]
+                ),
+                "lm_head": gather_tree(shards["lm_head"], specs["lm_head"]),
+                "layers": shards["layers"],
+            }
+            return _forward_local(
+                params, tokens, cfg, mesh.shape[tp], tp, attn_dropout, seed,
+                remat=remat,
+                layer_transform=lambda l: gather_tree(l, layer_specs),
+            )
         b, s = tokens.shape
         positions = jnp.broadcast_to(jnp.arange(s), (b, s))
 
@@ -1550,6 +1624,8 @@ def make_train_step_fsdp(
     def local_grads(shards, tokens, seed):
         if attn_dropout is not None:
             seed = seed * gold + jax.lax.axis_index(fsdp) * jnp.int32(7919)
+            if tp is not None:
+                seed = seed + jax.lax.axis_index(tp) * jnp.int32(104729)
 
         def loss_fn(shards):
             logits = forward(shards, tokens, seed)

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from flashattention_tpu.ops.flash import BlockSizes, flash_attention
-from flashattention_tpu.parallel.ring import merge_partials
 
 __all__ = [
     "make_data_parallel_attention",

@@ -805,3 +805,43 @@ def test_vocab_parallel_matches_replicated():
             ),
             vocab_parallel=True,
         )
+
+
+def test_fsdp_tp_matches_single_device():
+    """FSDP x TP 2D (fsdp=2 x tp=4): every leaf Megatron-sharded over tp AND
+    at-rest sharded over fsdp; per-layer fsdp gather inside the (remat)
+    layer == the dense single-device update leaf-for-leaf."""
+    from flashattention_tpu.models.train import (
+        make_train_step_fsdp, shard_params_fsdp,
+    )
+
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=2, d_model=64, num_q_heads=8,
+        num_kv_heads=4, head_dim=32, intermediate=128, dtype="float32",
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+    tokens = jax.random.randint(jax.random.key(1), (4, 128), 0, cfg.vocab_size)
+
+    mesh1 = make_mesh(1, 1)
+    p1 = shard_params(params, mesh1, cfg)
+    t1 = jax.device_put(tokens, NamedSharding(mesh1, P("dp", None)))
+    loss1, new1 = make_train_step(mesh1, cfg, lr=1e-2)(p1, t1)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "tp"))
+    pf, specs = shard_params_fsdp(params, mesh, tp="tp", cfg=cfg)
+    # Both axes really appear in the at-rest layout.
+    assert specs["layers"][0]["wq"] == P("dp", "tp")
+    assert specs["embed"] == P("dp", None)
+    tf = jax.device_put(tokens, NamedSharding(mesh, P("dp", None)))
+    for remat in (False, True):
+        step = make_train_step_fsdp(mesh, cfg, tp="tp", lr=1e-2, remat=remat)
+        loss_f, new_f = step(pf, tf)
+        assert float(loss_f) == pytest.approx(float(loss1), rel=2e-5), remat
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-5
+            ),
+            new_f, new1,
+        )
+        # At-rest layout preserved through the update.
+        assert new_f["layers"][0]["wq"].sharding.spec == P("dp", "tp")
