@@ -1503,6 +1503,8 @@ def shard_params_fsdp(
     if tp is None:
         specs = fsdp_param_specs(params, mesh, fsdp)
     else:
+        if cfg is None:
+            raise ValueError("shard_params_fsdp(tp=...) requires cfg")
         specs = fsdp_tp_param_specs(cfg, params, mesh, fsdp, tp)
     return (
         jax.tree.map(

@@ -845,3 +845,52 @@ def test_fsdp_tp_matches_single_device():
         )
         # At-rest layout preserved through the update.
         assert new_f["layers"][0]["wq"].sharding.spec == P("dp", "tp")
+
+
+def test_packed_vocab_parallel_matches_replicated():
+    """Packed rows + vocab_parallel: the masked loss through the distributed
+    cross-entropy == the replicated-lm_head packed step (pins the
+    padding/segment-target interaction with the vp ok-mask psums)."""
+    from flashattention_tpu.models.train import make_train_step_packed
+
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=2, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+    mesh = make_mesh(2, 2)
+    b, s = 4, 128
+    tokens = jax.device_put(
+        jax.random.randint(jax.random.key(1), (b, s), 0, cfg.vocab_size),
+        NamedSharding(mesh, P("dp", None)),
+    )
+    # Two docs per row plus a padding tail (negative segment id).
+    seg = np.zeros((b, s), np.int32)
+    seg[:, 60:] = 1
+    seg[:, 110:] = -1
+    segs = jax.device_put(jnp.asarray(seg), NamedSharding(mesh, P("dp", None)))
+
+    p_rep = shard_params(params, mesh, cfg)
+    loss_a, new_a = make_train_step_packed(mesh, cfg, lr=1e-2)(
+        p_rep, tokens, segs
+    )
+    p_vp = shard_params(params, mesh, cfg, vocab_parallel=True)
+    loss_b, new_b = make_train_step_packed(
+        mesh, cfg, lr=1e-2, vocab_parallel=True
+    )(p_vp, tokens, segs)
+
+    assert float(loss_a) == pytest.approx(float(loss_b), rel=2e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5
+        ),
+        new_a, new_b,
+    )
+
+
+def test_shard_params_fsdp_tp_requires_cfg():
+    from flashattention_tpu.models.train import shard_params_fsdp
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "tp"))
+    with pytest.raises(ValueError, match="requires cfg"):
+        shard_params_fsdp({"w": jnp.zeros((8, 8))}, mesh, tp="tp")
