@@ -226,11 +226,20 @@ def packed_positions(segment_ids):
     return idx - start
 
 
+def _cast_floats(tree, dtype):
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        tree,
+    )
+
+
 def _forward_local(
     params, tokens, cfg: ModelConfig, tp_size: int, tp_axis: str,
     attn_dropout: float | None = None, dropout_seed=None,
     segment_ids=None, remat: bool = False, vocab_parallel: bool = False,
-    layer_transform=None,
+    layer_transform=None, compute_dtype=None,
 ):
     """Per-device forward on the local TP shard of heads/intermediate.
 
@@ -253,6 +262,11 @@ def _forward_local(
     INSIDE the (possibly checkpointed) layer — the FSDP x TP step passes the
     fsdp all-gather here, so under remat the backward re-gathers one layer's
     weights at a time (ZeRO-3 behavior inside a TP forward).
+
+    ``compute_dtype`` (round 3): mixed precision — weights cast to this
+    dtype just-in-time for compute (master copies stay in the param dtype;
+    the cast's autodiff transpose returns full-precision gradients for the
+    masters).  Composes after ``layer_transform``.
     """
     b, s = tokens.shape
     hq_local = cfg.num_q_heads // tp_size
@@ -274,6 +288,10 @@ def _forward_local(
         )
     else:
         x = params["embed"][tokens]
+    if compute_dtype is not None:
+        # Cast the looked-up ROWS (≡ casting the table, elementwise) — the
+        # master table keeps full precision and full-precision row grads.
+        x = x.astype(compute_dtype)
     if segment_ids is not None:
         # Packed rows: positions restart per document; the attention mask
         # cannot cross document boundaries (segment ids thread into the
@@ -292,6 +310,8 @@ def _forward_local(
     def one_layer(x, layer, lseed):
         if layer_transform is not None:
             layer = layer_transform(layer)
+        if compute_dtype is not None:
+            layer = _cast_floats(layer, compute_dtype)
         h = _f_identity(_rmsnorm(x, layer["attn_norm"]), tp_axis)
         q = (h @ layer["wq"]).reshape(b, s, hq_local, cfg.head_dim)
         k = (h @ layer["wk"]).reshape(b, s, hkv_local, cfg.head_dim)
@@ -332,14 +352,18 @@ def _forward_local(
         else:
             lseed = 0
         x = one_layer(x, layer, lseed)
-    x = _rmsnorm(x, params["final_norm"])
+    fn_w, head_w = params["final_norm"], params["lm_head"]
+    if compute_dtype is not None:
+        fn_w = fn_w.astype(compute_dtype)
+        head_w = head_w.astype(compute_dtype)
+    x = _rmsnorm(x, fn_w)
     if vocab_parallel:
         # Column-sharded lm_head: dx = d_logits_local @ lm_head_local.T is a
         # PARTIAL over this shard's vocab slice — the f-wrap psums it, like
         # every other column-parallel matmul input.  Output = the shard's
         # LOCAL logits (B, S, V/tp), fed to _vocab_parallel_nll.
         x = _f_identity(x, tp_axis)
-    return x @ params["lm_head"]
+    return x @ head_w
 
 
 def _attn_block(x, layer, positions, cfg: ModelConfig,
@@ -837,6 +861,7 @@ def _make_step(grad_call, lr, optimizer):
 def _make_grad_map(
     mesh, cfg, *, dp, tp, attn_dropout: float | None = None,
     packed: bool = False, remat: bool = False, vocab_parallel: bool = False,
+    compute_dtype=None,
 ):
     """shard_mapped forward/backward: the ONE DP x TP grad map shared by the
     SGD, optax, and packed training steps (one copy keeps loss masking /
@@ -903,7 +928,7 @@ def _make_grad_map(
                 logits = _forward_local(
                     params, tokens, cfg, tp_size, tp, attn_dropout, seed,
                     segment_ids=segment_ids, remat=remat,
-                    vocab_parallel=vocab_parallel,
+                    vocab_parallel=vocab_parallel, compute_dtype=compute_dtype,
                 )
                 targets = tokens[:, 1:]
                 # Valid next-token target: same document, not padding.
@@ -931,7 +956,7 @@ def _make_grad_map(
             def loss_fn(params):
                 logits = _forward_local(
                     params, tokens, cfg, tp_size, tp, attn_dropout, seed,
-                    remat=remat, vocab_parallel=vocab_parallel,
+                    remat=remat, vocab_parallel=vocab_parallel, compute_dtype=compute_dtype,
                 )
                 targets = tokens[:, 1:]
                 return jnp.mean(nll_of(logits[:, :-1], targets))
@@ -959,6 +984,7 @@ def make_train_step(
     attn_dropout: float | None = None,
     remat: bool = False,
     vocab_parallel: bool = False,
+    compute_dtype=None,
 ):
     """Jitted (params, tokens) -> (loss, new_params) SGD step over the mesh.
 
@@ -975,7 +1001,7 @@ def make_train_step(
     """
     grad_map = _make_grad_map(
         mesh, cfg, dp=dp, tp=tp, attn_dropout=attn_dropout, remat=remat,
-        vocab_parallel=vocab_parallel,
+        vocab_parallel=vocab_parallel, compute_dtype=compute_dtype,
     )
 
     @jax.jit
@@ -999,6 +1025,7 @@ def make_train_step_optax(
     attn_dropout: float | None = None,
     remat: bool = False,
     vocab_parallel: bool = False,
+    compute_dtype=None,
 ):
     """DP x TP training step with an arbitrary optax optimizer (round 2).
 
@@ -1017,7 +1044,7 @@ def make_train_step_optax(
     """
     grad_map = _make_grad_map(
         mesh, cfg, dp=dp, tp=tp, attn_dropout=attn_dropout, remat=remat,
-        vocab_parallel=vocab_parallel,
+        vocab_parallel=vocab_parallel, compute_dtype=compute_dtype,
     )
 
     @jax.jit
@@ -1043,6 +1070,7 @@ def make_train_step_packed(
     optimizer=None,
     remat: bool = False,
     vocab_parallel: bool = False,
+    compute_dtype=None,
 ):
     """DP x TP training step over PACKED rows (round 3).
 
@@ -1059,6 +1087,7 @@ def make_train_step_packed(
     grad_map = _make_grad_map(
         mesh, cfg, dp=dp, tp=tp, attn_dropout=attn_dropout, packed=True,
         remat=remat, vocab_parallel=vocab_parallel,
+        compute_dtype=compute_dtype,
     )
 
     def grad_call(params, tokens, segment_ids, seed=0):

@@ -894,3 +894,56 @@ def test_shard_params_fsdp_tp_requires_cfg():
     mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "tp"))
     with pytest.raises(ValueError, match="requires cfg"):
         shard_params_fsdp({"w": jnp.zeros((8, 8))}, mesh, tp="tp")
+
+
+def test_mixed_precision_master_weights():
+    """compute_dtype='bfloat16' with fp32 masters: the FIRST forward equals
+    a genuinely-bf16-params model exactly (same compute numbers), masters
+    and their updates stay fp32, and training stays finite — the standard
+    mixed-precision recipe, via just-in-time weight casts whose autodiff
+    transpose returns full-precision master grads."""
+    import dataclasses
+
+    cfg32 = transformer.ModelConfig(
+        vocab_size=64, num_layers=2, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+    )
+    cfg16 = dataclasses.replace(cfg32, dtype="bfloat16")
+    params = transformer.init_params(jax.random.key(0), cfg32)
+    params16 = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        params,
+    )
+    mesh = make_mesh(2, 2)
+    tokens = jax.device_put(
+        jax.random.randint(jax.random.key(1), (4, 128), 0, cfg32.vocab_size),
+        NamedSharding(mesh, P("dp", None)),
+    )
+
+    p32 = shard_params(params, mesh, cfg32)
+    step_mp = make_train_step(mesh, cfg32, lr=1e-2, compute_dtype="bfloat16")
+    loss_mp, new_mp = step_mp(p32, tokens)
+
+    p16 = shard_params(params16, mesh, cfg16)
+    loss_16, _ = make_train_step(mesh, cfg16, lr=1e-2)(p16, tokens)
+    assert float(loss_mp) == pytest.approx(float(loss_16), rel=1e-6)
+
+    # Masters stay fp32 and actually update.
+    assert new_mp["layers"][0]["wq"].dtype == jnp.float32
+    assert not np.allclose(
+        np.asarray(new_mp["layers"][0]["wq"]),
+        np.asarray(p32["layers"][0]["wq"]),
+    )
+    p = new_mp
+    for _ in range(3):
+        loss, p = step_mp(p, tokens)
+        assert np.isfinite(float(loss))
+    # Composes with remat + dropout + vocab_parallel in one step.
+    p_vp = shard_params(params, mesh, cfg32, vocab_parallel=True)
+    step_all = make_train_step(
+        mesh, cfg32, lr=1e-2, compute_dtype="bfloat16", remat=True,
+        attn_dropout=0.1, vocab_parallel=True,
+    )
+    loss_all, _ = step_all(p_vp, tokens, 3)
+    assert np.isfinite(float(loss_all))
