@@ -13,10 +13,14 @@ from flashattention_tpu.ops.dispatch import attention, sdpa
 from flashattention_tpu.ops.flash import BlockSizes, flash_attention, flash_attention_naive
 from flashattention_tpu.ops.quant import (
     QuantizedTensor,
+    QuantizedWeight,
     attention_quantized,
     dequantize,
+    dequantize_weight,
     quantize,
     quantize_kv,
+    quantize_weight,
+    quantize_weights,
 )
 from flashattention_tpu.ops.reference import (
     attention_reference,
@@ -40,6 +44,10 @@ __all__ = [
     "quantize",
     "dequantize",
     "quantize_kv",
+    "QuantizedWeight",
+    "quantize_weight",
+    "quantize_weights",
+    "dequantize_weight",
     "attention_reference",
     "attention_reference_with_stats",
 ]

@@ -197,6 +197,43 @@ def _rope(x, positions, theta):
     ).astype(x.dtype)
 
 
+def _mm(x, w):
+    """x @ w, transparently serving weight-only-quantized leaves (round 3).
+
+    For a :class:`~flashattention_tpu.ops.quant.QuantizedWeight` the
+    per-output-channel scale applies to the (small) matmul OUTPUT —
+    ``x @ (p * s) == (x @ p) * s`` in that layout — so the weight streams
+    from HBM as int8 and is never re-materialized at full width."""
+    from flashattention_tpu.ops.quant import QuantizedWeight
+
+    if isinstance(w, QuantizedWeight):
+        return (x @ w.payload.astype(x.dtype)) * w.scales.astype(x.dtype)
+    return x @ w
+
+
+def _es(spec, x, w):
+    """einsum(spec, x, w) with QuantizedWeight support (expert stacks:
+    scales (E, d_out) broadcast over the output's trailing dims)."""
+    from flashattention_tpu.ops.quant import QuantizedWeight
+
+    if isinstance(w, QuantizedWeight):
+        return jnp.einsum(spec, x, w.payload.astype(x.dtype)) * w.scales.astype(
+            x.dtype
+        )
+    return jnp.einsum(spec, x, w)
+
+
+def _lookup(emb, tokens):
+    """Embedding lookup with QuantizedWeight support: gather int8 rows,
+    scale per column, restore the logical dtype."""
+    from flashattention_tpu.ops.quant import QuantizedWeight
+
+    if isinstance(emb, QuantizedWeight):
+        rows = emb.payload[tokens].astype(jnp.float32) * emb.scales
+        return rows.astype(emb.ldtype)
+    return emb[tokens]
+
+
 def _mlp(x, layer, top_k: int = 2):
     """Dense SwiGLU, or (when the layer carries a router) top-k MoE.
 
@@ -210,15 +247,15 @@ def _mlp(x, layer, top_k: int = 2):
     (models/train.py::make_train_step_ep).
     """
     if "router" not in layer:
-        gate = jax.nn.silu(x @ layer["w_gate"])
-        return (gate * (x @ layer["w_up"])) @ layer["w_down"]
+        gate = jax.nn.silu(_mm(x, layer["w_gate"]))
+        return _mm(gate * _mm(x, layer["w_up"]), layer["w_down"])
     e = layer["router"].shape[-1]
-    logits = x @ layer["router"]  # (..., E)
+    logits = _mm(x, layer["router"])  # (..., E)
     wk, idx = jax.lax.top_k(logits, top_k)
     wk = jax.nn.softmax(wk.astype(jnp.float32), axis=-1)
-    gate = jax.nn.silu(jnp.einsum("...d,edf->...ef", x, layer["w_gate"]))
-    up = jnp.einsum("...d,edf->...ef", x, layer["w_up"])
-    ye = jnp.einsum("...ef,efd->...ed", gate * up, layer["w_down"])  # (..., E, d)
+    gate = jax.nn.silu(_es("...d,edf->...ef", x, layer["w_gate"]))
+    up = _es("...d,edf->...ef", x, layer["w_up"])
+    ye = _es("...ef,efd->...ed", gate * up, layer["w_down"])  # (..., E, d)
     sel = jax.nn.one_hot(idx, e, dtype=wk.dtype)  # (..., k, E)
     w_e = jnp.einsum("...ke,...k->...e", sel, wk)
     return jnp.einsum("...e,...ed->...d", w_e.astype(x.dtype), ye)
@@ -226,9 +263,9 @@ def _mlp(x, layer, top_k: int = 2):
 
 def _qkv(x, layer, cfg, positions):
     b, s, _ = x.shape
-    q = (x @ layer["wq"]).reshape(b, s, cfg.num_q_heads, cfg.head_dim)
-    k = (x @ layer["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    v = (x @ layer["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    q = _mm(x, layer["wq"]).reshape(b, s, cfg.num_q_heads, cfg.head_dim)
+    k = _mm(x, layer["wk"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = _mm(x, layer["wv"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     q = _rope(q, positions, cfg.rope_theta)
     k = _rope(k, positions, cfg.rope_theta)
     return q, k, v
@@ -242,7 +279,7 @@ def prefill(params, tokens: jax.Array, cfg: ModelConfig, interpret=None):
     k_cache/v_cache: (L, B, S, KVH, d) rows for the paged cache.
     """
     b, s = tokens.shape
-    x = params["embed"][tokens]
+    x = _lookup(params["embed"], tokens)
     positions = jnp.broadcast_to(jnp.arange(s), (b, s))
     k_rows, v_rows = [], []
     for layer in params["layers"]:
@@ -266,10 +303,10 @@ def prefill(params, tokens: jax.Array, cfg: ModelConfig, interpret=None):
             interpret=interpret,
         )
         o = o.transpose(0, 2, 1, 3)
-        x = x + o.reshape(b, s, -1) @ layer["wo"]
+        x = x + _mm(o.reshape(b, s, -1), layer["wo"])
         x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer, cfg.experts_per_token)
     x = _rmsnorm(x, params["final_norm"])
-    logits = x @ params["lm_head"]
+    logits = _mm(x, params["lm_head"])
     return logits, jnp.stack(k_rows), jnp.stack(v_rows)
 
 
@@ -309,7 +346,7 @@ def decode_step_impl(
     projections all-reduce over that axis; otherwise identical.
     """
     b = tokens.shape[0]
-    x = params["embed"][tokens]  # (B, d_model)
+    x = _lookup(params["embed"], tokens)  # (B, d_model)
     x = x[:, None, :]  # (B, 1, d_model)
     pos = positions[:, None]
     quantized = k_scales is not None
@@ -355,7 +392,7 @@ def decode_step_impl(
             interpret=interpret,
         )  # (B, KVH, G, d)
         o = o.reshape(b, 1, cfg.num_q_heads * cfg.head_dim)
-        attn_out = o @ layer["wo"]
+        attn_out = _mm(o, layer["wo"])
         if tp_axis is not None:
             attn_out = jax.lax.psum(attn_out, tp_axis)
         x = x + attn_out
@@ -364,7 +401,7 @@ def decode_step_impl(
             mlp_out = jax.lax.psum(mlp_out, tp_axis)
         x = x + mlp_out
     x = _rmsnorm(x[:, 0], params["final_norm"])
-    logits = x @ params["lm_head"]
+    logits = _mm(x, params["lm_head"])
     return logits, k_pages, v_pages, k_scales, v_scales
 
 
@@ -442,7 +479,7 @@ def verify_step(
     ``cache.trim``) before the next step.
     """
     b, kk = tokens.shape
-    x = params["embed"][tokens.reshape(-1)].reshape(b, kk, -1)
+    x = _lookup(params["embed"], tokens.reshape(-1)).reshape(b, kk, -1)
     pos = positions[:, None] + jnp.arange(kk)[None]  # (B, k)
     lengths = positions + kk  # includes every fed token
     quantized = k_scales is not None
@@ -488,10 +525,10 @@ def verify_step(
             .transpose(0, 3, 1, 2, 4)
             .reshape(b, kk, cfg.num_q_heads * cfg.head_dim)
         )
-        x = x + o @ layer["wo"]
+        x = x + _mm(o, layer["wo"])
         x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer, cfg.experts_per_token)
     x = _rmsnorm(x, params["final_norm"])
-    logits = x @ params["lm_head"]
+    logits = _mm(x, params["lm_head"])
     return logits, k_pages, v_pages, k_scales, v_scales
 
 
@@ -673,7 +710,7 @@ def prefill_chunk(
             "the full context including this chunk"
         )
     quantized = k_scales is not None
-    x = params["embed"][tokens][None]  # (1, T, d_model)
+    x = _lookup(params["embed"], tokens)[None]  # (1, T, d_model)
     pos = positions[None]
     g = cfg.group_size
     kvh = cfg.num_kv_heads
@@ -729,10 +766,10 @@ def prefill_chunk(
             .transpose(1, 0, 2)
             .reshape(1, t, cfg.num_q_heads * cfg.head_dim)
         )
-        x = x + o @ layer["wo"]
+        x = x + _mm(o, layer["wo"])
         x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer, cfg.experts_per_token)
     x = _rmsnorm(x[0], params["final_norm"])
-    logits = x @ params["lm_head"]
+    logits = _mm(x, params["lm_head"])
     return logits, k_pages, v_pages, k_scales, v_scales
 
 
@@ -786,7 +823,7 @@ def prefill_chunk_batched(
             "span the full context including this chunk"
         )
     quantized = k_scales is not None
-    x = params["embed"][tokens]  # (B, T, d_model)
+    x = _lookup(params["embed"], tokens)  # (B, T, d_model)
     g = cfg.group_size
     kvh = cfg.num_kv_heads
     for li, layer in enumerate(params["layers"]):
@@ -838,7 +875,7 @@ def prefill_chunk_batched(
             .transpose(0, 2, 1, 3)
             .reshape(b, t, cfg.num_q_heads * cfg.head_dim)
         )
-        x = x + o @ layer["wo"]
+        x = x + _mm(o, layer["wo"])
         x = x + _mlp(_rmsnorm(x, layer["mlp_norm"]), layer, cfg.experts_per_token)
     # 2D final stage: (B*T, dm) @ (dm, V) reduces element-wise identically to
     # the single-request path's (T, dm) @ (dm, V), keeping batched prefill

@@ -133,3 +133,111 @@ def test_attention_quantized_gqa_fold_unaligned_segment():
         validate_result(
             o[:, g * seg : (g + 1) * seg], want, 2e-2, name=f"group{g}"
         )
+
+
+# ── weight-only quantization (round 3) ───────────────────────────────────
+
+
+def test_quantized_weight_matmul_identity():
+    """(x @ p) * s == x @ (p * s) exactly in the per-output-channel layout,
+    and the quantization error is the expected absmax/127 grid."""
+    from flashattention_tpu.ops.quant import (
+        dequantize_weight, quantize_weight,
+    )
+
+    w = jax.random.normal(jax.random.key(0), (64, 128))
+    x = jax.random.normal(jax.random.key(1), (8, 64))
+    qw = quantize_weight(w)
+    a = x @ dequantize_weight(qw)
+    b = (x @ qw.payload.astype(jnp.float32)) * qw.scales
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-4
+    # Grid error bound: half a quantization step per element.
+    step = jnp.max(jnp.abs(w), axis=0) / 127.0
+    assert float(
+        jnp.max(jnp.abs(w - dequantize_weight(qw)) - step[None, :] / 2)
+    ) < 1e-6
+
+
+def test_weight_only_prefill_and_decode_match_dequantized():
+    """quantize_weights(params) serves through the UNCHANGED prefill and
+    decode paths; outputs == running the explicitly dequantized params
+    (reassociation-only difference), with int8 actually at rest."""
+    from flashattention_tpu.models import transformer
+    from flashattention_tpu.ops.quant import (
+        QuantizedWeight, dequantize_weight, quantize_weights,
+    )
+
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=2, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+    qparams = quantize_weights(params)
+    assert isinstance(qparams["lm_head"], QuantizedWeight)
+    assert qparams["lm_head"].payload.dtype == jnp.int8
+    assert qparams["layers"][0]["attn_norm"].dtype == jnp.float32  # skipped
+    dqparams = jax.tree.map(
+        lambda x: dequantize_weight(x) if isinstance(x, QuantizedWeight) else x,
+        qparams,
+        is_leaf=lambda x: isinstance(x, QuantizedWeight),
+    )
+
+    tokens = jax.random.randint(jax.random.key(1), (2, 128), 0, cfg.vocab_size)
+    lq, kq, vq = transformer.prefill(qparams, tokens, cfg=cfg)
+    ld, kd, vd = transformer.prefill(dqparams, tokens, cfg=cfg)
+    assert float(jnp.max(jnp.abs(lq - ld))) < 1e-3
+
+    # MoE variant: expert stacks quantize per (E, d_out) and serve too.
+    cfg_moe = transformer.ModelConfig(
+        vocab_size=64, num_layers=1, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+        num_experts=4, experts_per_token=2,
+    )
+    pm = transformer.init_params(jax.random.key(2), cfg_moe)
+    qm = quantize_weights(pm)
+    assert not isinstance(qm["layers"][0]["router"], QuantizedWeight)
+    dm = jax.tree.map(
+        lambda x: dequantize_weight(x) if isinstance(x, QuantizedWeight) else x,
+        qm,
+        is_leaf=lambda x: isinstance(x, QuantizedWeight),
+    )
+    lq2, _, _ = transformer.prefill(qm, tokens, cfg=cfg_moe)
+    ld2, _, _ = transformer.prefill(dm, tokens, cfg=cfg_moe)
+    assert float(jnp.max(jnp.abs(lq2 - ld2))) < 1e-3
+
+
+def test_weight_only_engine_end_to_end():
+    """The serving engine runs unmodified on weight-quantized params and
+    generates the same tokens as the dequantized model (greedy)."""
+    from flashattention_tpu.models import transformer
+    from flashattention_tpu.ops.quant import (
+        QuantizedWeight, dequantize_weight, quantize_weights,
+    )
+    from flashattention_tpu.runtime.engine import Engine, EngineConfig
+    from flashattention_tpu.runtime.kvcache import CacheConfig
+
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=2, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+    qparams = quantize_weights(params)
+    dqparams = jax.tree.map(
+        lambda x: dequantize_weight(x) if isinstance(x, QuantizedWeight) else x,
+        qparams,
+        is_leaf=lambda x: isinstance(x, QuantizedWeight),
+    )
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers, num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim, page_size=8, num_pages=64, dtype="float32",
+    )
+
+    def gen(p):
+        eng = Engine(
+            p, cfg, ccfg, EngineConfig(max_batch=2, pages_per_seq=8)
+        )
+        rid = eng.add_request(prompt, max_new_tokens=6)
+        return eng.run()[rid]
+
+    assert gen(qparams) == gen(dqparams)
