@@ -40,6 +40,11 @@ def main():
     p.add_argument("--page_size", type=int, default=256)
     p.add_argument("--steps", type=int, default=32, help="loop steps per timing")
     p.add_argument("--kv_dtypes", default="bfloat16,int8")
+    p.add_argument(
+        "--weight_dtypes", default="bfloat16,int8",
+        help="comma list: bfloat16 (native) and/or int8 (weight-only "
+        "quantized params, round 3 — weights stream at half the bytes)",
+    )
     args = p.parse_args()
 
     cfg = transformer.ModelConfig(
@@ -62,6 +67,14 @@ def main():
     tokens = jnp.arange(b, dtype=jnp.int32) % cfg.vocab_size
     positions = jnp.full((b,), s, jnp.int32)
 
+    from flashattention_tpu.ops.quant import quantize_weights
+
+    param_variants = {}
+    for wname in args.weight_dtypes.split(","):
+        param_variants[wname] = (
+            quantize_weights(params) if wname == "int8" else params
+        )
+
     for name in args.kv_dtypes.split(","):
         pool_dtype = {"bfloat16": jnp.bfloat16, "int8": jnp.int8}[name]
         shape = (cfg.num_layers, num_pages, cfg.num_kv_heads, ps, cfg.head_dim)
@@ -81,27 +94,35 @@ def main():
             # Feed a token back so chained timing iterations can't collapse.
             return out[:, -1] % cfg.vocab_size
 
-        ms_loop = devtime_ms(
-            run, (tokens, params, kp, vp, ks, vs), n_hi=5, min_window_ms=20.0
-        )
-        ms = ms_loop / args.steps
-        kv_bytes = 2 * b * cfg.num_kv_heads * s * cfg.head_dim * (
-            1 if quant else 2
-        ) * cfg.num_layers
-        row = {
-            "bench": "decode_loop_e2e",
-            "kv_dtype": name,
-            "batch": b,
-            "layers": cfg.num_layers,
-            "seq_len": s,
-            "steps_per_loop": args.steps,
-            "step_ms": round(ms, 4),
-            "per_layer_ms": round(ms / cfg.num_layers, 4),
-            "decode_tokens_per_s": round(b / ms * 1e3),
-            "params_M": round(n_param / 1e6),
-            "kv_cache_gb": round(kv_bytes / 1e9, 2),
-        }
-        print(json.dumps(row))
+        for wname, pvariant in param_variants.items():
+            ms_loop = devtime_ms(
+                run, (tokens, pvariant, kp, vp, ks, vs), n_hi=5,
+                min_window_ms=20.0,
+            )
+            ms = ms_loop / args.steps
+            kv_bytes = 2 * b * cfg.num_kv_heads * s * cfg.head_dim * (
+                1 if quant else 2
+            ) * cfg.num_layers
+            w_bytes = sum(
+                x.size * x.dtype.itemsize
+                for x in jax.tree.leaves(pvariant)
+            )
+            row = {
+                "bench": "decode_loop_e2e",
+                "kv_dtype": name,
+                "weight_dtype": wname,
+                "batch": b,
+                "layers": cfg.num_layers,
+                "seq_len": s,
+                "steps_per_loop": args.steps,
+                "step_ms": round(ms, 4),
+                "per_layer_ms": round(ms / cfg.num_layers, 4),
+                "decode_tokens_per_s": round(b / ms * 1e3),
+                "params_M": round(n_param / 1e6),
+                "weights_gb": round(w_bytes / 1e9, 2),
+                "kv_cache_gb": round(kv_bytes / 1e9, 2),
+            }
+            print(json.dumps(row))
 
 
 if __name__ == "__main__":
