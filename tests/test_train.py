@@ -947,3 +947,96 @@ def test_mixed_precision_master_weights():
     )
     loss_all, _ = step_all(p_vp, tokens, 3)
     assert np.isfinite(float(loss_all))
+
+
+# ── LoRA fine-tuning (round 3) ──────────────────────────────────────────────
+
+
+def test_lora_grads_are_exact_chain_rule():
+    """LoRA adapter gradients equal the chain rule through the merge:
+    dA = dW @ B^T * (alpha/r), dB = A^T @ dW * (alpha/r), where dW is the
+    FULL fine-tune gradient of the merged model — pins the just-in-time
+    merge as the exact LoRA forward, not an approximation."""
+    from flashattention_tpu.models.train import (
+        init_lora, make_train_step_lora, merge_lora,
+    )
+
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=1, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+    )
+    base = transformer.init_params(jax.random.key(0), cfg)
+    r, alpha, lr = 4, 16.0, 1.0
+    lora = init_lora(jax.random.key(1), base, rank=r, targets=("wq", "wv"))
+    # Non-zero B so the adapters shape the forward too.
+    lora = jax.tree.map(lambda a: a + 0.01, lora)
+
+    mesh = make_mesh(1, 1)
+    tokens = jax.device_put(
+        jax.random.randint(jax.random.key(2), (2, 128), 0, cfg.vocab_size),
+        NamedSharding(mesh, P("dp", None)),
+    )
+    base_s = shard_params(base, mesh, cfg)
+
+    step = make_train_step_lora(mesh, cfg, alpha=alpha, lr=lr)
+    loss_l, new_lora = step(base_s, lora, tokens)
+    # grads recovered from the SGD update at lr=1.
+    dA = np.asarray(lora[0]["wq"]["a"]) - np.asarray(new_lora[0]["wq"]["a"])
+    dB = np.asarray(lora[0]["wq"]["b"]) - np.asarray(new_lora[0]["wq"]["b"])
+
+    # Full fine-tune of the explicitly merged model gives dW.
+    merged = shard_params(merge_lora(base, lora, alpha), mesh, cfg)
+    step_full = make_train_step(mesh, cfg, lr=lr)
+    loss_f, new_full = step_full(merged, tokens)
+    assert float(loss_l) == pytest.approx(float(loss_f), rel=1e-6)
+    dW = np.asarray(merged["layers"][0]["wq"]) - np.asarray(
+        new_full["layers"][0]["wq"]
+    )
+    s = alpha / r
+    np.testing.assert_allclose(
+        dA, dW @ np.asarray(lora[0]["wq"]["b"]).T * s, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        dB, np.asarray(lora[0]["wq"]["a"]).T @ dW * s, atol=1e-5
+    )
+
+
+def test_lora_trains_and_base_frozen_tp():
+    """DP x TP LoRA: B=0 init equals the base forward; training moves the
+    loss while touching ONLY the adapter tree; matches tp=1 exactly."""
+    from flashattention_tpu.models.train import init_lora, make_train_step_lora
+
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=2, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+    )
+    base = transformer.init_params(jax.random.key(0), cfg)
+    lora = init_lora(jax.random.key(1), base, rank=4, targets=("wq", "wo"))
+    tokens = jax.random.randint(jax.random.key(2), (4, 128), 0, cfg.vocab_size)
+
+    mesh1 = make_mesh(1, 1)
+    b1 = shard_params(base, mesh1, cfg)
+    t1 = jax.device_put(tokens, NamedSharding(mesh1, P("dp", None)))
+    step1 = make_train_step_lora(mesh1, cfg, lr=5e-2)
+    # B=0: the first loss equals the frozen base model's loss.
+    loss_base, _ = make_train_step(mesh1, cfg, lr=0.0)(b1, t1)
+    loss0, lora1 = step1(b1, lora, t1)
+    assert float(loss0) == pytest.approx(float(loss_base), rel=1e-6)
+
+    mesh = make_mesh(2, 2)
+    b2 = shard_params(base, mesh, cfg)
+    t2 = jax.device_put(tokens, NamedSharding(mesh, P("dp", None)))
+    step2 = make_train_step_lora(mesh, cfg, lr=5e-2)
+    loss0b, lora1b = step2(b2, lora, t2)
+    assert float(loss0) == pytest.approx(float(loss0b), rel=2e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5
+        ),
+        lora1, lora1b,
+    )
+    # A few steps reduce the loss through the adapters alone.
+    l, cur = loss0, lora
+    for _ in range(5):
+        l2, cur = step2(b2, cur, t2)
+    assert float(l2) < float(loss0)
