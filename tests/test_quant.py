@@ -241,3 +241,42 @@ def test_weight_only_engine_end_to_end():
         return eng.run()[rid]
 
     assert gen(qparams) == gen(dqparams)
+
+
+def test_lora_merge_then_quantize_serves():
+    """Deployment composition: fine-tuned adapters merge into the base
+    (merge_lora), the merged tree quantizes to int8 weight-only, and the
+    engine serves it — generation == the dequantized merged model."""
+    from flashattention_tpu.models import transformer
+    from flashattention_tpu.models.train import init_lora, merge_lora
+    from flashattention_tpu.ops.quant import (
+        QuantizedWeight, dequantize_weight, quantize_weights,
+    )
+    from flashattention_tpu.runtime.engine import Engine, EngineConfig
+    from flashattention_tpu.runtime.kvcache import CacheConfig
+
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=2, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+    )
+    base = transformer.init_params(jax.random.key(0), cfg)
+    lora = init_lora(jax.random.key(1), base, rank=4, targets=("wq", "wv"))
+    lora = jax.tree.map(lambda a: a + 0.02, lora)  # non-trivial adapters
+    merged = merge_lora(base, lora)
+    qmerged = quantize_weights(merged)
+    dq = jax.tree.map(
+        lambda x: dequantize_weight(x) if isinstance(x, QuantizedWeight) else x,
+        qmerged,
+        is_leaf=lambda x: isinstance(x, QuantizedWeight),
+    )
+    ccfg = CacheConfig(
+        num_layers=cfg.num_layers, num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim, page_size=8, num_pages=64, dtype="float32",
+    )
+
+    def gen(p):
+        eng = Engine(p, cfg, ccfg, EngineConfig(max_batch=2, pages_per_seq=8))
+        rid = eng.add_request([5, 4, 3, 2, 1], max_new_tokens=6)
+        return eng.run()[rid]
+
+    assert gen(qmerged) == gen(dq)
