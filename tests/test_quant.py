@@ -158,13 +158,14 @@ def test_quantized_weight_matmul_identity():
     ) < 1e-6
 
 
-def test_weight_only_prefill_and_decode_match_dequantized():
+@pytest.mark.parametrize("wdtype", ["int8", "fp8"])
+def test_weight_only_prefill_and_decode_match_dequantized(wdtype):
     """quantize_weights(params) serves through the UNCHANGED prefill and
     decode paths; outputs == running the explicitly dequantized params
-    (reassociation-only difference), with int8 actually at rest."""
+    (reassociation-only difference), with int8/fp8 actually at rest."""
     from flashattention_tpu.models import transformer
     from flashattention_tpu.ops.quant import (
-        QuantizedWeight, dequantize_weight, quantize_weights,
+        QUANT_DTYPES, QuantizedWeight, dequantize_weight, quantize_weights,
     )
 
     cfg = transformer.ModelConfig(
@@ -172,9 +173,9 @@ def test_weight_only_prefill_and_decode_match_dequantized():
         num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
     )
     params = transformer.init_params(jax.random.key(0), cfg)
-    qparams = quantize_weights(params)
+    qparams = quantize_weights(params, wdtype)
     assert isinstance(qparams["lm_head"], QuantizedWeight)
-    assert qparams["lm_head"].payload.dtype == jnp.int8
+    assert qparams["lm_head"].payload.dtype == QUANT_DTYPES[wdtype][0]
     assert qparams["layers"][0]["attn_norm"].dtype == jnp.float32  # skipped
     dqparams = jax.tree.map(
         lambda x: dequantize_weight(x) if isinstance(x, QuantizedWeight) else x,
