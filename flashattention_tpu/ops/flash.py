@@ -967,7 +967,14 @@ def _flash_attention(
     # MXU-computed l: extend V with a ones-column in an otherwise-idle output
     # lane (see module docstring).  Disabled for quantized KV (the folded
     # v_scales would pollute the ones-column sum) and for d >= 128 (no idle
-    # lanes — the extension would cost a second output tile).
+    # lanes).  At d=128 an MXU-assisted row sum CANNOT win under the
+    # measured cost model (scripts/probe_mxu.py: pass cost is OUTPUT-TILE-
+    # bound): whether V extends to 256 lanes or l gets its own p @ ones
+    # matmul, the added output occupies a full lane tile — ~PV-sized work,
+    # +50% MXU time to remove a VPU reduce that is at most the current ~27%
+    # gap.  The d=128 residual must come from VPU/MXU overlap (see
+    # scripts/probe_d128.py pipeline_decomposition), not from moving the
+    # sum onto the MXU.
     # Dropout additionally forces the VPU row sum: the ones-lane would sum
     # the DROPPED p tile, but l must be the undropped normalizer.
     lsum_mxu = (
