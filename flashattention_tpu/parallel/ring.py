@@ -779,6 +779,7 @@ def make_ring_attention_vjp(
     window: int | None = None,
     logit_softcap: float | None = None,
     dropout_rate: float | None = None,
+    q_seq_len: int | None = None,
 ):
     """Differentiable ring attention over ``mesh`` (same layout as
     :func:`make_ring_attention`): enables long-context training where the KV
@@ -788,14 +789,18 @@ def make_ring_attention_vjp(
     argument (traced int32) driving regenerated-mask attention dropout; see
     :func:`ring_attention_vjp_local`.  The ``batch_axis`` rank (if any) is
     folded into the seed here — the ring's own folds only decorrelate the
-    ``axis_name`` rank, and the kernel's head coordinate is shard-local."""
+    ``axis_name`` rank, and the kernel's head coordinate is shard-local.
+
+    ``q_seq_len``: the PER-SHARD GQA segment length (see
+    :func:`ring_attention_local`); q arrives folded (B*KVH, G*S, d) with S
+    over ``axis_name``."""
     axis_size = mesh.shape[axis_name]
     spec = P(batch_axis if batch_axis else None, axis_name, None)
     ring = ring_attention_vjp_local(
         axis_name=axis_name, axis_size=axis_size, causal=causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
         window=window, logit_softcap=logit_softcap,
-        dropout_rate=dropout_rate,
+        dropout_rate=dropout_rate, q_seq_len=q_seq_len,
     )
     return _shard_map_ring_vjp(ring, mesh, spec, batch_axis, dropout_rate)
 

@@ -510,3 +510,32 @@ def test_zigzag_ring_dropout_window_matches_assembled_oracle():
     for name, a, b in zip("qkv", got, want):
         err = float(jnp.max(jnp.abs(zigzag_unshard(a, n) - b)))
         assert err < 5e-4, (name, err)
+
+
+def test_ring_dropout_gqa_n1_equals_kernel():
+    """Plain ring at axis_size=1 with GQA folding + dropout == the single
+    kernel with the same (device 0, chunk 0) seed fold — pins the ring's
+    seed plumbing end-to-end including the folded-row hash coordinates."""
+    from flashattention_tpu.parallel.ring import (
+        _ring_chunk_seed, make_ring_attention_vjp,
+    )
+
+    bh, s, d, g = 2, 256, 32, 2
+    rate, seed = 0.2, 71
+    scale = d**-0.5
+    ks = jax.random.split(jax.random.key(83), 3)
+    qf = jax.random.normal(ks[0], (bh, g * s, d))
+    k = jax.random.normal(ks[1], (bh, s, d))
+    v = jax.random.normal(ks[2], (bh, s, d))
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("sp",))
+    ring = make_ring_attention_vjp(
+        mesh, axis_name="sp", causal=True, scale=scale, dropout_rate=rate,
+        q_seq_len=s,
+    )
+    got = ring(qf, k, v, jnp.int32(seed))
+    want = F.flash_attention(
+        qf, k, v, causal=True, scale=scale, q_seq_len=s,
+        dropout_rate=rate, dropout_seed=_ring_chunk_seed(seed, 0, 0),
+    )
+    assert float(jnp.max(jnp.abs(got - want))) < 1e-5
