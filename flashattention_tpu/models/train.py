@@ -1191,6 +1191,150 @@ def _make_seq_sharded_step(
     return jax.jit(opt_step)
 
 
+def _make_sp_packed_step(
+    mesh, cfg, specs, *, dp, sp, lr, optimizer, attn_dropout, remat,
+):
+    """Packed-rows DP x SP step body (see make_train_step_sp(packed=True)):
+    kv-segment chunks rotate the ring with their KV in both passes."""
+    from flashattention_tpu.parallel.ring import ring_attention_vjp_local
+
+    sp_size = mesh.shape[sp]
+    g = cfg.group_size
+    kvh = cfg.num_kv_heads
+    gold = jnp.int32(-1640531527)
+
+    def forward_local(params, tokens, positions, segs, seed):
+        b, s_local = tokens.shape
+        if attn_dropout is not None:
+            seed = seed * gold + jax.lax.axis_index(dp) * jnp.int32(7919)
+        ring = ring_attention_vjp_local(
+            axis_name=sp, axis_size=sp_size, causal=True,
+            scale=cfg.head_dim**-0.5,
+            q_seq_len=s_local if g > 1 else None,
+            window=cfg.sliding_window, logit_softcap=cfg.logit_softcap,
+            dropout_rate=attn_dropout, segments=True,
+        )
+        # GQA-folded segment ids: q rows g-major per KV head (the fold's
+        # layout); kv ids are the LOCAL chunk's, rotated inside the ring.
+        seg_qf = jnp.tile(segs[:, None, :], (1, kvh, g)).reshape(
+            b * kvh, g * s_local
+        )
+        seg_kvf = jnp.broadcast_to(segs[:, None, :], (b, kvh, s_local)).reshape(
+            b * kvh, s_local
+        )
+
+        def one_layer(x, layer, lseed):
+            h = _rmsnorm(x, layer["attn_norm"])
+            q = (h @ layer["wq"]).reshape(b, s_local, cfg.num_q_heads, cfg.head_dim)
+            k = (h @ layer["wk"]).reshape(b, s_local, kvh, cfg.head_dim)
+            v = (h @ layer["wv"]).reshape(b, s_local, kvh, cfg.head_dim)
+            q = _rope(q, positions, cfg.rope_theta)
+            k = _rope(k, positions, cfg.rope_theta)
+            qf = (
+                q.reshape(b, s_local, kvh, g, cfg.head_dim)
+                .transpose(0, 2, 3, 1, 4)
+                .reshape(b * kvh, g * s_local, cfg.head_dim)
+            )
+            kf = k.transpose(0, 2, 1, 3).reshape(b * kvh, s_local, cfg.head_dim)
+            vf = v.transpose(0, 2, 1, 3).reshape(b * kvh, s_local, cfg.head_dim)
+            if attn_dropout is not None:
+                o = ring(qf, kf, vf, seg_qf, seg_kvf, lseed)
+            else:
+                o = ring(qf, kf, vf, seg_qf, seg_kvf)
+            o = (
+                o.reshape(b, kvh, g, s_local, cfg.head_dim)
+                .transpose(0, 3, 1, 2, 4)
+                .reshape(b, s_local, -1)
+            )
+            x = x + o @ layer["wo"]
+            return x + _mlp(
+                _rmsnorm(x, layer["mlp_norm"]), layer, cfg.experts_per_token
+            )
+
+        if remat:
+            one_layer = jax.checkpoint(one_layer)
+        x = params["embed"][tokens]
+        for li, layer in enumerate(params["layers"]):
+            lseed = (
+                seed * gold + jnp.int32(li + 1)
+                if attn_dropout is not None else 0
+            )
+            x = one_layer(x, layer, lseed)
+        x = _rmsnorm(x, params["final_norm"])
+        return x @ params["lm_head"]
+
+    def local_grads(params, tokens, positions, segs, targets, valid, seed):
+        def loss_fn(params):
+            logits = forward_local(params, tokens, positions, segs, seed)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+            return jnp.sum(nll * valid) / jnp.maximum(
+                jax.lax.psum(jnp.sum(valid), (dp, sp)), 1.0
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss = jax.lax.psum(loss, (dp, sp))
+        grads = jax.tree.map(lambda g_: jax.lax.psum(g_, (dp, sp)), grads)
+        return loss, grads
+
+    def _prep(tokens, segment_ids):
+        # Global views first (per-doc positions, next-token validity), THEN
+        # shard — each local row keeps its own next token and true position.
+        positions = packed_positions(segment_ids)
+        targets = jnp.concatenate(
+            [tokens[:, 1:], jnp.zeros_like(tokens[:, :1])], axis=1
+        )
+        valid = jnp.concatenate(
+            [
+                (
+                    (segment_ids[:, 1:] == segment_ids[:, :-1])
+                    & (segment_ids[:, 1:] >= 0)
+                ).astype(jnp.float32),
+                jnp.zeros_like(tokens[:, :1], dtype=jnp.float32),
+            ],
+            axis=1,
+        )
+        return positions, targets, valid
+
+    tspec = P(dp, sp)
+    grad_map = jax.shard_map(
+        local_grads,
+        mesh=mesh,
+        in_specs=(specs, tspec, tspec, tspec, tspec, tspec, P()),
+        out_specs=(P(), specs),
+        check_vma=False,
+    )
+
+    if optimizer is None:
+
+        def step(params, tokens, segment_ids, seed=0):
+            positions, targets, valid = _prep(tokens, segment_ids)
+            loss, grads = grad_map(
+                params, tokens, positions, segment_ids, targets, valid,
+                jnp.int32(seed),
+            )
+            new_params = jax.tree.map(
+                lambda p, g_: p - lr * g_.astype(p.dtype), params, grads
+            )
+            return loss, new_params
+
+        return jax.jit(step)
+
+    def opt_step(params, opt_state, tokens, segment_ids, seed=0):
+        positions, targets, valid = _prep(tokens, segment_ids)
+        loss, grads = grad_map(
+            params, tokens, positions, segment_ids, targets, valid,
+            jnp.int32(seed),
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        new_params = jax.tree.map(
+            lambda p, u: p + u.astype(p.dtype), params, updates
+        )
+        return loss, new_params, opt_state
+
+    return jax.jit(opt_step)
+
+
 def make_train_step_sp(
     mesh: Mesh,
     cfg: ModelConfig,
@@ -1202,6 +1346,7 @@ def make_train_step_sp(
     optimizer=None,
     attn_dropout: float | None = None,
     remat: bool = False,
+    packed: bool = False,
 ):
     """Sequence-parallel training step: sequences shard over the ``sp`` axis
     and attention runs through the *differentiable ring* (parallel/ring.py),
@@ -1235,6 +1380,15 @@ def make_train_step_sp(
     BOTH passes (parallel/ring seed folds cover the sp rank; the dp rank and
     layer index fold in here).  The step then takes a trailing traced-int32
     ``seed`` argument, exactly like :func:`make_train_step`.
+
+    ``packed=True`` (round 3): PACKED rows on the ring — long-context
+    training over multi-document rows.  ``step(params, tokens,
+    segment_ids[, seed])``: kv-segment chunks rotate the ring with their KV
+    (attention and gradients never cross documents), RoPE positions restart
+    per document (computed on the GLOBAL row then sharded), and the loss is
+    the globally-weighted masked mean over valid next-token targets.
+    Plain ring only (``zigzag=True`` is rejected: the zigzag permutation
+    would interleave documents' halves).
     """
     from flashattention_tpu.parallel.ring import (
         ring_attention_vjp_local,
@@ -1243,11 +1397,22 @@ def make_train_step_sp(
 
     if attn_dropout == 0.0:
         attn_dropout = None  # rate 0 is the identity, not an error
+    if packed and zigzag:
+        raise ValueError(
+            "packed SP training runs on the plain ring only (the zigzag "
+            "permutation would interleave documents' halves)"
+        )
 
     sp_size = mesh.shape[sp]
     g = cfg.group_size
     specs = param_specs(cfg, tp="__none__")  # no tp axis: replicate weights
     specs = jax.tree.map(lambda s: P(), specs, is_leaf=lambda x: isinstance(x, P))
+
+    if packed:
+        return _make_sp_packed_step(
+            mesh, cfg, specs, dp=dp, sp=sp, lr=lr, optimizer=optimizer,
+            attn_dropout=attn_dropout, remat=remat,
+        )
 
     def forward_local(params, tokens, seed):
         b, s_local = tokens.shape

@@ -527,31 +527,42 @@ def _ring_chunk_seed(dropout_seed, my_idx, src, piece=0):
 def _ring_fwd_residuals(q, k, v, *, axis_name, axis_size, causal, scale,
                         block_sizes, interpret, q_seq_len=None,
                         window=None, logit_softcap=None,
-                        dropout_rate=None, dropout_seed=0):
+                        dropout_rate=None, dropout_seed=0,
+                        q_segment_ids=None, kv_segment_ids=None):
     """Forward ring pass that also returns the global (per-row) lse.
 
     With ``dropout_rate``, each partial applies regenerated-mask attention
     dropout under a per-(device, source-chunk) folded seed; the (l, m)
     residuals stay the UNdropped statistics, so the online-softmax merge and
-    the global lse are exactly what the backward ring expects."""
+    the global lse are exactly what the backward ring expects.
+
+    With segment ids (round 3: PACKED rows on the ring), the kv-segment
+    chunk ROTATES with its KV chunk so each partial masks cross-document
+    pairs exactly as the single-chip kernel would; q segments stay local."""
     from flashattention_tpu.ops.flash import flash_attention
 
     bh, s_rows, d = q.shape
     my_idx = jax.lax.axis_index(axis_name)
+    has_segs = q_segment_ids is not None
+    # Dummy seg operand keeps the lax.switch branch signatures uniform when
+    # segments are off (never read, never rotated).
+    sb0 = kv_segment_ids if has_segs else jnp.zeros((1,), jnp.int32)
 
     def partial_with(causal_flag):
-        def f(kb, vb, seed):
+        def f(kb, vb, sb, seed):
             return flash_attention(
                 q, kb, vb, causal=causal_flag, scale=scale,
                 block_sizes=block_sizes, save_residuals=True,
                 interpret=interpret, q_seq_len=q_seq_len,
                 logit_softcap=logit_softcap,
                 dropout_rate=dropout_rate, dropout_seed=seed,
+                q_segment_ids=q_segment_ids,
+                kv_segment_ids=sb if has_segs else None,
             )
         return f
 
-    def partial_skip(kb, vb, seed):
-        del kb, vb, seed
+    def partial_skip(kb, vb, sb, seed):
+        del kb, vb, sb, seed
         return (
             jnp.zeros((bh, s_rows, d), q.dtype),
             jnp.zeros((bh, s_rows), jnp.float32),
@@ -564,7 +575,7 @@ def _ring_fwd_residuals(q, k, v, *, axis_name, axis_size, causal, scale,
     kb, vb = k, v
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
 
-    def compute(step, kb, vb, o, l, m):
+    def compute(step, kb, vb, sb, o, l, m):
         src = jax.lax.rem(my_idx - step + axis_size, axis_size)
         seed = _ring_chunk_seed(dropout_seed, my_idx, src)
         if causal and window is not None:
@@ -574,41 +585,45 @@ def _ring_fwd_residuals(q, k, v, *, axis_name, axis_size, causal, scale,
             s_chunk = kb.shape[1]
             offset = (my_idx - src) * s_chunk
 
-            def partial_win(kb, vb, seed):
+            def partial_win(kb, vb, sb, seed):
                 return flash_attention(
                     q, kb, vb, causal=True, scale=scale, q_offset=offset,
                     block_sizes=block_sizes, save_residuals=True,
                     interpret=interpret, q_seq_len=q_seq_len,
                     window=window, logit_softcap=logit_softcap,
                     dropout_rate=dropout_rate, dropout_seed=seed,
+                    q_segment_ids=q_segment_ids,
+                    kv_segment_ids=sb if has_segs else None,
                 )
 
             live = (src <= my_idx) & (offset < window + s_chunk - 1)
             po, pl_, pm = jax.lax.cond(
-                live, partial_win, partial_skip, kb, vb, seed
+                live, partial_win, partial_skip, kb, vb, sb, seed
             )
         elif causal:
             case = jnp.where(src == my_idx, 1, jnp.where(src < my_idx, 0, 2))
             po, pl_, pm = jax.lax.switch(
                 case, [partial_with(False), partial_with(True), partial_skip],
-                kb, vb, seed,
+                kb, vb, sb, seed,
             )
         else:
-            po, pl_, pm = partial_with(False)(kb, vb, seed)
+            po, pl_, pm = partial_with(False)(kb, vb, sb, seed)
         return merge_partials(o, l, m, po, pl_, pm)
 
     def body(step, carry):
-        o, l, m, kb, vb = carry
-        o, l, m = compute(step, kb, vb, o, l, m)
+        o, l, m, kb, vb, sb = carry
+        o, l, m = compute(step, kb, vb, sb, o, l, m)
         kb = jax.lax.ppermute(kb, axis_name, perm)
         vb = jax.lax.ppermute(vb, axis_name, perm)
-        return (o, l, m, kb, vb)
+        if has_segs:
+            sb = jax.lax.ppermute(sb, axis_name, perm)
+        return (o, l, m, kb, vb, sb)
 
     # O(1) program size (round 2); final step outside the loop: no dead hop.
-    o, l, m, kb, vb = jax.lax.fori_loop(
-        0, axis_size - 1, body, (o, l, m, kb, vb)
+    o, l, m, kb, vb, sb = jax.lax.fori_loop(
+        0, axis_size - 1, body, (o, l, m, kb, vb, sb0)
     )
-    o, l, m = compute(axis_size - 1, kb, vb, o, l, m)
+    o, l, m = compute(axis_size - 1, kb, vb, sb, o, l, m)
     lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
     return o.astype(q.dtype), lse
 
@@ -625,6 +640,7 @@ def ring_attention_vjp_local(
     window: int | None = None,
     logit_softcap: float | None = None,
     dropout_rate: float | None = None,
+    segments: bool = False,
 ):
     """Build the per-shard differentiable ring-attention fn (for use inside
     an existing shard_map, e.g. an SP training step).
@@ -632,8 +648,14 @@ def ring_attention_vjp_local(
     ``dropout_rate`` (round 3): attention dropout across the ring — each
     (device, source-chunk) partial draws an independent regenerated mask
     (see _ring_chunk_seed) and the backward ring rebuilds the same masks.
-    The returned fn then takes a fourth ``dropout_seed`` argument (traced
+    The returned fn then takes a trailing ``dropout_seed`` argument (traced
     int32; vary per training step).
+
+    ``segments=True`` (round 3: PACKED rows through the ring): the returned
+    fn takes ``(q, k, v, q_segment_ids, kv_segment_ids[, dropout_seed])`` —
+    kv segments are the LOCAL chunk's ids and rotate with their KV chunk in
+    both passes, so attention (and its gradients) never cross document
+    boundaries.
 
     ``q_seq_len`` enables GQA row folding: see :func:`ring_attention_local`
     — q (B*KVH, G*S_local, d) vs unrepeated KV; dK/dV accumulate over all G
@@ -651,37 +673,43 @@ def ring_attention_vjp_local(
         dropout_rate = None
 
     @jax.custom_vjp
-    def ring(q, k, v, dropout_seed):
+    def ring(q, k, v, q_seg, kv_seg, dropout_seed):
         o, _ = _ring_fwd_residuals(
             q, k, v, axis_name=axis_name, axis_size=axis_size, causal=causal,
             scale=scale, block_sizes=block_sizes, interpret=interpret,
             q_seq_len=q_seq_len, window=window, logit_softcap=logit_softcap,
             dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+            q_segment_ids=q_seg, kv_segment_ids=kv_seg,
         )
         return o
 
-    def ring_fwd(q, k, v, dropout_seed):
+    def ring_fwd(q, k, v, q_seg, kv_seg, dropout_seed):
         o, lse = _ring_fwd_residuals(
             q, k, v, axis_name=axis_name, axis_size=axis_size, causal=causal,
             scale=scale, block_sizes=block_sizes, interpret=interpret,
             q_seq_len=q_seq_len, window=window, logit_softcap=logit_softcap,
             dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+            q_segment_ids=q_seg, kv_segment_ids=kv_seg,
         )
-        return o, (q, k, v, o, lse, dropout_seed)
+        return o, (q, k, v, o, lse, q_seg, kv_seg, dropout_seed)
 
     def ring_bwd(res, do):
-        q, k, v, o, lse, dropout_seed = res
+        q, k, v, o, lse, q_seg, kv_seg, dropout_seed = res
         my_idx = jax.lax.axis_index(axis_name)
         zeros_kv = jnp.zeros_like(k, dtype=jnp.float32)
+        has_segs = q_seg is not None
+        sb0 = kv_seg if has_segs else jnp.zeros((1,), jnp.int32)
 
         def grads_with(causal_flag, offset=0):
-            def f(kb, vb, seed):
+            def f(kb, vb, sb, seed):
                 dq_p, dk_p, dv_p = flash_attention_bwd(
                     q, kb, vb, o, lse, do, causal=causal_flag, scale=scale,
                     q_offset=offset, block_sizes=block_sizes,
                     interpret=interpret, q_seq_len=q_seq_len,
                     window=window, logit_softcap=logit_softcap,
                     dropout_rate=dropout_rate, dropout_seed=seed,
+                    q_segment_ids=q_seg,
+                    kv_segment_ids=sb if has_segs else None,
                 )
                 return (
                     dq_p.astype(jnp.float32),
@@ -690,12 +718,12 @@ def ring_attention_vjp_local(
                 )
             return f
 
-        def grads_skip(kb, vb, seed):
-            del kb, vb, seed
+        def grads_skip(kb, vb, sb, seed):
+            del kb, vb, sb, seed
             return jnp.zeros_like(q, dtype=jnp.float32), zeros_kv, zeros_kv
 
         def body(step, carry):
-            dq, dk_acc, dv_acc, kb, vb = carry
+            dq, dk_acc, dv_acc, kb, vb, sb = carry
             src = jax.lax.rem(my_idx - step + axis_size, axis_size)
             # Same per-(device, source-chunk) fold as the forward ring: the
             # backward kernels regenerate identical dropout masks.
@@ -705,16 +733,17 @@ def ring_attention_vjp_local(
                 offset = (my_idx - src) * s_chunk
                 live = (src <= my_idx) & (offset < window + s_chunk - 1)
                 dq_p, dk_p, dv_p = jax.lax.cond(
-                    live, grads_with(True, offset), grads_skip, kb, vb, seed
+                    live, grads_with(True, offset), grads_skip,
+                    kb, vb, sb, seed,
                 )
             elif causal:
                 case = jnp.where(src == my_idx, 1, jnp.where(src < my_idx, 0, 2))
                 dq_p, dk_p, dv_p = jax.lax.switch(
                     case, [grads_with(False), grads_with(True), grads_skip],
-                    kb, vb, seed,
+                    kb, vb, sb, seed,
                 )
             else:
-                dq_p, dk_p, dv_p = grads_with(False)(kb, vb, seed)
+                dq_p, dk_p, dv_p = grads_with(False)(kb, vb, sb, seed)
             dq += dq_p
             dk_acc += dk_p
             dv_acc += dv_p
@@ -722,26 +751,41 @@ def ring_attention_vjp_local(
             # accumulators are home, carrying every device's contribution.
             kb = jax.lax.ppermute(kb, axis_name, perm)
             vb = jax.lax.ppermute(vb, axis_name, perm)
+            if has_segs:
+                sb = jax.lax.ppermute(sb, axis_name, perm)
             dk_acc = jax.lax.ppermute(dk_acc, axis_name, perm)
             dv_acc = jax.lax.ppermute(dv_acc, axis_name, perm)
-            return (dq, dk_acc, dv_acc, kb, vb)
+            return (dq, dk_acc, dv_acc, kb, vb, sb)
 
         perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
         # O(1) program size: traced loop instead of axis_size unrolled steps.
-        dq, dk_acc, dv_acc, _, _ = jax.lax.fori_loop(
+        dq, dk_acc, dv_acc, _, _, _ = jax.lax.fori_loop(
             0, axis_size, body,
-            (jnp.zeros_like(q, dtype=jnp.float32), zeros_kv, zeros_kv, k, v),
+            (
+                jnp.zeros_like(q, dtype=jnp.float32), zeros_kv, zeros_kv,
+                k, v, sb0,
+            ),
         )
         dseed = np.zeros(np.shape(dropout_seed), jax.dtypes.float0)
+        dseg_q = (
+            np.zeros(np.shape(q_seg), jax.dtypes.float0) if has_segs else None
+        )
+        dseg_kv = (
+            np.zeros(np.shape(kv_seg), jax.dtypes.float0) if has_segs else None
+        )
         return (
             dq.astype(q.dtype), dk_acc.astype(k.dtype),
-            dv_acc.astype(v.dtype), dseed,
+            dv_acc.astype(v.dtype), dseg_q, dseg_kv, dseed,
         )
 
     ring.defvjp(ring_fwd, ring_bwd)
+    if segments and dropout_rate is not None:
+        return lambda q, k, v, qs, ks, seed: ring(q, k, v, qs, ks, seed)
+    if segments:
+        return lambda q, k, v, qs, ks: ring(q, k, v, qs, ks, 0)
     if dropout_rate is None:
-        return lambda q, k, v: ring(q, k, v, 0)
-    return ring
+        return lambda q, k, v: ring(q, k, v, None, None, 0)
+    return lambda q, k, v, seed: ring(q, k, v, None, None, seed)
 
 
 def _shard_map_ring_vjp(ring, mesh, spec, batch_axis, dropout_rate):

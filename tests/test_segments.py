@@ -320,3 +320,92 @@ def test_pack_documents_overflow():
     toks, segs = pack_documents([list(range(300))], 128, truncate=True)
     assert toks.shape == (1, 128)
     assert list(toks[0]) == list(range(128))
+
+
+# ── packed sequences through the SP ring (round 3) ───────────────────────────
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flashattention_tpu.models import transformer
+
+
+def test_packed_sp_matches_packed_single_device():
+    """Packed rows on the DP x SP ring (kv-segment chunks rotate with their
+    KV) == the packed single-device step: same masked loss and update, with
+    documents crossing shard boundaries."""
+    from flashattention_tpu.models.train import (
+        make_train_step_packed, make_train_step_sp, shard_params,
+    )
+
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=2, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+    )
+    params = transformer.init_params(jax.random.key(0), cfg)
+    b, s = 2, 4 * 128
+    tokens = jax.random.randint(jax.random.key(1), (b, s), 0, cfg.vocab_size)
+    # Document boundaries deliberately NOT aligned to the 128-token shards,
+    # plus a padding tail.
+    seg = np.zeros((b, s), np.int32)
+    seg[:, 200:] = 1
+    seg[:, 390:] = 2
+    seg[:, 480:] = -1
+    segs = jnp.asarray(seg)
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1), ("dp", "tp"))
+    p1 = shard_params(params, mesh1, cfg)
+    t1 = jax.device_put(tokens, NamedSharding(mesh1, P("dp", None)))
+    s1 = jax.device_put(segs, NamedSharding(mesh1, P("dp", None)))
+    loss1, new1 = make_train_step_packed(mesh1, cfg, lr=1e-2)(p1, t1, s1)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    t4 = jax.device_put(
+        jnp.concatenate([tokens, tokens]), NamedSharding(mesh, P("dp", "sp"))
+    )
+    s4 = jax.device_put(
+        jnp.concatenate([segs, segs]), NamedSharding(mesh, P("dp", "sp"))
+    )
+    step = make_train_step_sp(mesh, cfg, lr=1e-2, packed=True)
+    loss4, new4 = step(params, t4, s4)
+
+    # Duplicated batch halves double both the masked sum and the count; the
+    # global masked mean and its grads are identical.
+    assert float(loss4) == pytest.approx(float(loss1), rel=2e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5
+        ),
+        new4, new1,
+    )
+
+
+def test_packed_sp_rejects_zigzag_and_supports_dropout():
+    from flashattention_tpu.models.train import make_train_step_sp
+
+    cfg = transformer.ModelConfig(
+        vocab_size=64, num_layers=1, d_model=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate=64, dtype="float32",
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "sp"))
+    with pytest.raises(ValueError, match="plain ring"):
+        make_train_step_sp(mesh, cfg, packed=True, zigzag=True)
+
+    params = transformer.init_params(jax.random.key(0), cfg)
+    b, s = 2, 4 * 128
+    tokens = jax.device_put(
+        jax.random.randint(jax.random.key(1), (2 * b, s), 0, cfg.vocab_size),
+        NamedSharding(mesh, P("dp", "sp")),
+    )
+    seg = np.zeros((2 * b, s), np.int32)
+    seg[:, 300:] = 1
+    segs = jax.device_put(jnp.asarray(seg), NamedSharding(mesh, P("dp", "sp")))
+    step = make_train_step_sp(mesh, cfg, lr=5e-2, packed=True, attn_dropout=0.1)
+    l0a, _ = step(params, tokens, segs, 0)
+    l0b, _ = step(params, tokens, segs, 0)
+    l1, _ = step(params, tokens, segs, 1)
+    assert float(l0a) == float(l0b)
+    assert float(l0a) != float(l1)
+    p = params
+    for i in range(3):
+        loss, p = step(p, tokens, segs, i)
+        assert np.isfinite(float(loss))
