@@ -1103,28 +1103,31 @@ def make_train_step_packed(
 
 
 def _make_seq_sharded_step(
-    mesh, forward_local, specs, *, dp, sp, zigzag, lr, optimizer,
+    mesh, forward_local, specs, *, dp, sp, lr, optimizer, prep, n_inputs=1,
 ):
-    """Shared DP x SP step tail for the SP and 3D steps (one copy keeps the
-    loss masking, (dp, sp) reductions, zigzag _prep, and seed plumbing in
-    sync — the same policy _make_grad_map enforces for the DP x TP family).
+    """Shared DP x SP step tail for the SP, 3D, and packed-SP steps (one
+    copy keeps the loss masking, (dp, sp) reductions, prep, and seed
+    plumbing in sync — the same policy _make_grad_map enforces for the
+    DP x TP family).
 
-    ``forward_local(params, tokens, seed) -> logits`` runs per shard inside
-    shard_map; ``specs`` are the param PartitionSpecs (replicated for SP,
-    Megatron tp-sharded for 3D)."""
-    from flashattention_tpu.parallel.ring import zigzag_shard
+    ``forward_local(params, *inputs, seed) -> logits`` runs per shard inside
+    shard_map on ``n_inputs`` P(dp, sp)-sharded arrays; ``prep(*step_args)
+    -> (inputs_tuple, targets, valid)`` builds them (plus the masked-loss
+    targets) on the GLOBAL view before sharding; ``specs`` are the param
+    PartitionSpecs (replicated for SP, Megatron tp-sharded for 3D)."""
 
-    sp_size = mesh.shape[sp]
+    def local_grads(params, *rest):
+        *inputs, targets, valid, seed = rest
 
-    def local_grads(params, tokens, targets, valid, seed):
         def loss_fn(params):
-            logits = forward_local(params, tokens, seed)
+            logits = forward_local(params, *inputs, seed)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-            # Sum of this shard's valid terms over the GLOBAL count: grads
-            # are then partial sums, made total by the psum below.
-            return jnp.sum(nll * valid) / jax.lax.psum(
-                jnp.sum(valid), (dp, sp)
+            # Shard-local valid terms over the GLOBAL count: grads are then
+            # partial sums, made total by the psum below.  The max guard
+            # covers all-padding packed shards.
+            return jnp.sum(nll * valid) / jnp.maximum(
+                jax.lax.psum(jnp.sum(valid), (dp, sp)), 1.0
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -1132,18 +1135,65 @@ def _make_seq_sharded_step(
         grads = jax.tree.map(lambda g_: jax.lax.psum(g_, (dp, sp)), grads)
         return loss, grads
 
-    def local_step(params, tokens, targets, valid, seed):
-        loss, grads = local_grads(params, tokens, targets, valid, seed)
-        new_params = jax.tree.map(
-            lambda p, g_: p - lr * g_.astype(p.dtype), params, grads
-        )
-        return loss, new_params
+    tspec = P(dp, sp)
+    in_specs = (specs,) + (tspec,) * (n_inputs + 2) + (P(),)
+    grad_map = jax.shard_map(
+        local_grads, mesh=mesh, in_specs=in_specs, out_specs=(P(), specs),
+        check_vma=False,
+    )
+    import inspect
 
-    def _prep(tokens):
-        # Next-token targets and validity computed on the global view, then
-        # sharded alongside the tokens (zigzag: all three get the same global
-        # permutation first, so each local row's target stays its own next
-        # token and the loss is layout-invariant).
+    n_step_args = len(inspect.signature(prep).parameters)
+
+    def _split(args):
+        # Historical signatures take the seed POSITIONALLY after the data
+        # args (step(params, tokens, seed)); a missing trailing seed is 0.
+        if len(args) == n_step_args + 1:
+            return args[:-1], args[-1]
+        if len(args) == n_step_args:
+            return args, 0
+        raise TypeError(
+            f"step expects {n_step_args} data args (+ optional seed), "
+            f"got {len(args)}"
+        )
+
+    if optimizer is None:
+
+        def step(params, *args):
+            step_args, seed = _split(args)
+            inputs, targets, valid = prep(*step_args)
+            loss, grads = grad_map(
+                params, *inputs, targets, valid, jnp.int32(seed)
+            )
+            new_params = jax.tree.map(
+                lambda p, g_: p - lr * g_.astype(p.dtype), params, grads
+            )
+            return loss, new_params
+
+        return jax.jit(step)
+
+    def opt_step(params, opt_state, *args):
+        step_args, seed = _split(args)
+        inputs, targets, valid = prep(*step_args)
+        loss, grads = grad_map(
+            params, *inputs, targets, valid, jnp.int32(seed)
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        new_params = jax.tree.map(
+            lambda p, u: p + u.astype(p.dtype), params, updates
+        )
+        return loss, new_params, opt_state
+
+    return jax.jit(opt_step)
+
+
+def _next_token_prep(zigzag, sp_size):
+    """Global next-token targets/validity, optionally zigzag-sharded (all
+    three get the same permutation, so each local row's target stays its
+    own next token and the loss is layout-invariant)."""
+    from flashattention_tpu.parallel.ring import zigzag_shard
+
+    def prep(tokens):
         targets = jnp.concatenate(
             [tokens[:, 1:], jnp.zeros_like(tokens[:, :1])], axis=1
         )
@@ -1156,39 +1206,12 @@ def _make_seq_sharded_step(
         )
         if zigzag:
             tokens, targets, valid = (
-                zigzag_shard(t, sp_size, axis=1) for t in (tokens, targets, valid)
+                zigzag_shard(t, sp_size, axis=1)
+                for t in (tokens, targets, valid)
             )
-        return tokens, targets, valid
+        return (tokens,), targets, valid
 
-    tspec = P(dp, sp)
-    in_specs = (specs, tspec, tspec, tspec, P())
-    step_map = jax.shard_map(
-        local_step, mesh=mesh, in_specs=in_specs, out_specs=(P(), specs),
-        check_vma=False,
-    )
-    grad_map = jax.shard_map(
-        local_grads, mesh=mesh, in_specs=in_specs, out_specs=(P(), specs),
-        check_vma=False,
-    )
-
-    if optimizer is None:
-
-        def step(params, tokens, seed=0):
-            tokens, targets, valid = _prep(tokens)
-            return step_map(params, tokens, targets, valid, jnp.int32(seed))
-
-        return jax.jit(step)
-
-    def opt_step(params, opt_state, tokens, seed=0):
-        tokens, targets, valid = _prep(tokens)
-        loss, grads = grad_map(params, tokens, targets, valid, jnp.int32(seed))
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        new_params = jax.tree.map(
-            lambda p, u: p + u.astype(p.dtype), params, updates
-        )
-        return loss, new_params, opt_state
-
-    return jax.jit(opt_step)
+    return prep
 
 
 def _make_sp_packed_step(
@@ -1263,21 +1286,7 @@ def _make_sp_packed_step(
         x = _rmsnorm(x, params["final_norm"])
         return x @ params["lm_head"]
 
-    def local_grads(params, tokens, positions, segs, targets, valid, seed):
-        def loss_fn(params):
-            logits = forward_local(params, tokens, positions, segs, seed)
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-            return jnp.sum(nll * valid) / jnp.maximum(
-                jax.lax.psum(jnp.sum(valid), (dp, sp)), 1.0
-            )
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        loss = jax.lax.psum(loss, (dp, sp))
-        grads = jax.tree.map(lambda g_: jax.lax.psum(g_, (dp, sp)), grads)
-        return loss, grads
-
-    def _prep(tokens, segment_ids):
+    def prep(tokens, segment_ids):
         # Global views first (per-doc positions, next-token validity), THEN
         # shard — each local row keeps its own next token and true position.
         positions = packed_positions(segment_ids)
@@ -1294,45 +1303,12 @@ def _make_sp_packed_step(
             ],
             axis=1,
         )
-        return positions, targets, valid
+        return (tokens, positions, segment_ids), targets, valid
 
-    tspec = P(dp, sp)
-    grad_map = jax.shard_map(
-        local_grads,
-        mesh=mesh,
-        in_specs=(specs, tspec, tspec, tspec, tspec, tspec, P()),
-        out_specs=(P(), specs),
-        check_vma=False,
+    return _make_seq_sharded_step(
+        mesh, forward_local, specs, dp=dp, sp=sp, lr=lr, optimizer=optimizer,
+        prep=prep, n_inputs=3,
     )
-
-    if optimizer is None:
-
-        def step(params, tokens, segment_ids, seed=0):
-            positions, targets, valid = _prep(tokens, segment_ids)
-            loss, grads = grad_map(
-                params, tokens, positions, segment_ids, targets, valid,
-                jnp.int32(seed),
-            )
-            new_params = jax.tree.map(
-                lambda p, g_: p - lr * g_.astype(p.dtype), params, grads
-            )
-            return loss, new_params
-
-        return jax.jit(step)
-
-    def opt_step(params, opt_state, tokens, segment_ids, seed=0):
-        positions, targets, valid = _prep(tokens, segment_ids)
-        loss, grads = grad_map(
-            params, tokens, positions, segment_ids, targets, valid,
-            jnp.int32(seed),
-        )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        new_params = jax.tree.map(
-            lambda p, u: p + u.astype(p.dtype), params, updates
-        )
-        return loss, new_params, opt_state
-
-    return jax.jit(opt_step)
 
 
 def make_train_step_sp(
@@ -1502,8 +1478,8 @@ def make_train_step_sp(
         return x @ params["lm_head"]
 
     return _make_seq_sharded_step(
-        mesh, forward_local, specs, dp=dp, sp=sp, zigzag=zigzag, lr=lr,
-        optimizer=optimizer,
+        mesh, forward_local, specs, dp=dp, sp=sp, lr=lr, optimizer=optimizer,
+        prep=_next_token_prep(zigzag, sp_size),
     )
 
 
@@ -1642,8 +1618,8 @@ def make_train_step_3d(
     # tp shards compute identical losses (x is tp-replicated after the g
     # collectives), so the shared (dp, sp)-reducing tail applies unchanged.
     return _make_seq_sharded_step(
-        mesh, forward_local, specs, dp=dp, sp=sp, zigzag=zigzag, lr=lr,
-        optimizer=optimizer,
+        mesh, forward_local, specs, dp=dp, sp=sp, lr=lr, optimizer=optimizer,
+        prep=_next_token_prep(zigzag, sp_size),
     )
 
 

@@ -780,7 +780,7 @@ def ring_attention_vjp_local(
 
     ring.defvjp(ring_fwd, ring_bwd)
     if segments and dropout_rate is not None:
-        return lambda q, k, v, qs, ks, seed: ring(q, k, v, qs, ks, seed)
+        return ring
     if segments:
         return lambda q, k, v, qs, ks: ring(q, k, v, qs, ks, 0)
     if dropout_rate is None:
@@ -823,7 +823,6 @@ def make_ring_attention_vjp(
     window: int | None = None,
     logit_softcap: float | None = None,
     dropout_rate: float | None = None,
-    q_seq_len: int | None = None,
 ):
     """Differentiable ring attention over ``mesh`` (same layout as
     :func:`make_ring_attention`): enables long-context training where the KV
@@ -835,16 +834,19 @@ def make_ring_attention_vjp(
     folded into the seed here — the ring's own folds only decorrelate the
     ``axis_name`` rank, and the kernel's head coordinate is shard-local.
 
-    ``q_seq_len``: the PER-SHARD GQA segment length (see
-    :func:`ring_attention_local`); q arrives folded (B*KVH, G*S, d) with S
-    over ``axis_name``."""
+    NO ``q_seq_len`` here by design (review finding, round 3): the GQA fold
+    is PER-SHARD (g groups of the LOCAL chunk stacked along rows), which a
+    global P(..., axis_name, ...) sharding of a globally-folded q cannot
+    produce — fold inside your own shard_map with
+    :func:`ring_attention_vjp_local` instead (as the SP training steps do).
+    """
     axis_size = mesh.shape[axis_name]
     spec = P(batch_axis if batch_axis else None, axis_name, None)
     ring = ring_attention_vjp_local(
         axis_name=axis_name, axis_size=axis_size, causal=causal, scale=scale,
         block_sizes=block_sizes, interpret=interpret,
         window=window, logit_softcap=logit_softcap,
-        dropout_rate=dropout_rate, q_seq_len=q_seq_len,
+        dropout_rate=dropout_rate,
     )
     return _shard_map_ring_vjp(ring, mesh, spec, batch_axis, dropout_rate)
 

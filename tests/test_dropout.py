@@ -515,9 +515,13 @@ def test_zigzag_ring_dropout_window_matches_assembled_oracle():
 def test_ring_dropout_gqa_n1_equals_kernel():
     """Plain ring at axis_size=1 with GQA folding + dropout == the single
     kernel with the same (device 0, chunk 0) seed fold — pins the ring's
-    seed plumbing end-to-end including the folded-row hash coordinates."""
+    seed plumbing end-to-end including the folded-row hash coordinates.
+
+    Uses the per-shard builder directly (the GQA fold is PER-SHARD, so it
+    belongs inside the caller's shard_map — the mesh wrapper deliberately
+    does not take q_seq_len)."""
     from flashattention_tpu.parallel.ring import (
-        _ring_chunk_seed, make_ring_attention_vjp,
+        _ring_chunk_seed, ring_attention_vjp_local,
     )
 
     bh, s, d, g = 2, 256, 32, 2
@@ -529,11 +533,18 @@ def test_ring_dropout_gqa_n1_equals_kernel():
     v = jax.random.normal(ks[2], (bh, s, d))
 
     mesh = Mesh(np.array(jax.devices()[:1]), ("sp",))
-    ring = make_ring_attention_vjp(
-        mesh, axis_name="sp", causal=True, scale=scale, dropout_rate=rate,
-        q_seq_len=s,
+    ring = ring_attention_vjp_local(
+        axis_name="sp", axis_size=1, causal=True, scale=scale,
+        dropout_rate=rate, q_seq_len=s,
     )
-    got = ring(qf, k, v, jnp.int32(seed))
+    fn = jax.jit(jax.shard_map(
+        lambda q, k, v, sd: ring(q, k, v, sd),
+        mesh=mesh,
+        in_specs=(P(None, "sp", None),) * 3 + (P(),),
+        out_specs=P(None, "sp", None),
+        check_vma=False,
+    ))
+    got = fn(qf, k, v, jnp.int32(seed))
     want = F.flash_attention(
         qf, k, v, causal=True, scale=scale, q_seq_len=s,
         dropout_rate=rate, dropout_seed=_ring_chunk_seed(seed, 0, 0),
