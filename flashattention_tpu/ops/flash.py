@@ -62,10 +62,12 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -288,9 +290,14 @@ def dropout_keep_mask(seed, bh_idx, row_start, col_start, shape, rate: float):
     x = x ^ (x >> 13)
     x = x * u32(0xC2B2AE35)
     x = x ^ (x >> 16)
-    # Top 24 bits -> uniform [0, 1) exactly representable in f32.
-    u = (x >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
-    return u >= rate
+    # Top 24 bits -> uniform integer in [0, 2^24); keep iff n/2^24 >= rate.
+    # The compare stays in the integer domain (Mosaic has no uint32->f32
+    # cast; caught by the round-3 compiled selftest).  The threshold below
+    # is EXACTLY equivalent to the f32 compare `n * 2^-24 >= f32(rate)`:
+    # n/2^24 is exact in f32 (24-bit mantissa, power-of-2 divide), so the
+    # predicate is n >= ceil(f32(rate) * 2^24).
+    threshold = math.ceil(float(np.float32(rate)) * (1 << 24))
+    return (x >> 8) >= u32(min(threshold, (1 << 24)))
 
 
 def resolve_q_seq_blocks(s_q: int, block_q: int, q_seq_len: int | None) -> int | None:

@@ -165,7 +165,9 @@ def check_fwd_dropout():
         q, k, v, causal=True, dropout_rate=rate, dropout_seed=seed,
         interpret=False,
     )
-    s_ = jnp.einsum("bqd,bkd->bqk", q, k)
+    # precision="highest": on TPU the f32 einsum default is bf16 passes
+    # (~1e-2 error) — the oracle must be true fp32 for the 1e-4 gate.
+    s_ = jnp.einsum("bqd,bkd->bqk", q, k, precision="highest")
     mask = jnp.arange(512)[:, None] >= jnp.arange(512)[None, :]
     s_ = jnp.where(mask[None], s_, -1e30)
     p = jax.nn.softmax(s_, axis=-1)
@@ -173,7 +175,9 @@ def check_fwd_dropout():
         dropout_keep_mask(seed, b, 0, 0, (512, 512), rate) for b in range(4)
     ])
     z = jnp.where(keeps, p, 0.0) / (1 - rate)
-    validate_result(o, jnp.einsum("bqk,bkd->bqd", z, v), TOL_FP32)
+    validate_result(
+        o, jnp.einsum("bqk,bkd->bqd", z, v, precision="highest"), TOL_FP32
+    )
 
 
 def check_fwd_segments():
@@ -221,14 +225,18 @@ def check_backward_dropout_segments():
         return jnp.sum(o * t)
 
     def loss_or(q, k, v):
-        sc = jnp.einsum("bqd,bkd->bqk", q, k)
+        # precision="highest": TPU f32 einsum default is bf16 (see
+        # check_fwd_dropout) and grads inherit the forward precision.
+        sc = jnp.einsum("bqd,bkd->bqk", q, k, precision="highest")
         m = (seg[:, None] == seg[None, :]) & (
             jnp.arange(s)[:, None] >= jnp.arange(s)[None, :]
         )
         sc = jnp.where(m[None], sc, -1e30)
         p = jax.nn.softmax(sc, axis=-1)
         z = jnp.where(keeps, p, 0.0) / (1 - rate)
-        return jnp.sum(jnp.einsum("bqk,bkd->bqd", z, v) * t)
+        return jnp.sum(
+            jnp.einsum("bqk,bkd->bqd", z, v, precision="highest") * t
+        )
 
     g_fa = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
     g_or = jax.grad(loss_or, argnums=(0, 1, 2))(q, k, v)
