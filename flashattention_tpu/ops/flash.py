@@ -73,6 +73,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
 
+import os as _os
+
+# Masking strategy for tiles that may straddle the causal diagonal /
+# window / kv_len boundary: "always" applies the (vector-scalar) mask
+# unconditionally; "cond" branches around it at runtime — measured 2x
+# SLOWER on v5e (serializes the Mosaic pipeline), kept only for A/B.
+_MASK_SKIP_MODE = _os.environ.get("FA_MASK_SKIP", "always")
+
 __all__ = [
     "BlockSizes",
     "flash_attention",
@@ -539,29 +547,37 @@ def _kernel(
                     need = _or(need, kv_start + block_kv_compute > kv_len)
 
                 def _apply(s):
+                    # Vector-scalar masking (round 3): every predicate is a
+                    # CONSTANT iota tile compared against a traced SCALAR, so
+                    # Mosaic hoists the tile out of the loop and each
+                    # condition costs one vector compare.  keep(c <= r) with
+                    # r = q_start + i, c = kv_start + j  <=>
+                    # (j - i) <= q_start - kv_start.  (~ src/flashattention.cu:478-487)
                     mask = None
                     if causal:
-                        # ~ src/flashattention.cu:478-487
-                        row_ids = (
-                            q_offset
-                            + q_idx * block_q
-                            + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-                        )
-                        col_ids = kv_start + jax.lax.broadcasted_iota(
+                        dji = jax.lax.broadcasted_iota(
                             jnp.int32, s.shape, 1
-                        )
-                        mask = col_ids <= row_ids
+                        ) - jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                        c_lim = q_offset + q_idx * block_q - kv_start
+                        mask = dji <= c_lim
                         if window is not None:
-                            mask = mask & (col_ids > row_ids - window)
+                            mask = mask & (dji > c_lim - window)
                     if has_kv_len:
-                        col_ids = kv_start + jax.lax.broadcasted_iota(
+                        col_iota = jax.lax.broadcasted_iota(
                             jnp.int32, s.shape, 1
                         )
-                        len_mask = col_ids < kv_len
+                        len_mask = col_iota < kv_len - kv_start
                         mask = len_mask if mask is None else (mask & len_mask)
-                    return s + jnp.where(mask, 0.0, DEFAULT_MASK_VALUE)
+                    return jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
-                s = jax.lax.cond(need, _apply, lambda s: s, s)
+                if _MASK_SKIP_MODE == "cond":
+                    # Measured on v5e and REJECTED as the default: branching
+                    # around the mask serializes Mosaic's software pipeline
+                    # (causal bf16 S=8192: 4.30 ms vs 2.30 unconditional).
+                    s = jax.lax.cond(need, _apply, lambda s: s, s)
+                else:
+                    del need
+                    s = _apply(s)
 
             m_prev = m_scratch[rows, 0:1]  # (block_q, 1) replicated state
             m_curr = jnp.max(s, axis=1, keepdims=True)
