@@ -340,6 +340,7 @@ def _kernel(
     logit_softcap: float | None = None,
     dropout_rate: float | None = None,
     has_segments: bool = False,
+    one_shot: bool = False,
 ):
     """Grid = (batch*heads, num_q_blocks, num_kv_blocks); kv dim is sequential.
 
@@ -373,7 +374,13 @@ def _kernel(
     o_ref = rest.pop(0)
     if save_residuals:
         l_ref, m_ref = rest.pop(0), rest.pop(0)
-    if lsum_mxu:
+    if one_shot:
+        # Single KV block per q row (round 3; VERDICT #1/#4): no carried
+        # online-softmax state, so the kernel takes the stateless fast path —
+        # no VMEM scratch, no (m, l) 128-lane broadcast stores, no alpha
+        # rescale of a zero accumulator, no separate epilogue read-back.
+        m_scratch = l_scratch = acc_scratch = None
+    elif lsum_mxu:
         m_scratch, acc_scratch = rest
         l_scratch = None
     else:
@@ -420,12 +427,14 @@ def _kernel(
     else:
         first_kv = 0
 
-    @pl.when(kv_idx == first_kv)
-    def _init():
-        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
-        acc_scratch[...] = jnp.zeros_like(acc_scratch)
-        if l_scratch is not None:
-            l_scratch[...] = jnp.zeros_like(l_scratch)
+    if not one_shot:
+
+        @pl.when(kv_idx == first_kv)
+        def _init():
+            m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+            acc_scratch[...] = jnp.zeros_like(acc_scratch)
+            if l_scratch is not None:
+                l_scratch[...] = jnp.zeros_like(l_scratch)
 
     if causal and not tri:
         # Run only if some element of this tile is at/below the diagonal:
@@ -465,7 +474,7 @@ def _kernel(
             else None
         )
 
-        def _sub_tile(start):
+        def _scores(start):
             k = k_ref[h, start : start + block_kv_compute, :]
             if packed:
                 # k = [kh|kl] bf16 (bkv_c, 2d); the swapped copy pairs each
@@ -578,40 +587,30 @@ def _kernel(
                 else:
                     del need
                     s = _apply(s)
+            return s
 
-            m_prev = m_scratch[rows, 0:1]  # (block_q, 1) replicated state
-            m_curr = jnp.max(s, axis=1, keepdims=True)
-            m_next = jnp.maximum(m_prev, m_curr)
-            alpha = jnp.exp(m_prev - m_next)  # rescale of old state
-            # NB (round 3): exponentiating on half-width bf16 vregs
-            # (p = exp((s - m).astype(bf16))) was measured and LOSES ~10%
-            # end-to-end on v5e despite touching half the data — the extra
-            # convert breaks the fused sub+exp chain and bf16 VPU transcend-
-            # entals are not 2x rate.  Keep the f32 softmax pipeline.
-            p = jnp.exp(s - m_next)
-            m_scratch[rows, :] = jnp.broadcast_to(
-                m_next, (block_q, m_scratch.shape[1])
-            )
-
+        def _dropout(p, start):
             # Attention dropout (round 3): drop UNNORMALIZED p entries fed to
             # the PV matmul with inverted 1/(1-rate) scaling; the softmax
             # denominator l stays the UNdropped row sum (dropout applies to
             # the normalized weights, and l is the normalizer) — the host
             # disables the MXU ones-lane row sum when dropout is on so l
             # never sees the dropped tile.
-            if dropout_rate is not None:
-                keep = dropout_keep_mask(
-                    qoff_ref[2],
-                    bh_base + h,
-                    q_raw * block_q,
-                    kv_idx * block_kv + start,
-                    p.shape,
-                    dropout_rate,
-                )
-                p_v = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_rate))
-            else:
-                p_v = p
+            if dropout_rate is None:
+                return p
+            keep = dropout_keep_mask(
+                qoff_ref[2],
+                bh_base + h,
+                q_raw * block_q,
+                kv_idx * block_kv + start,
+                p.shape,
+                dropout_rate,
+            )
+            return jnp.where(keep, p, 0.0) * (1.0 / (1.0 - dropout_rate))
 
+        def _pv_mm(p_v, start):
+            # PV matmul on the (possibly dropped) p tile; returns (pv, l_add)
+            # where l_add is the MXU ones-lane row sum when available.
             v = v_ref[h, start : start + block_kv_compute, :]
             l_add = None
             if packed:
@@ -632,13 +631,59 @@ def _kernel(
                 # Fold the V dequant scale into p (o_d = sum_j p_j*s_j*v_jd):
                 # one VPU row-scale instead of dequantizing the whole V tile.
                 v = v.astype(jnp.bfloat16)
-                p_scaled = p_v * v_scales_ref[h, :, start : start + block_kv_compute]
+                p_scaled = (
+                    p_v * v_scales_ref[h, :, start : start + block_kv_compute]
+                )
                 if precision == "bf16":
                     pv = _dot_g(p_scaled.astype(jnp.bfloat16), v, dims_nn, "bf16")
                 else:
                     pv = _dot_g(p_scaled, v, dims_nn, precision)
             else:
                 pv = _dot_g(p_v, v, dims_nn, precision)
+            return pv, l_add
+
+        if one_shot:
+            # Stateless single-KV-block path: softmax in registers, direct
+            # store — no scratch round trips, no recurrence (see _kernel).
+            s = _scores(0)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            pv, l_add = _pv_mm(_dropout(p, 0), 0)
+            if lsum_mxu:
+                l = pv[:, head_dim : head_dim + 1]
+            elif l_add is not None:
+                l = l_add
+            else:
+                l = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
+            l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[h] = (pv[:, :head_dim] * l_inv).astype(o_ref.dtype)
+            if save_residuals:
+                l_ref[h] = jnp.broadcast_to(l, l_ref.shape[1:]).astype(
+                    l_ref.dtype
+                )
+                m_ref[h] = jnp.broadcast_to(m, m_ref.shape[1:]).astype(
+                    m_ref.dtype
+                )
+            return
+
+        def _sub_tile(start):
+            s = _scores(start)
+
+            m_prev = m_scratch[rows, 0:1]  # (block_q, 1) replicated state
+            m_curr = jnp.max(s, axis=1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.exp(m_prev - m_next)  # rescale of old state
+            # NB (round 3): exponentiating on half-width bf16 vregs
+            # (p = exp((s - m).astype(bf16))) was measured and LOSES ~10%
+            # end-to-end on v5e despite touching half the data — the extra
+            # convert breaks the fused sub+exp chain and bf16 VPU transcend-
+            # entals are not 2x rate.  Keep the f32 softmax pipeline.
+            p = jnp.exp(s - m_next)
+            m_scratch[rows, :] = jnp.broadcast_to(
+                m_next, (block_q, m_scratch.shape[1])
+            )
+
+            pv, l_add = _pv_mm(_dropout(p, start), start)
             if l_scratch is not None:
                 if l_add is None:
                     l_add = jnp.sum(p, axis=1, keepdims=True, dtype=jnp.float32)
@@ -691,6 +736,9 @@ def _kernel(
         # pure per-step-overhead amortization, never a fused contraction.
         for h in range(block_h):
             _run_head(h)
+
+    if one_shot:
+        return  # _run_head stored o (and residuals) directly
 
     if tri:
         last_kv = jnp.minimum(
@@ -1027,6 +1075,24 @@ def _flash_attention(
         v_width = d
         acc_width = d
 
+    # Stateless one-shot path (round 3; VERDICT #1/#4): when every q row sees
+    # exactly ONE KV block (e.g. the Llama-7B prefill shape S=2048 with
+    # block_kv=2048, and every S<=2048 small shape), the online-softmax
+    # recurrence is pure overhead — scratch init, (m, l) 128-lane broadcast
+    # stores, alpha-rescale of a zero accumulator, and an epilogue read-back.
+    # The kernel then computes softmax in registers and stores o directly.
+    # Restricted to the statically-total case (no causal/window/kv_len): a
+    # skipped step would otherwise leave o unwritten where the scratch path
+    # writes zeros.
+    one_shot = (
+        not tri
+        and not causal
+        and window is None
+        and kv_len is None
+        and num_kv_blocks == 1
+        and block_sizes.block_kv_compute == block_sizes.block_kv
+    )
+
     kernel = functools.partial(
         _kernel,
         causal=causal,
@@ -1046,6 +1112,7 @@ def _flash_attention(
         logit_softcap=logit_softcap,
         dropout_rate=dropout_rate,
         has_segments=has_segments,
+        one_shot=one_shot,
     )
 
     out_shape = [jax.ShapeDtypeStruct((bh, s_q, d), q.dtype)]  # o
@@ -1131,10 +1198,17 @@ def _flash_attention(
             kv_segment_ids[:, None, :].astype(jnp.int32),
         ]
 
-    scratch_shapes = [pltpu.VMEM((block_h * bq, NUM_LANES), jnp.float32)]  # m
-    if not lsum_mxu:
-        scratch_shapes.append(pltpu.VMEM((block_h * bq, NUM_LANES), jnp.float32))  # l
-    scratch_shapes.append(pltpu.VMEM((block_h * bq, acc_width), jnp.float32))  # acc
+    if one_shot:
+        scratch_shapes = []
+    else:
+        scratch_shapes = [pltpu.VMEM((block_h * bq, NUM_LANES), jnp.float32)]  # m
+        if not lsum_mxu:
+            scratch_shapes.append(
+                pltpu.VMEM((block_h * bq, NUM_LANES), jnp.float32)
+            )  # l
+        scratch_shapes.append(
+            pltpu.VMEM((block_h * bq, acc_width), jnp.float32)
+        )  # acc
 
     # FLOPs: 2*S_q*S_kv*d for QK^T + 2*S_q*S_kv*d for PV, per batch*head.
     flops = 4 * bh * s_q * s_kv * d
@@ -1172,7 +1246,8 @@ def _flash_attention(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")
             if tri
-            else ("parallel", "parallel", "arbitrary"),
+            # one_shot carries no cross-step state: every grid dim is free.
+            else ("parallel", "parallel", "parallel" if one_shot else "arbitrary"),
             # v5e has 128 MB VMEM; the default 16 MB scoped limit rejects
             # valid large-block configs with an opaque compile error.
             vmem_limit_bytes=96 * 1024 * 1024,
