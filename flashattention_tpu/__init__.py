@@ -10,7 +10,12 @@ attention.
 from flashattention_tpu.ops.backward import attention_vjp, flash_attention_bwd
 from flashattention_tpu.ops.decode import paged_attention, paged_prefill_attention
 from flashattention_tpu.ops.dispatch import attention, sdpa
-from flashattention_tpu.ops.flash import BlockSizes, flash_attention, flash_attention_naive
+from flashattention_tpu.ops.flash import (
+    BlockMask,
+    BlockSizes,
+    flash_attention,
+    flash_attention_naive,
+)
 from flashattention_tpu.ops.quant import (
     QuantizedTensor,
     QuantizedWeight,
@@ -33,6 +38,7 @@ __all__ = [
     "attention",
     "sdpa",
     "BlockSizes",
+    "BlockMask",
     "flash_attention",
     "flash_attention_naive",
     "attention_vjp",

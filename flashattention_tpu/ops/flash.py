@@ -83,6 +83,7 @@ _MASK_SKIP_MODE = _os.environ.get("FA_MASK_SKIP", "always")
 
 __all__ = [
     "BlockSizes",
+    "BlockMask",
     "flash_attention",
     "flash_attention_naive",
     "PRECISIONS",
@@ -187,6 +188,14 @@ class BlockSizes:
     block_kv: int = 2048
     block_kv_compute: int = 2048
     block_h: int = 1
+    # PV-matmul contraction split (round 4): emit pv_split INDEPENDENT
+    # partial-sum matmuls over block_kv_compute/pv_split KV rows each,
+    # VPU-added at the end.  At d >= 128 the PV output is one 128-lane tile
+    # fed by a single serial accumulation chain; independent chains give the
+    # MXU work to interleave (measured v5e, d=128 S=2048 full-softmax
+    # mini-kernel: 1.824 ms @ bq=1024/split=4 vs 1.99 @ split=1 —
+    # measurements/probe_d128f.txt).  1 = off.
+    pv_split: int = 1
 
     def __post_init__(self):
         if self.block_kv % self.block_kv_compute != 0:
@@ -200,6 +209,14 @@ class BlockSizes:
                 raise ValueError(f"{name} ({val}) must be a multiple of {MIN_BLOCK}")
         if self.block_h < 1:
             raise ValueError(f"block_h ({self.block_h}) must be >= 1")
+        if self.pv_split < 1 or self.block_kv_compute % (
+            self.pv_split * MIN_BLOCK
+        ):
+            raise ValueError(
+                f"pv_split ({self.pv_split}) must be >= 1 and split "
+                f"block_kv_compute ({self.block_kv_compute}) into "
+                f"{MIN_BLOCK}-multiples"
+            )
 
     @classmethod
     def fit(
@@ -231,8 +248,21 @@ class BlockSizes:
         or 2048/1024-substripes, 3.2 ms @ x/512).
         """
         del precision
+        pv_split = 1
         if head_dim >= 128:
-            max_block_q = min(max_block_q, 512)
+            if causal:
+                # Tri-grid sweeps found bq=512 best with the diagonal mix of
+                # partial tiles (probe_d128 causal sweep).
+                max_block_q = min(max_block_q, 512)
+            else:
+                # Round 4: d>=128 PV is a single 128-lane output tile on one
+                # serial accumulation chain — the measured thin-shape MXU
+                # bottleneck (measurements/D128_CEILING.md).  bq=1024 + a
+                # 4-way PV contraction split beats every bq=512 config
+                # (1.824 vs 1.95-2.02 ms at the Llama-7B shape,
+                # probe_d128f.txt).
+                max_block_q = min(max_block_q, 1024)
+                pv_split = 4
 
         def largest_dividing(s, cap):
             # Largest MIN_BLOCK multiple <= cap dividing s (halving could land
@@ -262,11 +292,129 @@ class BlockSizes:
                 while cap > 1 and n_heads % cap:
                     cap -= 1
                 block_h = cap
-        return cls(block_q, block_kv, block_kv_compute, block_h)
+        if block_kv_compute % (pv_split * MIN_BLOCK):
+            pv_split = 1  # tiny kv blocks: nothing to split
+        return cls(block_q, block_kv, block_kv_compute, block_h, pv_split)
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockMask:
+    """Block-sparse attention mask (round 4; VERDICT #8).
+
+    Generalizes the triangular-causal pair-table grid into a user-defined
+    block-sparsity engine: the grid's pair dimension enumerates ONLY the
+    (q block, kv block) pairs with at least one live element, so dead blocks
+    never enter the pipeline — grid step count is proportional to live
+    blocks, the property the causal tri grid has for the lower triangle.
+    Covers the mask families segment ids cannot express: prefix-LM,
+    strided/dilated sparsity, arbitrary document masks.
+
+    Built from a *position-level* predicate via :meth:`from_mask_fn`; the
+    same predicate classifies blocks host-side (numpy) and masks partial
+    blocks in-kernel (jnp) — one source of truth, no dual encoding.  The
+    kernel applies the element mask only when at least one live pair is
+    partial (``needs_element_mask``); pure block-granular masks skip the
+    VPU select chain entirely.
+
+    Hashable (a jit-static argument): tables are tuples, ``mask_fn`` hashes
+    by identity — define it at module level (a fresh lambda per call would
+    recompile).
+    """
+
+    s_q: int
+    s_kv: int
+    block_q: int
+    block_kv: int
+    qi: tuple[int, ...]        # live-pair q-block indices (qi-major sorted)
+    kj: tuple[int, ...]        # live-pair kv-block indices
+    first_kj: tuple[int, ...]  # per q block: first live kj (init trigger)
+    last_kj: tuple[int, ...]   # per q block: last live kj (epilogue trigger)
+    needs_element_mask: bool   # any live pair only partially live?
+    mask_fn: Any               # (q_pos, kv_pos) int arrays -> bool array
+
+    @classmethod
+    def from_mask_fn(
+        cls,
+        mask_fn,
+        s_q: int,
+        s_kv: int,
+        *,
+        block_q: int = 512,
+        block_kv: int = 512,
+    ) -> "BlockMask":
+        """Classify every (q, kv) block of ``mask_fn`` as dead/full/partial.
+
+        ``mask_fn(q_pos, kv_pos) -> bool`` must be dual-use: it is evaluated
+        on numpy int arrays here (block classification) and traced on jnp
+        iota tiles inside the kernel (partial-block masking) — plain
+        comparisons/arithmetic/logic ops satisfy both.
+
+        Raises if any query row attends no key (its softmax is undefined).
+        """
+        block_q = min(block_q, _round_up(s_q, MIN_BLOCK))
+        block_kv = min(block_kv, _round_up(s_kv, MIN_BLOCK))
+        if s_q % block_q or s_kv % block_kv:
+            raise ValueError(
+                f"sequence lengths ({s_q}, {s_kv}) must be multiples of the "
+                f"mask block sizes ({block_q}, {block_kv})"
+            )
+        nq, nkv = s_q // block_q, s_kv // block_kv
+        qi, kj = [], []
+        first_kj = [-1] * nq
+        last_kj = [0] * nq
+        needs_element_mask = False
+        for i in range(nq):
+            rows = np.arange(i * block_q, (i + 1) * block_q)[:, None]
+            row_live = np.zeros(block_q, bool)
+            for j in range(nkv):
+                cols = np.arange(j * block_kv, (j + 1) * block_kv)[None, :]
+                m = np.asarray(mask_fn(rows, cols), bool)
+                if m.shape != (block_q, block_kv):
+                    raise ValueError(
+                        f"mask_fn must broadcast to (block_q, block_kv)="
+                        f"({block_q}, {block_kv}), got {m.shape}"
+                    )
+                if not m.any():
+                    continue
+                qi.append(i)
+                kj.append(j)
+                if first_kj[i] < 0:
+                    first_kj[i] = j
+                last_kj[i] = j
+                row_live |= m.any(axis=1)
+                if not m.all():
+                    needs_element_mask = True
+            if not row_live.all():
+                bad = int(np.argmin(row_live)) + i * block_q
+                raise ValueError(
+                    f"mask_fn leaves query row {bad} with no live key — its "
+                    "softmax is undefined; give every query at least one key"
+                )
+        return cls(
+            s_q=s_q,
+            s_kv=s_kv,
+            block_q=block_q,
+            block_kv=block_kv,
+            qi=tuple(qi),
+            kj=tuple(kj),
+            first_kj=tuple(first_kj),
+            last_kj=tuple(last_kj),
+            needs_element_mask=needs_element_mask,
+            mask_fn=mask_fn,
+        )
+
+    @property
+    def num_pairs(self) -> int:
+        return len(self.qi)
+
+    @property
+    def live_fraction(self) -> float:
+        """Fraction of the dense block grid the kernel actually executes."""
+        return self.num_pairs / ((self.s_q // self.block_q) * (self.s_kv // self.block_kv))
 
 
 def dropout_keep_mask(seed, bh_idx, row_start, col_start, shape, rate: float):
@@ -341,6 +489,10 @@ def _kernel(
     dropout_rate: float | None = None,
     has_segments: bool = False,
     one_shot: bool = False,
+    bm: bool = False,
+    bm_mask_fn=None,
+    bm_element_mask: bool = False,
+    pv_split: int = 1,
 ):
     """Grid = (batch*heads, num_q_blocks, num_kv_blocks); kv dim is sequential.
 
@@ -358,6 +510,12 @@ def _kernel(
     rest = list(rest)
     if tri:
         qi_ref, kj_ref = rest.pop(0), rest.pop(0)
+    elif bm:
+        # Block-sparse pair grid (round 4; VERDICT #8): pair tables like tri,
+        # plus per-q-block first/last live-kj tables driving init/epilogue
+        # (the tri grid derives those analytically from the diagonal).
+        qi_ref, kj_ref = rest.pop(0), rest.pop(0)
+        bm_first_ref, bm_last_ref = rest.pop(0), rest.pop(0)
     q_ref, k_ref, v_ref = rest.pop(0), rest.pop(0), rest.pop(0)
     if quantized:
         # Per-token dequant scales for the int8/fp8 KV payloads; folded into
@@ -397,16 +555,17 @@ def _kernel(
     bh_base = pl.program_id(0) * block_h  # hoisted: program_id is illegal
     #   inside the pl.when(should_run) branch under the CPU interpreter
     block_kv = k_ref.shape[1]
-    if tri:
+    if tri or bm:
         # Triangular causal grid (round 2): the 1D pair dimension enumerates
         # ONLY the (q block, kv block) pairs at/below the diagonal via the
         # prefetched tables, so above-diagonal steps never enter the pipeline
         # at all (the rectangular grid paid a per-step cost even for skipped
-        # steps — ~0.5 ms of the S=8192 bf16 causal headline).
+        # steps — ~0.5 ms of the S=8192 bf16 causal headline).  The bm
+        # (block-sparse) grid is the same machinery with user-defined pairs.
         pair = pl.program_id(1)
         q_idx = qi_ref[pair]
         kv_idx = kj_ref[pair]
-        q_raw = q_idx  # tri implies no GQA fold: raw == causal position
+        q_raw = q_idx  # tri/bm imply no GQA fold: raw == causal position
     else:
         q_idx = pl.program_id(1)
         q_raw = q_idx  # RAW grid index: the dropout-mask row coordinate
@@ -424,6 +583,8 @@ def _kernel(
         # KV block, not at 0 — init must fire there (q_offset is a static 0
         # whenever tri is on).
         first_kv = jnp.maximum(0, (q_idx * block_q - window + 1) // block_kv)
+    elif bm:
+        first_kv = bm_first_ref[q_idx]
     else:
         first_kv = 0
 
@@ -524,6 +685,21 @@ def _kernel(
                 seg_k = seg_kv_ref[h, :, start : start + block_kv_compute]
                 s = s + jnp.where(seg_q == seg_k, 0.0, DEFAULT_MASK_VALUE)
 
+            if bm and bm_element_mask:
+                # Block-sparse element mask: mask_fn re-evaluated on iota
+                # position tiles — the same predicate that classified blocks
+                # host-side.  Applied unconditionally on every live pair
+                # (branching on a prefetched partial flag would serialize the
+                # Mosaic pipeline, the measured 2x loss of _MASK_SKIP_MODE=
+                # "cond"); pure block-granular masks never enter this path.
+                r_pos = q_idx * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_kv_compute), 0
+                )
+                c_pos = kv_idx * block_kv + start + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_kv_compute), 1
+                )
+                s = jnp.where(bm_mask_fn(r_pos, c_pos), s, DEFAULT_MASK_VALUE)
+
             kv_start = kv_idx * block_kv + start
             if causal or has_kv_len:
                 # Diagonal-only masking (round 3; VERDICT #2): grid ids are
@@ -619,11 +795,10 @@ def _kernel(
                 # products in two full-width passes; fold the lane halves.
                 p_hi = p_v.astype(jnp.bfloat16)
                 p_lo = (p_v - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                pv2 = jax.lax.dot_general(
-                    p_hi, v, dims_nn, preferred_element_type=jnp.float32
-                ) + jax.lax.dot_general(
-                    p_lo, v, dims_nn, preferred_element_type=jnp.float32
+                raw = lambda a, b: jax.lax.dot_general(
+                    a, b, dims_nn, preferred_element_type=jnp.float32
                 )
+                pv2 = _split_sum(raw, p_hi, v) + _split_sum(raw, p_lo, v)
                 pv = pv2[:, :head_dim] + pv2[:, head_dim : 2 * head_dim]
                 if v.shape[-1] > 2 * head_dim:  # MXU-computed row sum lane
                     l_add = pv2[:, 2 * head_dim : 2 * head_dim + 1]
@@ -635,12 +810,32 @@ def _kernel(
                     p_v * v_scales_ref[h, :, start : start + block_kv_compute]
                 )
                 if precision == "bf16":
-                    pv = _dot_g(p_scaled.astype(jnp.bfloat16), v, dims_nn, "bf16")
+                    pv = _pv_dot(p_scaled.astype(jnp.bfloat16), v, "bf16")
                 else:
-                    pv = _dot_g(p_scaled, v, dims_nn, precision)
+                    pv = _pv_dot(p_scaled, v, precision)
             else:
-                pv = _dot_g(p_v, v, dims_nn, precision)
+                pv = _pv_dot(p_v, v, precision)
             return pv, l_add
+
+        def _split_sum(f, a, b):
+            # pv_split (round 4): independent partial-sum chains over the PV
+            # contraction — the PV output is a single 128-lane tile at
+            # d <= 128 and its serial accumulation chain is the measured MXU
+            # bottleneck (measurements/D128_CEILING.md); splitting gives
+            # Mosaic interleavable chains.  VPU cost: (pv_split-1) tile adds.
+            n = pv_split
+            if n == 1 or b.shape[0] % n:
+                return f(a, b)
+            c = b.shape[0] // n
+            out = f(a[:, :c], b[:c])
+            for i in range(1, n):
+                out = out + f(a[:, i * c : (i + 1) * c], b[i * c : (i + 1) * c])
+            return out
+
+        def _pv_dot(p_v, v, mode):
+            return _split_sum(
+                lambda a, b: _dot_g(a, b, dims_nn, mode), p_v, v
+            )
 
         if one_shot:
             # Stateless single-KV-block path: softmax in registers, direct
@@ -744,6 +939,8 @@ def _kernel(
         last_kv = jnp.minimum(
             num_kv_blocks - 1, ((q_idx + 1) * block_q - 1) // block_kv
         )
+    elif bm:
+        last_kv = bm_last_ref[q_idx]
     else:
         last_kv = num_kv_blocks - 1
 
@@ -786,6 +983,7 @@ def flash_attention(
     dropout_seed=0,
     q_segment_ids: jax.Array | None = None,
     kv_segment_ids: jax.Array | None = None,
+    block_mask: BlockMask | None = None,
 ) -> Any:
     """Fused flash attention forward on (BH, S, d) tensors (see _flash_attention).
 
@@ -828,6 +1026,7 @@ def flash_attention(
         dropout_seed=dropout_seed,
         q_segment_ids=q_segment_ids,
         kv_segment_ids=kv_segment_ids,
+        block_mask=block_mask,
     )
 
 
@@ -845,6 +1044,7 @@ def flash_attention(
         "window",
         "logit_softcap",
         "dropout_rate",
+        "block_mask",
     ),
 )
 def _flash_attention(
@@ -870,6 +1070,7 @@ def _flash_attention(
     dropout_seed=0,
     q_segment_ids: jax.Array | None = None,
     kv_segment_ids: jax.Array | None = None,
+    block_mask: BlockMask | None = None,
 ) -> Any:
     """Fused flash attention forward on (BH, S, d) tensors.
 
@@ -944,6 +1145,41 @@ def _flash_attention(
                 f"kv_segment_ids must be (BH, S_kv)=({bh}, {s_kv}), got "
                 f"{kv_segment_ids.shape}"
             )
+    bm = block_mask is not None
+    if bm:
+        # Block-sparse pair grid (round 4; VERDICT #8): user-defined mask
+        # families beyond causal.  Orthogonal features (segments, dropout,
+        # quantized KV, kv_len) compose; causal/window belong IN the mask_fn;
+        # the GQA row fold would break the pair-position identity.
+        if causal or window is not None:
+            raise ValueError(
+                "block_mask is mutually exclusive with causal/window — "
+                "encode them in the mask_fn"
+            )
+        if q_seq_len is not None:
+            raise ValueError(
+                "block_mask with the GQA row fold (q_seq_len) is not "
+                "supported; un-fold or bake the fold into the mask"
+            )
+        if (block_mask.s_q, block_mask.s_kv) != (s_q, s_kv):
+            raise ValueError(
+                f"block_mask built for (S_q, S_kv)=({block_mask.s_q}, "
+                f"{block_mask.s_kv}) but inputs are ({s_q}, {s_kv})"
+            )
+        if block_sizes is None:
+            block_sizes = BlockSizes(
+                block_mask.block_q, block_mask.block_kv, block_mask.block_kv
+            )
+        elif (
+            block_sizes.block_q != block_mask.block_q
+            or block_sizes.block_kv != block_mask.block_kv
+            or block_sizes.block_h != 1
+        ):
+            raise ValueError(
+                f"block_sizes {block_sizes} disagree with block_mask blocks "
+                f"({block_mask.block_q}, {block_mask.block_kv}); rebuild the "
+                "mask at the desired block shape (block_h must stay 1)"
+            )
     quantized = k_scales is not None
     if (k_scales is None) != (v_scales is None):
         raise ValueError(
@@ -994,9 +1230,9 @@ def _flash_attention(
     # index tables — above-diagonal steps vanish instead of cycling through
     # the pipeline as predicated no-ops.
     tri = tri_ok and num_q_blocks > 1
-    # Heads per grid step (round 3; VERDICT #4): off on the triangular grid
+    # Heads per grid step (round 3; VERDICT #4): off on the pair-table grids
     # (long-S — per-head grids are already deep) and when it doesn't divide.
-    block_h = 1 if tri else block_sizes.block_h
+    block_h = 1 if (tri or bm) else block_sizes.block_h
     if bh % block_h:
         raise ValueError(
             f"block_h ({block_h}) must divide batch*heads ({bh})"
@@ -1021,6 +1257,12 @@ def _flash_attention(
         qi_tab = jnp.asarray([ij[0] for ij in pairs], jnp.int32)
         kj_tab = jnp.asarray([ij[1] for ij in pairs], jnp.int32)
         grid = (bh, len(pairs))
+    elif bm:
+        qi_tab = jnp.asarray(block_mask.qi, jnp.int32)
+        kj_tab = jnp.asarray(block_mask.kj, jnp.int32)
+        bm_first_tab = jnp.asarray(block_mask.first_kj, jnp.int32)
+        bm_last_tab = jnp.asarray(block_mask.last_kj, jnp.int32)
+        grid = (bh, block_mask.num_pairs)
     else:
         grid = (bh // block_h, num_q_blocks, num_kv_blocks)
 
@@ -1086,6 +1328,7 @@ def _flash_attention(
     # writes zeros.
     one_shot = (
         not tri
+        and not bm
         and not causal
         and window is None
         and kv_len is None
@@ -1113,6 +1356,10 @@ def _flash_attention(
         dropout_rate=dropout_rate,
         has_segments=has_segments,
         one_shot=one_shot,
+        bm=bm,
+        bm_mask_fn=block_mask.mask_fn if bm else None,
+        bm_element_mask=bm and block_mask.needs_element_mask,
+        pv_split=block_sizes.pv_split,
     )
 
     out_shape = [jax.ShapeDtypeStruct((bh, s_q, d), q.dtype)]  # o
@@ -1120,6 +1367,10 @@ def _flash_attention(
         q_map = lambda b, p, sc, qi, kj: (b, qi[p], 0)
         kv_map = lambda b, p, sc, qi, kj: (b, kj[p], 0)
         kv_scale_map = lambda b, p, sc, qi, kj: (b, 0, kj[p])
+    elif bm:
+        q_map = lambda b, p, sc, qi, kj, fi, la: (b, qi[p], 0)
+        kv_map = lambda b, p, sc, qi, kj, fi, la: (b, kj[p], 0)
+        kv_scale_map = lambda b, p, sc, qi, kj, fi, la: (b, 0, kj[p])
     else:
         q_map = lambda b, i, j, qoff: (b, i, 0)
         if causal or kv_len is not None or window is not None:
@@ -1214,6 +1465,8 @@ def _flash_attention(
     flops = 4 * bh * s_q * s_kv * d
     if causal:
         flops //= 2
+    elif bm:
+        flops = int(flops * block_mask.live_fraction)
     bytes_accessed = (
         q_in.size * q_in.dtype.itemsize
         + k_in.size * k_in.dtype.itemsize
@@ -1230,7 +1483,12 @@ def _flash_attention(
             jnp.asarray(dropout_seed, jnp.int32),
         ]
     )
-    prefetch = (scalars, qi_tab, kj_tab) if tri else (scalars,)
+    if tri:
+        prefetch = (scalars, qi_tab, kj_tab)
+    elif bm:
+        prefetch = (scalars, qi_tab, kj_tab, bm_first_tab, bm_last_tab)
+    else:
+        prefetch = (scalars,)
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -1245,7 +1503,7 @@ def _flash_attention(
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")
-            if tri
+            if (tri or bm)
             # one_shot carries no cross-step state: every grid dim is free.
             else ("parallel", "parallel", "parallel" if one_shot else "arbitrary"),
             # v5e has 128 MB VMEM; the default 16 MB scoped limit rejects

@@ -1,0 +1,148 @@
+"""Block-sparse mask kernel (round 4; VERDICT #8) vs the jnp oracle.
+
+The tri-grid pair-table machinery generalized to user mask families the
+reference's causal-only kernels (src/flashattention.cu:359-579) cannot
+express: prefix-LM, strided sparsity, document masks.  Each family is
+differentially tested against a dense jnp oracle built from the SAME
+mask_fn, and the pair table is checked to enumerate only live blocks
+(step count proportional to live fraction).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashattention_tpu.ops.dispatch import attention
+from flashattention_tpu.ops.flash import BlockMask, BlockSizes, flash_attention
+from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
+from flashattention_tpu.utils.testing import make_random, validate_result
+
+
+def dense_oracle(q, k, v, mask_fn, scale=1.0):
+    s = jnp.einsum(
+        "bqd,bkd->bqk",
+        q.astype(jnp.float32),
+        k.astype(jnp.float32),
+        precision="highest",
+    ) * scale
+    rows = np.arange(q.shape[1])[:, None]
+    cols = np.arange(k.shape[1])[None, :]
+    mask = jnp.asarray(np.asarray(mask_fn(rows, cols), bool))
+    s = jnp.where(mask[None], s, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum(
+        "bqk,bkd->bqd", p, v.astype(jnp.float32), precision="highest"
+    ).astype(q.dtype)
+
+
+# Mask families (module-level defs: BlockMask hashes mask_fn by identity).
+def causal_fn(r, c):
+    return c <= r
+
+
+def prefix_lm_fn(r, c):
+    # Bidirectional over the first 256 positions, causal after.
+    return (c < 256) | (c <= r)
+
+
+def strided_fn(r, c):
+    # Local band plus strided global keys — every row keeps its own key.
+    return (abs(r - c) < 128) | (c % 256 == 0)
+
+
+def document_fn(r, c):
+    # Block-diagonal 256-token documents.
+    return (r // 256) == (c // 256)
+
+
+FAMILIES = [causal_fn, prefix_lm_fn, strided_fn, document_fn]
+
+
+@pytest.mark.parametrize("mask_fn", FAMILIES, ids=lambda f: f.__name__)
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_block_mask_matches_oracle(mask_fn, dtype):
+    s_q = s_kv = 1024
+    ks = jax.random.split(jax.random.key(7), 3)
+    q, k, v = (make_random(kk, (3, s_q, 64), dtype) for kk in ks)
+    bm = BlockMask.from_mask_fn(mask_fn, s_q, s_kv, block_q=256, block_kv=256)
+    o = flash_attention(q, k, v, block_mask=bm, scale=0.125)
+    ref = dense_oracle(q, k, v, mask_fn, scale=0.125)
+    tol = 2e-2 if dtype == jnp.bfloat16 else 2e-5
+    validate_result(o, ref, tol)
+
+
+def test_block_mask_pair_table_is_sparse():
+    bm = BlockMask.from_mask_fn(document_fn, 1024, 1024, block_q=256, block_kv=256)
+    # 256-token documents on 256-blocks: exactly the diagonal blocks live.
+    assert bm.num_pairs == 4
+    assert bm.live_fraction == 0.25
+    assert not bm.needs_element_mask  # pure block-granular: no element mask
+    assert bm.qi == (0, 1, 2, 3) and bm.kj == (0, 1, 2, 3)
+
+    tri = BlockMask.from_mask_fn(causal_fn, 1024, 1024, block_q=256, block_kv=256)
+    assert tri.num_pairs == 10  # lower-triangle block count 4*5/2
+    assert tri.needs_element_mask  # diagonal blocks are partial
+    assert tri.first_kj == (0, 0, 0, 0) and tri.last_kj == (0, 1, 2, 3)
+
+
+def test_block_mask_matches_causal_kernel():
+    """The causal family through block_mask == the dedicated tri-grid path."""
+    ks = jax.random.split(jax.random.key(3), 3)
+    q, k, v = (make_random(kk, (2, 512, 64), jnp.float32) for kk in ks)
+    bm = BlockMask.from_mask_fn(causal_fn, 512, 512, block_q=128, block_kv=128)
+    o_bm = flash_attention(q, k, v, block_mask=bm)
+    o_tri = flash_attention(
+        q, k, v, causal=True, block_sizes=BlockSizes(128, 128, 128)
+    )
+    validate_result(o_bm, o_tri, 2e-6)
+
+
+def test_block_mask_rejects_starved_rows():
+    def no_keys_for_late_rows(r, c):
+        return (r < 512) & (c <= r)
+
+    with pytest.raises(ValueError, match="no live key"):
+        BlockMask.from_mask_fn(no_keys_for_late_rows, 1024, 1024,
+                               block_q=256, block_kv=256)
+
+
+def test_block_mask_rejects_causal_flag():
+    bm = BlockMask.from_mask_fn(causal_fn, 512, 512, block_q=128, block_kv=128)
+    ks = jax.random.split(jax.random.key(0), 3)
+    q, k, v = (make_random(kk, (1, 512, 64), jnp.float32) for kk in ks)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        flash_attention(q, k, v, causal=True, block_mask=bm)
+
+
+def test_block_mask_composes_with_segments_and_residuals():
+    """Segments + save_residuals ride the bm pair grid unchanged."""
+    s = 512
+    ks = jax.random.split(jax.random.key(11), 3)
+    q, k, v = (make_random(kk, (2, s, 64), jnp.float32) for kk in ks)
+    seg = jnp.zeros((2, s), jnp.int32).at[:, s // 2:].set(1)
+    bm = BlockMask.from_mask_fn(prefix_lm_fn, s, s, block_q=128, block_kv=128)
+    o, l, m = flash_attention(
+        q, k, v, block_mask=bm, q_segment_ids=seg, kv_segment_ids=seg,
+        save_residuals=True,
+    )
+
+    def seg_and_prefix(r, c):
+        return prefix_lm_fn(r, c) & ((r >= s // 2) == (c >= s // 2))
+
+    ref = dense_oracle(q, k, v, seg_and_prefix)
+    validate_result(o, ref, 2e-5)
+    assert l.shape == (2, s) and m.shape == (2, s)
+
+
+def test_block_mask_through_dispatch():
+    """block_mask reaches the one public entry point (VERDICT #7)."""
+    s = 512
+    ks = jax.random.split(jax.random.key(5), 3)
+    q, k, v = (make_random(kk, (1, 4, s, 64), jnp.float32) for kk in ks)
+    bm = BlockMask.from_mask_fn(strided_fn, s, s, block_q=128, block_kv=128)
+    o = attention(q, k, v, block_mask=bm)
+    ref = dense_oracle(
+        q.reshape(4, s, 64), k.reshape(4, s, 64), v.reshape(4, s, 64), strided_fn
+    ).reshape(1, 4, s, 64)
+    validate_result(o, ref, 2e-5)
