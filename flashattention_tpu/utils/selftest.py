@@ -317,6 +317,149 @@ def check_paged_decode_int8():
     validate_result(o, want, 5e-2)
 
 
+def check_fwd_tri_grid_deep():
+    """Triangular pair grid at depth (S=4096, round 4; VERDICT #6): until now
+    the tri grid compiled under Mosaic only inside benchmarks, where wrong
+    numbers pass silently.  BH kept small so the oracle einsum stays cheap."""
+    from flashattention_tpu.ops.flash import flash_attention
+    from flashattention_tpu.ops.reference import attention_reference
+
+    q, k, v = _qkv((2, 4096, 64), jnp.bfloat16, seed=20)
+    o = flash_attention(q, k, v, causal=True, interpret=False)
+    want = attention_reference(q, k, v, causal=True)
+    validate_result(o, want, TOL_BF16)
+
+
+def check_backward_d128():
+    """Backward at the flagship head_dim (d=128, round 4; VERDICT #5/#6):
+    the bwd block fit differs from d=64 (VMEM pressure), so the compiled
+    path needs its own gate."""
+    from flashattention_tpu.ops.backward import flash_attention_bwd
+    from flashattention_tpu.ops.flash import flash_attention
+    from flashattention_tpu.ops.reference import attention_reference
+
+    q, k, v = _qkv((2, 512, 128), seed=21)
+    t = make_random(jax.random.key(22), (2, 512, 128))
+    o, l, m = flash_attention(
+        q, k, v, causal=True, save_residuals=True, interpret=False
+    )
+    lse = m + jnp.log(l)
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, o, lse, t, causal=True, interpret=False
+    )
+    want = jax.grad(
+        lambda q, k, v: jnp.sum(attention_reference(q, k, v, causal=True) * t),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    validate_result(dq, want[0], 5e-4, name="dq")
+    validate_result(dk, want[1], 5e-4, name="dk")
+    validate_result(dv, want[2], 5e-4, name="dv")
+
+
+def check_fwd_block_mask():
+    """Block-sparse pair grid (round 4; VERDICT #8): prefix-LM family with
+    partial blocks — pair tables, per-q-block init/epilogue triggers, and the
+    in-kernel mask_fn re-evaluation all under Mosaic."""
+    from flashattention_tpu.ops.flash import BlockMask, flash_attention
+    from flashattention_tpu.ops.reference import DEFAULT_MASK_VALUE
+
+    def prefix_lm(r, c):
+        return (c < 192) | (c <= r)
+
+    q, k, v = _qkv((2, 512, 64), seed=23)
+    bm = BlockMask.from_mask_fn(prefix_lm, 512, 512, block_q=128, block_kv=128)
+    o = flash_attention(q, k, v, block_mask=bm, interpret=False)
+    sc = jnp.einsum("bqd,bkd->bqk", q, k, precision="highest")
+    rows = jnp.arange(512)[:, None]
+    cols = jnp.arange(512)[None, :]
+    sc = jnp.where(prefix_lm(rows, cols)[None], sc, DEFAULT_MASK_VALUE)
+    want = jnp.einsum(
+        "bqk,bkd->bqd", jax.nn.softmax(sc, -1), v, precision="highest"
+    )
+    validate_result(o, want, TOL_FP32)
+
+
+def check_fwd_quantized_kv():
+    """int8 KV with fused in-kernel dequant == attention over dequantized KV
+    (the scale folding into score columns / p rows under Mosaic)."""
+    from flashattention_tpu.ops.flash import flash_attention
+    from flashattention_tpu.ops.quant import dequantize, quantize_kv
+    from flashattention_tpu.ops.reference import attention_reference
+
+    q, k, v = _qkv((2, 512, 64), seed=24)
+    kq, vq = quantize_kv(k, v, "int8")
+    o = flash_attention(
+        q, kq.payload, vq.payload, kq.scales, vq.scales, causal=True,
+        interpret=False,
+    )
+    want = attention_reference(q, dequantize(kq), dequantize(vq), causal=True)
+    validate_result(o, want, 5e-2)  # int8 payload noise dominates
+
+
+def check_fwd_one_shot_stateless():
+    """One-shot stateless path (single KV block, round 3): no scratch, direct
+    store — must equal both the oracle and the scratch-recurrence path."""
+    from flashattention_tpu.ops.flash import BlockSizes, flash_attention
+    from flashattention_tpu.ops.reference import attention_reference
+
+    q, k, v = _qkv((4, 1024, 64), jnp.bfloat16, seed=25)
+    one = flash_attention(
+        q, k, v, block_sizes=BlockSizes(512, 1024, 1024), interpret=False
+    )
+    validate_result(one, attention_reference(q, k, v), TOL_BF16)
+    scratch = flash_attention(
+        q, k, v, block_sizes=BlockSizes(512, 512, 512), interpret=False
+    )
+    # Different reduction orders (direct store vs alpha-rescale recurrence)
+    # round differently in the bf16 output: agree to ~1 ULP, not bitwise.
+    validate_result(one, scratch, TOL_BF16, name="one_shot vs scratch")
+
+
+def check_fwd_lane_packed_d64():
+    """Lane-packed fp32 at d=64 — the 2-pass [hi|lo] packing branch (d=32's
+    4-group single pass is covered separately) with the packed MXU row sum."""
+    from flashattention_tpu.ops.flash import flash_attention
+    from flashattention_tpu.ops.reference import attention_reference_with_stats
+
+    q, k, v = _qkv((4, 1024, 64), seed=26)
+    o, l, m = flash_attention(q, k, v, save_residuals=True, interpret=False)
+    want, lw, mw = attention_reference_with_stats(q, k, v)
+    validate_result(o, want, TOL_FP32)
+    validate_result(l, lw, 1e-3, name="l")
+    validate_result(m, mw, 1e-4, name="m")
+
+
+def check_decode_bf16():
+    """Paged decode, unquantized bf16 (the int8 check covers fused dequant;
+    this pins the plain payload path + GQA head layout under Mosaic)."""
+    from flashattention_tpu.ops.decode import (
+        paged_attention,
+        paged_attention_reference,
+    )
+
+    b, kvh, g, d, ps, pps = 2, 2, 4, 128, 256, 2
+    ks = jax.random.split(jax.random.key(27), 3)
+    q = make_random(ks[0], (b, kvh, g, d), jnp.bfloat16)
+    kp = make_random(ks[1], (b * pps + 1, kvh, ps, d), jnp.bfloat16)
+    vp = make_random(ks[2], (b * pps + 1, kvh, ps, d), jnp.bfloat16)
+    lengths = jnp.array([ps * pps, ps + 31], jnp.int32)
+    pi = jnp.arange(b * pps, dtype=jnp.int32).reshape(b, pps)
+    o = paged_attention(q, kp, vp, lengths, pi)
+    want = paged_attention_reference(q, kp, vp, lengths, pi)
+    validate_result(o, want, TOL_BF16)
+
+
+def check_fwd_large_head_dim():
+    """d=256 (wide-head tuned path, round 3 #10): two MXU lane tiles per
+    output row under Mosaic."""
+    from flashattention_tpu.ops.flash import flash_attention
+    from flashattention_tpu.ops.reference import attention_reference
+
+    q, k, v = _qkv((2, 512, 256), jnp.bfloat16, seed=28)
+    o = flash_attention(q, k, v, causal=True, interpret=False)
+    validate_result(o, attention_reference(q, k, v, causal=True), TOL_BF16)
+
+
 CHECKS = [
     check_fwd_fp32_default,
     check_fwd_bf16_causal,
@@ -331,6 +474,16 @@ CHECKS = [
     check_backward,
     check_paged_prefill_batched,
     check_paged_decode_int8,
+    # Round 4 (VERDICT #6): the tuned paths previously compiled only inside
+    # benchmarks, plus the new block-sparse grid.
+    check_fwd_tri_grid_deep,
+    check_backward_d128,
+    check_fwd_block_mask,
+    check_fwd_quantized_kv,
+    check_fwd_one_shot_stateless,
+    check_fwd_lane_packed_d64,
+    check_decode_bf16,
+    check_fwd_large_head_dim,
 ]
 
 
