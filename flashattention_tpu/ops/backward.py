@@ -93,7 +93,8 @@ def _packed_fold(x, packed, dims, head_dim):
     return out[..., :head_dim] + out[..., head_dim:]
 
 
-def _masks(s_shape, q_start, kv_start, causal, kv_len, q_offset, window=None):
+def _masks(s_shape, q_start, kv_start, causal, kv_len, q_offset, window=None,
+           bm_mask_fn=None):
     mask = None
     if causal:
         row_ids = q_offset + q_start + jax.lax.broadcasted_iota(jnp.int32, s_shape, 0)
@@ -101,6 +102,14 @@ def _masks(s_shape, q_start, kv_start, causal, kv_len, q_offset, window=None):
         mask = col_ids <= row_ids
         if window is not None:
             mask = mask & (col_ids > row_ids - window)
+    if bm_mask_fn is not None:
+        # Block-sparse pattern (round 4): the SAME position predicate the
+        # forward pair grid uses, re-evaluated on iota tiles (ops.flash
+        # BlockMask); q_offset is a static 0 whenever block_mask is set.
+        row_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, s_shape, 0)
+        col_ids = kv_start + jax.lax.broadcasted_iota(jnp.int32, s_shape, 1)
+        bm = bm_mask_fn(row_ids, col_ids)
+        mask = bm if mask is None else (mask & bm)
     if kv_len is not None:
         col_ids = kv_start + jax.lax.broadcasted_iota(jnp.int32, s_shape, 1)
         len_mask = col_ids < kv_len
@@ -129,6 +138,9 @@ def _dq_kernel(
     head_dim=None,
     dropout_rate=None,
     has_segments=False,
+    bm_mask_fn=None,
+    bm_element_mask=False,
+    bm_num_kv=None,
 ):
     rest = list(rest)
     if has_segments:
@@ -154,6 +166,10 @@ def _dq_kernel(
                 ((kv_idx + 1) * block_kv - 1)
                 >= (q_offset + q_pos * block_q - window + 1)
             )
+    elif bm_num_kv is not None:
+        # Block-sparse (round 4): liveness table rides the scalar-prefetch
+        # vector after [q_offset, dropout_seed]; dead blocks skip compute.
+        should_run = qoff_ref[2 + q_idx * bm_num_kv + kv_idx] > 0
     else:
         should_run = True
 
@@ -176,7 +192,9 @@ def _dq_kernel(
         if logit_softcap is not None:
             s = logit_softcap * jnp.tanh(s * (1.0 / logit_softcap))
             cap_factor = 1.0 - (s * (1.0 / logit_softcap)) ** 2
-        mask = _masks(s.shape, q_pos * block_q, kv_idx * block_kv, causal, kv_len, q_offset, window)
+        mask = _masks(s.shape, q_pos * block_q, kv_idx * block_kv, causal,
+                      kv_len, q_offset, window,
+                      bm_mask_fn if bm_element_mask else None)
         if has_segments:
             # Packed sequences: (bq, 1) == (1, bkv) broadcast compare; p is
             # zero at masked positions, so dV/dS need no extra masking.
@@ -235,6 +253,9 @@ def _dkv_kernel(
     head_dim=None,
     dropout_rate=None,
     has_segments=False,
+    bm_mask_fn=None,
+    bm_element_mask=False,
+    bm_num_kv=None,
 ):
     rest = list(rest)
     if has_segments:
@@ -256,6 +277,9 @@ def _dkv_kernel(
         # Q blocks entirely above the diagonal contribute nothing to this KV
         # block (their masked P is zero).
         should_run = (q_offset + (q_pos + 1) * block_q - 1) >= (kv_idx * block_kv)
+    elif bm_num_kv is not None:
+        # Same flattened (q, kv) liveness table as _dq_kernel.
+        should_run = qoff_ref[2 + q_idx * bm_num_kv + kv_idx] > 0
     else:
         should_run = True
 
@@ -278,7 +302,9 @@ def _dkv_kernel(
         if logit_softcap is not None:
             s = logit_softcap * jnp.tanh(s * (1.0 / logit_softcap))
             cap_factor = 1.0 - (s * (1.0 / logit_softcap)) ** 2
-        mask = _masks(s.shape, q_pos * block_q, kv_idx * block_kv, causal, kv_len, q_offset, window)
+        mask = _masks(s.shape, q_pos * block_q, kv_idx * block_kv, causal,
+                      kv_len, q_offset, window,
+                      bm_mask_fn if bm_element_mask else None)
         if has_segments:
             # Packed sequences: (bq, 1) == (1, bkv) broadcast compare; p is
             # zero at masked positions, so dV/dS need no extra masking.
@@ -449,7 +475,7 @@ def _fused_bwd_kernel(
     static_argnames=(
         "causal", "scale", "block_sizes", "kv_len", "precision",
         "q_seq_len", "interpret", "fused", "window", "logit_softcap",
-        "dropout_rate",
+        "dropout_rate", "block_mask",
     ),
 )
 def flash_attention_bwd(
@@ -475,6 +501,7 @@ def flash_attention_bwd(
     dropout_seed=0,
     q_segment_ids=None,
     kv_segment_ids=None,
+    block_mask=None,
 ):
     """dQ, dK, dV from saved output + logsumexp residuals.
 
@@ -497,6 +524,34 @@ def flash_attention_bwd(
     bh, s_q, d = q.shape
     s_kv = k.shape[1]
     precision = resolve_precision(precision, q.dtype)
+    bm = block_mask is not None
+    if bm:
+        # Block-sparse backward (round 4): rectangular grid + a prefetched
+        # per-(q, kv)-block liveness table — dead blocks skip compute (their
+        # DMA is not elided; the fwd pair grid owns that optimization), and
+        # partial blocks re-apply the mask_fn exactly like the forward.
+        if causal or window is not None or q_seq_len is not None:
+            raise ValueError(
+                "block_mask is mutually exclusive with causal/window/"
+                "q_seq_len in the backward too — encode them in the mask_fn"
+            )
+        if (block_mask.s_q, block_mask.s_kv) != (s_q, s_kv):
+            raise ValueError(
+                f"block_mask built for ({block_mask.s_q}, {block_mask.s_kv}) "
+                f"but inputs are ({s_q}, {s_kv})"
+            )
+        if block_sizes is None:
+            block_sizes = BlockSizes(
+                block_mask.block_q, block_mask.block_kv, block_mask.block_kv
+            )
+        elif (
+            block_sizes.block_q != block_mask.block_q
+            or block_sizes.block_kv != block_mask.block_kv
+        ):
+            raise ValueError(
+                f"block_sizes {block_sizes} disagree with block_mask blocks "
+                f"({block_mask.block_q}, {block_mask.block_kv})"
+            )
     if block_sizes is None:
         # The backward kernels live with ~4 score-sized (bq x bkv) fp32 tiles
         # (s, p, dp, ds) at once plus (bkv, d) dk/dv scratch, so the forward's
@@ -516,11 +571,18 @@ def flash_attention_bwd(
     q_seq_blocks = resolve_q_seq_blocks(s_q, bq, q_seq_len)
 
     # Scalar-prefetched: [q_offset, dropout_seed] (seed traced — a fresh
-    # per-step seed never recompiles; ignored when dropout is off).
+    # per-step seed never recompiles; ignored when dropout is off).  With a
+    # block_mask, the flattened (num_q, num_kv) liveness table rides the
+    # same vector from index 2 (keeps every BlockSpec lambda's arity fixed).
     qoff = jnp.stack([
         jnp.asarray(q_offset, jnp.int32),
         jnp.asarray(dropout_seed, jnp.int32),
     ])
+    if bm:
+        live = np.zeros((s_q // bq) * (s_kv // bkv), np.int32)
+        for qi, kj in zip(block_mask.qi, block_mask.kj):
+            live[qi * (s_kv // bkv) + kj] = 1
+        qoff = jnp.concatenate([qoff, jnp.asarray(live)])
     di = jnp.sum(
         o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1
     )  # (BH, S_q), shared by both kernels (~ the reference guide's di)
@@ -596,6 +658,10 @@ def flash_attention_bwd(
         if has_segments:
             raise ValueError(
                 "fused backward does not support segment ids; use fused=False"
+            )
+        if bm:
+            raise ValueError(
+                "fused backward does not support block_mask; use fused=False"
             )
         if s_q * d * 4 > 32 * 1024 * 1024:
             raise ValueError(
@@ -685,6 +751,9 @@ def flash_attention_bwd(
             head_dim=d,
             dropout_rate=dropout_rate,
             has_segments=has_segments,
+            bm_mask_fn=block_mask.mask_fn if bm else None,
+            bm_element_mask=bm and block_mask.needs_element_mask,
+            bm_num_kv=num_kv if bm else None,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -735,6 +804,9 @@ def flash_attention_bwd(
             head_dim=d,
             dropout_rate=dropout_rate,
             has_segments=has_segments,
+            bm_mask_fn=block_mask.mask_fn if bm else None,
+            bm_element_mask=bm and block_mask.needs_element_mask,
+            bm_num_kv=num_kv if bm else None,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -768,7 +840,7 @@ def flash_attention_bwd(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 15)
 )
 def attention_vjp(
     q,
@@ -786,6 +858,7 @@ def attention_vjp(
     dropout_seed=0,
     q_segment_ids=None,
     kv_segment_ids=None,
+    block_mask=None,
 ):
     """Differentiable fused attention on (BH, S, d) (block-aligned shapes).
 
@@ -806,25 +879,27 @@ def attention_vjp(
         window=window, logit_softcap=logit_softcap,
         dropout_rate=dropout_rate, dropout_seed=dropout_seed,
         q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+        block_mask=block_mask,
     )
 
 
 def _vjp_fwd(q, k, v, causal, scale, block_sizes, precision, interpret,
              q_seq_len, window, logit_softcap, dropout_rate, dropout_seed,
-             q_segment_ids, kv_segment_ids):
+             q_segment_ids, kv_segment_ids, block_mask=None):
     o, l, m = flash_attention(
         q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
         save_residuals=True, precision=precision, q_seq_len=q_seq_len,
         interpret=interpret, window=window, logit_softcap=logit_softcap,
         dropout_rate=dropout_rate, dropout_seed=dropout_seed,
         q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+        block_mask=block_mask,
     )
     lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
     return o, (q, k, v, o, lse, dropout_seed, q_segment_ids, kv_segment_ids)
 
 
 def _vjp_bwd(causal, scale, block_sizes, precision, interpret, q_seq_len,
-             window, logit_softcap, dropout_rate, res, do):
+             window, logit_softcap, dropout_rate, block_mask, res, do):
     q, k, v, o, lse, dropout_seed, q_segment_ids, kv_segment_ids = res
     dq, dk, dv = flash_attention_bwd(
         q, k, v, o, lse, do,
@@ -833,6 +908,7 @@ def _vjp_bwd(causal, scale, block_sizes, precision, interpret, q_seq_len,
         window=window, logit_softcap=logit_softcap,
         dropout_rate=dropout_rate, dropout_seed=dropout_seed,
         q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+        block_mask=block_mask,
     )
 
     # Integer inputs: symbolic-zero cotangents (float0); None stays None.

@@ -1,0 +1,68 @@
+"""Backward block sweep per head_dim (round 4; VERDICT #5).
+
+The bwd 512x512 block cap was set once at d=64 (VMEM: ~4 score-sized fp32
+tiles live at once) and never re-swept; this sweeps (block_q, block_kv) for
+the two production shapes:
+
+  d=64  S=4096 causal  (fp32 + bf16)  — the benchmarks.json rows; the fp32
+                                        row sits at 39.5 TF/s vs a 45 target
+  d=128 S=2048 causal  (fp32 + bf16)  — the flagship training shape, never
+                                        benchmarked before round 4
+
+Run: python scripts/tune_bwd.py
+"""
+
+import itertools
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from flashattention_tpu.ops.backward import flash_attention_bwd
+from flashattention_tpu.ops.flash import BlockSizes, flash_attention
+from flashattention_tpu.utils.benchit import attention_flops, devtime_ms
+from flashattention_tpu.utils.testing import make_random
+
+
+def sweep(bh, s, d, dtype):
+    ks = jax.random.split(jax.random.key(0), 4)
+    q, k, v = (make_random(kk, (bh, s, d), dtype) for kk in ks[:3])
+    do = make_random(ks[3], (bh, s, d), dtype)
+    o, l, m = flash_attention(q, k, v, causal=True, save_residuals=True)
+    lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+    fl = int(2.5 * attention_flops(bh, s, s, d, causal=True))
+    print(f"== bwd BH={bh} d={d} S={s} {dtype.__name__} causal ==", flush=True)
+    best = None
+    for bq, bkv in itertools.product((256, 512, 1024), (256, 512, 1024)):
+        bs = BlockSizes(bq, bkv, bkv)
+        f = lambda q, k, v, o, lse, do, bs=bs: flash_attention_bwd(
+            q, k, v, o, lse, do, causal=True, block_sizes=bs
+        )[0]
+        try:
+            ms = devtime_ms(f, (q, k, v, o, lse, do), n_hi=5)
+        except Exception as e:  # noqa: BLE001
+            print(f"  {bq:4}/{bkv:4}: FAIL {type(e).__name__}: {e}", flush=True)
+            continue
+        tag = ""
+        if best is None or ms < best[0]:
+            best = (ms, bs)
+            tag = "  <-- best"
+        print(f"  {bq:4}/{bkv:4}: {ms:7.3f} ms  {fl/ms/1e9:6.1f} TF/s{tag}",
+              flush=True)
+    if best:
+        print(f"  BEST: {best[1]} -> {best[0]:.3f} ms  {fl/best[0]/1e9:.1f} TF/s",
+              flush=True)
+
+
+def main():
+    for dtype in (jnp.float32, jnp.bfloat16):
+        sweep(16, 4096, 64, dtype)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        sweep(64, 2048, 128, dtype)
+
+
+if __name__ == "__main__":
+    main()

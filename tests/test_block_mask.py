@@ -146,3 +146,60 @@ def test_block_mask_through_dispatch():
         q.reshape(4, s, 64), k.reshape(4, s, 64), v.reshape(4, s, 64), strided_fn
     ).reshape(1, 4, s, 64)
     validate_result(o, ref, 2e-5)
+
+
+def test_block_mask_gradients_match_oracle_autodiff():
+    """Block-sparse backward (round 4): dQ/dK/dV through attention_vjp with
+    a block_mask == autodiff of the dense oracle built from the same
+    mask_fn, for a partial-block family and a block-granular family."""
+    from flashattention_tpu.ops.backward import attention_vjp
+
+    s = 512
+    ks = jax.random.split(jax.random.key(21), 4)
+    q, k, v = (make_random(kk, (2, s, 64), jnp.float32) for kk in ks[:3])
+    t = make_random(ks[3], (2, s, 64), jnp.float32)
+    for fn in (prefix_lm_fn, document_fn):
+        bm = BlockMask.from_mask_fn(fn, s, s, block_q=128, block_kv=128)
+
+        def loss_fa(q, k, v):
+            o = attention_vjp(
+                q, k, v, False, 1.0, None, None, None, None, None, None,
+                None, 0, None, None, bm,
+            )
+            return jnp.sum(o * t)
+
+        def loss_or(q, k, v):
+            return jnp.sum(dense_oracle(q, k, v, fn) * t)
+
+        g_fa = jax.grad(loss_fa, argnums=(0, 1, 2))(q, k, v)
+        g_or = jax.grad(loss_or, argnums=(0, 1, 2))(q, k, v)
+        for name, a, b in zip(("dq", "dk", "dv"), g_fa, g_or):
+            validate_result(a, b, 5e-4, name=f"{fn.__name__} {name}")
+
+
+def test_block_mask_bwd_skips_dead_blocks_exactly():
+    """Poisoned NaN inputs in dead blocks must not leak into gradients
+    (the liveness table really skips compute, not just masks scores)."""
+    from flashattention_tpu.ops.backward import flash_attention_bwd
+    from flashattention_tpu.ops.flash import flash_attention
+
+    s = 512
+    ks = jax.random.split(jax.random.key(33), 4)
+    q, k, v = (make_random(kk, (1, s, 64), jnp.float32) for kk in ks[:3])
+    t = make_random(ks[3], (1, s, 64), jnp.float32)
+    bm = BlockMask.from_mask_fn(document_fn, s, s, block_q=256, block_kv=256)
+    o, l, m = flash_attention(q, k, v, block_mask=bm, save_residuals=True)
+    lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+    dq, dk, dv = flash_attention_bwd(
+        q, k, v, o, lse, t, block_mask=bm
+    )
+    assert bool(jnp.all(jnp.isfinite(dq)))
+    # Dense-grid backward over the SAME mask family via segments oracle:
+    seg = (jnp.arange(s) // 256).astype(jnp.int32)[None, :]
+    dq2, dk2, dv2 = flash_attention_bwd(
+        q, k, v, o, lse, t, q_segment_ids=seg, kv_segment_ids=seg,
+        block_sizes=BlockSizes(256, 256, 256),
+    )
+    validate_result(dq, dq2, 1e-5, name="dq vs segments")
+    validate_result(dk, dk2, 1e-5, name="dk vs segments")
+    validate_result(dv, dv2, 1e-5, name="dv vs segments")
