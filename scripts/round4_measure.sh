@@ -19,14 +19,25 @@ print('chip compute ok')
 
 if [ "${1:-}" = "--watch" ]; then
   log "watching for TPU compute"
-  until chip_ok; do
-    echo "  chip still compute-dead ($(date +%H:%M:%S)); retry in 300s"
-    sleep 300
+  # Require TWO consecutive healthy checks: the tunnel flaps while
+  # recovering, and a single success followed by a failed re-check aborted
+  # the first round-4 watch run.
+  ok=0
+  until [ "$ok" -ge 2 ]; do
+    if chip_ok; then
+      ok=$((ok + 1))
+      echo "  chip healthy ($ok/2 checks, $(date +%H:%M:%S))"
+      sleep 30
+    else
+      ok=0
+      echo "  chip still compute-dead ($(date +%H:%M:%S)); retry in 300s"
+      sleep 300
+    fi
   done
   log "chip is back"
+else
+  chip_ok || { echo "TPU compute dead; aborting"; exit 1; }
 fi
-
-chip_ok || { echo "TPU compute dead; aborting"; exit 1; }
 
 log "selftest (21-check compiled gate)"
 timeout 2400 python -m flashattention_tpu.utils.selftest 2>&1 \
