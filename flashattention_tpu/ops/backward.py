@@ -555,13 +555,30 @@ def flash_attention_bwd(
     if block_sizes is None:
         # The backward kernels live with ~4 score-sized (bq x bkv) fp32 tiles
         # (s, p, dp, ds) at once plus (bkv, d) dk/dv scratch, so the forward's
-        # tuned 2048-wide KV blocks blow the VMEM budget; cap at 512x512
-        # *inside* the fit (a naive min() after fit breaks divisibility for
-        # shapes like S=768 whose fitted block is a non-power-of-two).
+        # tuned 2048-wide KV blocks blow the VMEM budget.  Caps per
+        # (dtype, head_dim) from the round-4 sweep (scripts/tune_bwd.py,
+        # measurements/tune_bwd.txt) — the old blanket 512x512 cap left
+        # 18-23% on the table at every shape:
+        #   bf16 d>=128: 1024/1024 (0.992 ms vs 1.099 at d=128 S=2048)
+        #   bf16 d<128:   512/1024 (0.694 ms vs 0.853 at d=64  S=4096)
+        #   fp32 d>=128:  512/1024 (2.477 ms vs 2.507)
+        #   fp32 d<128:  1024/ 512 (2.070 ms vs 2.119; lane-packed path)
+        if precision == "bf16":
+            caps = (1024, 1024) if d >= 128 else (512, 1024)
+        else:
+            caps = (512, 1024) if d >= 128 else (1024, 512)
+        # causal=False: fit()'s causal branch tunes the FORWARD tri grid
+        # (block_q/bkv caps that lose here — the sweep above ran causal);
+        # block_h/pv_split are forward-only tweaks the bwd kernels ignore.
         block_sizes = BlockSizes.fit(
-            q_seq_len or s_q, s_kv, d, precision, causal,
-            max_block_q=512, max_block_kv=512,
+            q_seq_len or s_q, s_kv, d, precision, False,
+            max_block_q=caps[0], max_block_kv=caps[1],
         )
+        if block_sizes.block_h != 1 or block_sizes.pv_split != 1:
+            block_sizes = BlockSizes(
+                block_sizes.block_q, block_sizes.block_kv,
+                block_sizes.block_kv_compute,
+            )
     bq, bkv = block_sizes.block_q, block_sizes.block_kv
     if s_q % bq or s_kv % bkv:
         raise ValueError(

@@ -248,21 +248,23 @@ class BlockSizes:
         or 2048/1024-substripes, 3.2 ms @ x/512).
         """
         del precision
-        pv_split = 1
+        # PV contraction split (round 4): the PV output is a single 128-lane
+        # tile for every d <= 128, and its serial accumulation chain is the
+        # measured thin-shape MXU bottleneck (measurements/D128_CEILING.md).
+        # Independent partial-sum chains win at every measured shape:
+        # d=128 S=2048 1.99 -> 1.82 ms (probe_d128f.txt), d=64 S=8192
+        # non-causal 3.57 -> 3.23 ms and causal 2.22 -> 2.18 ms
+        # (measurements/probe_pvsplit_d64.txt).
+        pv_split = 2 if causal else 4
         if head_dim >= 128:
             if causal:
                 # Tri-grid sweeps found bq=512 best with the diagonal mix of
                 # partial tiles (probe_d128 causal sweep).
                 max_block_q = min(max_block_q, 512)
             else:
-                # Round 4: d>=128 PV is a single 128-lane output tile on one
-                # serial accumulation chain — the measured thin-shape MXU
-                # bottleneck (measurements/D128_CEILING.md).  bq=1024 + a
-                # 4-way PV contraction split beats every bq=512 config
-                # (1.824 vs 1.95-2.02 ms at the Llama-7B shape,
-                # probe_d128f.txt).
+                # bq=1024 + the 4-way split beats every bq=512 config
+                # (1.824 vs 1.95-2.02 ms at the Llama-7B shape).
                 max_block_q = min(max_block_q, 1024)
-                pv_split = 4
 
         def largest_dividing(s, cap):
             # Largest MIN_BLOCK multiple <= cap dividing s (halving could land
