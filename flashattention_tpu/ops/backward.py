@@ -93,6 +93,32 @@ def _packed_fold(x, packed, dims, head_dim):
     return out[..., :head_dim] + out[..., head_dim:]
 
 
+def _csplit(f, a, b, ca, cb, n):
+    """Split a contraction into n independent partial-sum chains.
+
+    The forward's pv_split finding (measurements/D128_CEILING.md) applies to
+    the backward's thin-N accumulations too: dQ/dK/dV outputs are a single
+    128-lane tile at d <= 128, so the MXU serializes the contraction's
+    accumulation passes into one dependency chain.  Splitting contraction
+    axis ``ca`` of ``a`` / ``cb`` of ``b`` into ``n`` chunks gives Mosaic
+    interleavable chains at the cost of (n-1) VPU tile adds.
+    """
+    length = a.shape[ca]
+    if n == 1 or length % n:
+        return f(a, b)
+    c = length // n
+
+    def _sl(x, ax, i):
+        idx = [slice(None)] * x.ndim
+        idx[ax] = slice(i * c, (i + 1) * c)
+        return x[tuple(idx)]
+
+    out = f(_sl(a, ca, 0), _sl(b, cb, 0))
+    for i in range(1, n):
+        out = out + f(_sl(a, ca, i), _sl(b, cb, i))
+    return out
+
+
 def _masks(s_shape, q_start, kv_start, causal, kv_len, q_offset, window=None,
            bm_mask_fn=None):
     mask = None
@@ -141,6 +167,7 @@ def _dq_kernel(
     bm_mask_fn=None,
     bm_element_mask=False,
     bm_num_kv=None,
+    acc_split=1,
 ):
     rest = list(rest)
     if has_segments:
@@ -220,12 +247,19 @@ def _dq_kernel(
         ds = p * (dp - di) * scale
         if cap_factor is not None:
             ds = ds * cap_factor
+        # dQ_i = sum_j dS_ij K_j: a thin-N (bq, d) output — split the bkv
+        # contraction into independent chains (see _csplit).
+        dims_dq = (((1,), (0,)), ((), ()))
         if packed:
-            dq_scratch[...] += _packed_fold(
-                ds, k, (((1,), (0,)), ((), ())), head_dim
+            dq_scratch[...] += _csplit(
+                lambda a, b: _packed_fold(a, b, dims_dq, head_dim),
+                ds, k, 1, 0, acc_split,
             )
         else:
-            dq_scratch[...] += _dot_g(ds, k, (((1,), (0,)), ((), ())), precision)
+            dq_scratch[...] += _csplit(
+                lambda a, b: _dot_g(a, b, dims_dq, precision),
+                ds, k, 1, 0, acc_split,
+            )
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _epilogue():
@@ -256,6 +290,7 @@ def _dkv_kernel(
     bm_mask_fn=None,
     bm_element_mask=False,
     bm_num_kv=None,
+    acc_split=1,
 ):
     rest = list(rest)
     if has_segments:
@@ -325,27 +360,37 @@ def _dkv_kernel(
             inv = 1.0 / (1.0 - dropout_rate)
             p_z = jnp.where(keep, p, 0.0) * inv
 
-        # dV_j = sum_i Z_ij dO_i  -> Z^T @ dO
+        # dV_j = sum_i Z_ij dO_i  -> Z^T @ dO: thin-N (bkv, d) output — split
+        # the bq contraction into independent chains (see _csplit).
+        dims_t = (((0,), (0,)), ((), ()))
         if packed:
-            dv_scratch[...] += _packed_fold(
-                p_z, do, (((0,), (0,)), ((), ())), head_dim
+            dv_scratch[...] += _csplit(
+                lambda a, b: _packed_fold(a, b, dims_t, head_dim),
+                p_z, do, 0, 0, acc_split,
             )
             dp = _packed_nt(do, v, head_dim)
         else:
-            dv_scratch[...] += _dot_g(p_z, do, (((0,), (0,)), ((), ())), precision)
+            dv_scratch[...] += _csplit(
+                lambda a, b: _dot_g(a, b, dims_t, precision),
+                p_z, do, 0, 0, acc_split,
+            )
             dp = _dot_g(do, v, (((1,), (1,)), ((), ())), precision)
         if dropout_rate is not None:
             dp = jnp.where(keep, dp, 0.0) * inv
         ds = p * (dp - di) * scale  # (bq, bkv)
         if cap_factor is not None:
             ds = ds * cap_factor
-        # dK_j = sum_i dS_ij Q_i  -> dS^T @ Q
+        # dK_j = sum_i dS_ij Q_i  -> dS^T @ Q (same thin-N split as dV)
         if packed:
-            dk_scratch[...] += _packed_fold(
-                ds, q, (((0,), (0,)), ((), ())), head_dim
+            dk_scratch[...] += _csplit(
+                lambda a, b: _packed_fold(a, b, dims_t, head_dim),
+                ds, q, 0, 0, acc_split,
             )
         else:
-            dk_scratch[...] += _dot_g(ds, q, (((0,), (0,)), ((), ())), precision)
+            dk_scratch[...] += _csplit(
+                lambda a, b: _dot_g(a, b, dims_t, precision),
+                ds, q, 0, 0, acc_split,
+            )
 
     @pl.when(q_idx == num_q_blocks - 1)
     def _epilogue():
@@ -555,30 +600,38 @@ def flash_attention_bwd(
     if block_sizes is None:
         # The backward kernels live with ~4 score-sized (bq x bkv) fp32 tiles
         # (s, p, dp, ds) at once plus (bkv, d) dk/dv scratch, so the forward's
-        # tuned 2048-wide KV blocks blow the VMEM budget.  Caps per
-        # (dtype, head_dim) from the round-4 sweep (scripts/tune_bwd.py,
-        # measurements/tune_bwd.txt) — the old blanket 512x512 cap left
-        # 18-23% on the table at every shape:
-        #   bf16 d>=128: 1024/1024 (0.992 ms vs 1.099 at d=128 S=2048)
-        #   bf16 d<128:   512/1024 (0.694 ms vs 0.853 at d=64  S=4096)
-        #   fp32 d>=128:  512/1024 (2.477 ms vs 2.507)
-        #   fp32 d<128:  1024/ 512 (2.070 ms vs 2.119; lane-packed path)
+        # tuned 2048-wide KV blocks blow the VMEM budget.  1024x1024 wins the
+        # round-4 sweep at EVERY (dtype, head_dim) once measured uncontended
+        # (scripts/tune_bwd.py [--split]; measurements/tune_bwd_split.txt +
+        # tune_bwd_split_d64_clean.txt — the first sweep's per-dtype winners
+        # were chip-contention noise):
+        #   bf16 d=128: 0.910 ms / 188.8 TF/s @ split=4 (vs 0.985 @ split=1)
+        #   bf16 d=64:  0.734 ms / 117.0 TF/s @ split=2 (vs 0.768 @ split=1)
+        #   fp32 d=128: 3.003 ms /  57.2 TF/s @ split=1 (splits lose)
+        #   fp32 d=64:  1.877 ms /  45.8 TF/s @ split=1 (old 1024/512: 41.6)
+        # acc_split (_csplit independent accumulation chains) pays only on
+        # the single-pass bf16 matmuls; the lane-packed fp32 path already
+        # breaks each accumulation into 2 hi/lo passes, and further splits
+        # just add VPU tile sums.
+        # causal=False below: fit()'s causal branch tunes the FORWARD tri
+        # grid (block_q/bkv caps that lose here — the sweep above ran
+        # causal); block_h/pv_split are forward-tuned, so both come from the
+        # backward sweep instead.  Explicit block_sizes pass through
+        # untouched.
         if precision == "bf16":
-            caps = (1024, 1024) if d >= 128 else (512, 1024)
+            acc_split = 4 if d >= 128 else 2
         else:
-            caps = (512, 1024) if d >= 128 else (1024, 512)
-        # causal=False: fit()'s causal branch tunes the FORWARD tri grid
-        # (block_q/bkv caps that lose here — the sweep above ran causal);
-        # block_h/pv_split are forward-only tweaks the bwd kernels ignore.
+            acc_split = 1
         block_sizes = BlockSizes.fit(
             q_seq_len or s_q, s_kv, d, precision, False,
-            max_block_q=caps[0], max_block_kv=caps[1],
+            max_block_q=1024, max_block_kv=1024,
         )
-        if block_sizes.block_h != 1 or block_sizes.pv_split != 1:
-            block_sizes = BlockSizes(
-                block_sizes.block_q, block_sizes.block_kv,
-                block_sizes.block_kv_compute,
-            )
+        if block_sizes.block_kv_compute % (acc_split * 128):
+            acc_split = 1  # tiny kv blocks: nothing to split
+        block_sizes = BlockSizes(
+            block_sizes.block_q, block_sizes.block_kv,
+            block_sizes.block_kv_compute, 1, acc_split,
+        )
     bq, bkv = block_sizes.block_q, block_sizes.block_kv
     if s_q % bq or s_kv % bkv:
         raise ValueError(
@@ -771,6 +824,7 @@ def flash_attention_bwd(
             bm_mask_fn=block_mask.mask_fn if bm else None,
             bm_element_mask=bm and block_mask.needs_element_mask,
             bm_num_kv=num_kv if bm else None,
+            acc_split=block_sizes.pv_split,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -824,6 +878,7 @@ def flash_attention_bwd(
             bm_mask_fn=block_mask.mask_fn if bm else None,
             bm_element_mask=bm and block_mask.needs_element_mask,
             bm_num_kv=num_kv if bm else None,
+            acc_split=block_sizes.pv_split,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

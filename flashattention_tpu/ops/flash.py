@@ -757,7 +757,13 @@ def _kernel(
                         mask = len_mask if mask is None else (mask & len_mask)
                     return jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
-                if _MASK_SKIP_MODE == "cond":
+                if _MASK_SKIP_MODE == "off":
+                    # TIMING-ONLY probe mode (scripts/probe_causal.py):
+                    # skips the mask chain entirely, so diagonal tiles give
+                    # WRONG results.  Isolates the vector-scalar mask's VPU
+                    # cost from the tri-grid's other per-step overheads.
+                    del need
+                elif _MASK_SKIP_MODE == "cond":
                     # Measured on v5e and REJECTED as the default: branching
                     # around the mask serializes Mosaic's software pipeline
                     # (causal bf16 S=8192: 4.30 ms vs 2.30 unconditional).

@@ -27,7 +27,7 @@ from flashattention_tpu.utils.benchit import attention_flops, devtime_ms
 from flashattention_tpu.utils.testing import make_random
 
 
-def sweep(bh, s, d, dtype):
+def sweep(bh, s, d, dtype, splits=(1,), blocks=None):
     ks = jax.random.split(jax.random.key(0), 4)
     q, k, v = (make_random(kk, (bh, s, d), dtype) for kk in ks[:3])
     do = make_random(ks[3], (bh, s, d), dtype)
@@ -36,21 +36,24 @@ def sweep(bh, s, d, dtype):
     fl = int(2.5 * attention_flops(bh, s, s, d, causal=True))
     print(f"== bwd BH={bh} d={d} S={s} {dtype.__name__} causal ==", flush=True)
     best = None
-    for bq, bkv in itertools.product((256, 512, 1024), (256, 512, 1024)):
-        bs = BlockSizes(bq, bkv, bkv)
+    if blocks is None:
+        blocks = list(itertools.product((256, 512, 1024), (256, 512, 1024)))
+    for (bq, bkv), sp in itertools.product(blocks, splits):
+        bs = BlockSizes(bq, bkv, bkv, 1, sp)
         f = lambda q, k, v, o, lse, do, bs=bs: flash_attention_bwd(
             q, k, v, o, lse, do, causal=True, block_sizes=bs
         )[0]
         try:
             ms = devtime_ms(f, (q, k, v, o, lse, do), n_hi=5)
         except Exception as e:  # noqa: BLE001
-            print(f"  {bq:4}/{bkv:4}: FAIL {type(e).__name__}: {e}", flush=True)
+            print(f"  {bq:4}/{bkv:4} sp={sp}: FAIL {type(e).__name__}: {e}",
+                  flush=True)
             continue
         tag = ""
         if best is None or ms < best[0]:
             best = (ms, bs)
             tag = "  <-- best"
-        print(f"  {bq:4}/{bkv:4}: {ms:7.3f} ms  {fl/ms/1e9:6.1f} TF/s{tag}",
+        print(f"  {bq:4}/{bkv:4} sp={sp}: {ms:7.3f} ms  {fl/ms/1e9:6.1f} TF/s{tag}",
               flush=True)
     if best:
         print(f"  BEST: {best[1]} -> {best[0]:.3f} ms  {fl/best[0]/1e9:.1f} TF/s",
@@ -58,6 +61,21 @@ def sweep(bh, s, d, dtype):
 
 
 def main():
+    # --split: focused acc_split sweep on the per-(dtype, d) winning blocks
+    # from the full round-4 sweep (measurements/tune_bwd.txt) — the _csplit
+    # independent-chain question is orthogonal to the block-shape one.
+    if "--split" in sys.argv:
+        # Winning block shapes from measurements/tune_bwd.txt, plus the
+        # runner-up with the larger contraction (more to split).
+        sweep(16, 4096, 64, jnp.float32, splits=(1, 2, 4),
+              blocks=[(1024, 512), (512, 1024), (1024, 1024)])
+        sweep(16, 4096, 64, jnp.bfloat16, splits=(1, 2, 4),
+              blocks=[(512, 1024), (1024, 1024)])
+        sweep(64, 2048, 128, jnp.float32, splits=(1, 2, 4),
+              blocks=[(512, 1024), (1024, 1024)])
+        sweep(64, 2048, 128, jnp.bfloat16, splits=(1, 2, 4),
+              blocks=[(1024, 1024)])
+        return
     for dtype in (jnp.float32, jnp.bfloat16):
         sweep(16, 4096, 64, dtype)
     for dtype in (jnp.float32, jnp.bfloat16):

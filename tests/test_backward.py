@@ -38,6 +38,31 @@ def test_grads_match_autodiff(causal, scale):
         validate_result(a, b, TOL, name=f"d{name}")
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_bwd_acc_split_parity(dtype):
+    # acc_split (round 4): splitting the dQ/dK/dV accumulation chains into
+    # independent partial sums must be numerically benign — same split-level
+    # tolerance story as the forward's pv_split.
+    from flashattention_tpu.ops.flash import flash_attention
+
+    ks = jax.random.split(jax.random.key(7), 4)
+    q, k, v, do = (make_random(kk, (2, 256, 64), dtype) for kk in ks)
+    o, l, m = flash_attention(
+        q, k, v, causal=True, save_residuals=True, block_sizes=BLOCKS
+    )
+    lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
+    ref = flash_attention_bwd(
+        q, k, v, o, lse, do, causal=True, block_sizes=BLOCKS
+    )
+    split = flash_attention_bwd(
+        q, k, v, o, lse, do, causal=True,
+        block_sizes=BlockSizes(256, 256, 256, 1, 2),
+    )
+    tol = TOL if dtype == jnp.float32 else 2e-2
+    for name, a, b in zip(("dq", "dk", "dv"), split, ref):
+        validate_result(a, b, tol, name=name)
+
+
 def test_grads_head_dim_32():
     q, k, v, t = qkv((3, 128, 32), seed=2)
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v, True, 1.0, t)
