@@ -11,7 +11,7 @@ bkv=2048.  The ~0.6 us/pair residual is some mix of
   (c) tri-grid bookkeeping (prefetched table reads, init/epilogue ratio).
 This probe separates them with timing-only runs:
   1. causal baseline (fit config)                   -> total
-  2. causal with FA_MASK_SKIP=off (WRONG results)   -> total - mask cost
+  2. causal, FA_MASK_SKIP=unsafe_none (WRONG results) -> total - mask cost
   3. non-causal at bq=1024 bkv=1024 split=2         -> per-step rate at the
      causal block geometry, no mask, no tri tables (64 pairs)
   4. non-causal at bkv=2048 split=4 (reference rate)
@@ -43,9 +43,12 @@ fl = attention_flops(16, 8192, 8192, 64, causal={causal})
 print(f"RESULT {{ms:.4f}} ms  {{fl/ms/1e9:.1f}} TF/s")
 """
     env = dict(os.environ, **env_extra)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     out = subprocess.run(
         [sys.executable, "-c", code], env=env, capture_output=True, text=True,
-        timeout=600,
+        timeout=2400,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("RESULT")]
     print(f"  {label:55s} {line[0][7:] if line else 'FAIL: ' + out.stderr[-300:]}",
@@ -55,7 +58,7 @@ print(f"RESULT {{ms:.4f}} ms  {{fl/ms/1e9:.1f}} TF/s")
 def main():
     print("== causal bf16 S=8192 decomposition (BH=16 d=64) ==", flush=True)
     timed({}, True, 1024, 1024, 2, "1. causal tri, mask always (baseline)")
-    timed({"FA_MASK_SKIP": "off"}, True, 1024, 1024, 2,
+    timed({"FA_MASK_SKIP": "unsafe_none"}, True, 1024, 1024, 2,
           "2. causal tri, mask OFF (timing-only, wrong diag)")
     timed({}, False, 1024, 1024, 2, "3. non-causal, same blocks (64 pairs)")
     timed({}, False, 1024, 2048, 4, "4. non-causal, bkv=2048 (reference rate)")

@@ -65,7 +65,7 @@ def sweep(bh, s, d, dtype, causal=False, configs=None):
         print(f"  BEST: {best[1]} -> {best[0]:.3f} ms  {fl/best[0]/1e9:.1f} TF/s")
 
 
-def pipeline_decomposition():
+def pipeline_decomposition(BH=128, S=2048, BQ=512, variants=None):
     """Cost decomposition of the d=128 Llama-7B-shape step (round 3).
 
     The tuned kernel runs 1.92 ms (143 TF/s, 73% peak) at BH=128, S=2048,
@@ -84,8 +84,9 @@ def pipeline_decomposition():
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    BH, S, D, BQ = 128, 2048, 128, 512
+    D = 128
     nq = S // BQ
+    print(f"== pipeline decomposition BH={BH} S={S} d=128 bq={BQ} ==", flush=True)
 
     def build(variant):
         def kernel(q_ref, k_ref, v_ref, o_ref):
@@ -195,7 +196,7 @@ def pipeline_decomposition():
     ks = jax.random.split(jax.random.key(0), 3)
     q, k, v = (make_random(kk, (BH, S, D), jnp.bfloat16) for kk in ks)
     fl = attention_flops(BH, S, S, D)
-    for variant in ("skeleton", "exp", "maxexp", "full", "scratch", "split2"):
+    for variant in (variants or ("skeleton", "exp", "maxexp", "full", "scratch", "split2")):
         fn = build(variant)
         ms = devtime_ms(fn, (q, k, v))
         print(
@@ -231,6 +232,13 @@ def main():
         )
     elif which == "pipeline":
         pipeline_decomposition()
+    elif which == "pipeline2":
+        # Round 5 (VERDICT r4 #8): confirm the ~154 TF/s d=128 shape ceiling
+        # at a second shape (S=4096, BH=64) and a second block schedule —
+        # the Llama-7B ceiling_frac claim rests on it transferring.
+        pipeline_decomposition(64, 4096, 512, variants=("skeleton", "full"))
+        pipeline_decomposition(64, 4096, 1024, variants=("skeleton", "full"))
+        pipeline_decomposition(128, 2048, 1024, variants=("skeleton", "full"))
     else:
         raise SystemExit(f"unknown probe {which!r}")
 
