@@ -18,22 +18,95 @@ per-call wall clock on a tunneled TPU is dominated by network round trips).
 """
 
 import json
+import os
+import subprocess
+import sys
+import threading
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from flashattention_tpu.ops.decode import paged_attention
-from flashattention_tpu.ops.flash import flash_attention
-from flashattention_tpu.utils.benchit import attention_flops, devtime_ms
-from flashattention_tpu.utils.testing import make_random
+# Persistent compilation cache (round 5): the tunneled-TPU compile path is
+# the slow part of every bench run (10s for a small kernel, minutes for the
+# S=8192 grids); cached executables cut reruns to <1s and make the bench
+# robust to mid-run restarts.  setdefault: callers can redirect/disable.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_MS = 119.0  # reference "Ours" on RTX 3060, README.md:11
 B, H, D, S = 2, 8, 64, 8192
-DTYPE = jnp.float32  # the reference benchmarks FP32
+METRIC = f"fwd_attention_latency_B{B}_H{H}_d{D}_S{S}_fp32"
+
+# --- Dead-chip fail-fast (round 5; VERDICT #2d) ---------------------------
+# Three rounds, three tunnel outages, and round 4's official artifact was a
+# bare rc=124 because the bench hung on a compute-dead chip.  The reference
+# never records a blank (/root/reference/README.md:11-14); neither do we:
+# (1) a tiny compute probe in a SUBPROCESS with a hard deadline runs before
+#     anything imports jax in this process — a hung tunnel kills the child,
+#     not the bench — and failure emits a structured JSON line;
+# (2) a watchdog thread bounds the whole run, so a chip that dies MID-bench
+#     still yields a parseable artifact instead of the driver's timeout.
+
+
+def _emit_error(kind: str, detail: str) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": METRIC,
+                "value": None,
+                "unit": "ms",
+                "vs_baseline": None,
+                "error": kind,
+                "detail": detail,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _tpu_probe(deadline_s: float = 75.0) -> str | None:
+    """Returns None if a trivial matmul completes on-device in time."""
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((256, 256), jnp.bfloat16);"
+        "print(float((x @ x).sum()))"
+    )
+    if os.environ.get("FA_BENCH_FAKE_DEAD"):  # outage drill (tests/CI)
+        code = "import time; time.sleep(3600)"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=deadline_s,
+            capture_output=True,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return f"compute probe exceeded {deadline_s:.0f}s deadline"
+    if r.returncode != 0:
+        return f"compute probe rc={r.returncode}: {r.stderr.strip()[-300:]}"
+    return None
+
+
+def _start_watchdog(seconds: float) -> None:
+    def fire():
+        _emit_error(
+            "bench_deadline_exceeded",
+            f"bench did not finish within {seconds:.0f}s (chip died mid-run?)",
+        )
+        os._exit(0)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
 
 
 def _decode_tokens_per_s(b=8, kvh=8, g=4, d=128, s=2048, ps=256, kv="bf16"):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flashattention_tpu.ops.decode import paged_attention
+    from flashattention_tpu.utils.benchit import devtime_ms
+    from flashattention_tpu.utils.testing import make_random
+
     """Paged-decode tokens/s (the serving north-star metric).
 
     kv="int8" uses int8 payload pools with per-token scales and the
@@ -64,6 +137,23 @@ def _decode_tokens_per_s(b=8, kvh=8, g=4, d=128, s=2048, ps=256, kv="bf16"):
 
 
 def main():
+    # Fail-fast gate BEFORE importing jax here: a dead tunnel must produce a
+    # structured JSON artifact, never a driver-side timeout (VERDICT r4 #2).
+    reason = _tpu_probe(float(os.environ.get("FA_BENCH_PROBE_DEADLINE_S", 75)))
+    if reason is not None:
+        _emit_error("tpu_unreachable", reason)
+        return
+    _start_watchdog(float(os.environ.get("FA_BENCH_DEADLINE_S", 1500)))
+
+    import jax
+    import jax.numpy as jnp
+
+    from flashattention_tpu.ops.flash import flash_attention
+    from flashattention_tpu.utils.benchit import attention_flops, devtime_ms
+    from flashattention_tpu.utils.testing import make_random
+
+    DTYPE = jnp.float32  # the reference benchmarks FP32
+
     # Compiled-kernel differential gate (round 3; VERDICT #9): the pytest
     # suite exercises the interpreter on CPU; this re-runs the same
     # kernel-vs-oracle checks through the Mosaic compiler at the strict
@@ -86,9 +176,14 @@ def main():
         lambda q, k, v: flash_attention(q, k, v, precision="bf16"), (q, k, v)
     )
     qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
-    ms_bf16 = devtime_ms(
-        lambda q, k, v: flash_attention(q, k, v), (qb, kb, vb)
-    )
+    # 3-run spread (round 5): cross-session chip-state drift measured up to
+    # 3.7% on this row (measurements/BF16_D64_RECONCILIATION.md); every
+    # recorded number carries its own error bar.
+    bf16_runs = [
+        devtime_ms(lambda q, k, v: flash_attention(q, k, v), (qb, kb, vb))
+        for _ in range(3)
+    ]
+    ms_bf16 = min(bf16_runs)
     ms_causal_bf16 = devtime_ms(
         lambda q, k, v: flash_attention(q, k, v, causal=True), (qb, kb, vb)
     )
@@ -109,7 +204,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"fwd_attention_latency_B{B}_H{H}_d{D}_S{S}_fp32",
+                "metric": METRIC,
                 "value": round(ms, 3),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / ms, 2),
@@ -117,6 +212,7 @@ def main():
                 "fp32_fast_ms": round(ms_fast, 3),
                 "fp32_fast_tflops_per_s": round(flops / ms_fast / 1e9, 1),
                 "bf16_ms": round(ms_bf16, 3),
+                "bf16_ms_spread": [round(x, 3) for x in bf16_runs],
                 "bf16_tflops_per_s": round(flops / ms_bf16 / 1e9, 1),
                 "causal_bf16_ms": round(min(causal_runs), 3),
                 "causal_bf16_ms_spread": [round(x, 3) for x in causal_runs],

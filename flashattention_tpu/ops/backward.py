@@ -600,38 +600,59 @@ def flash_attention_bwd(
     if block_sizes is None:
         # The backward kernels live with ~4 score-sized (bq x bkv) fp32 tiles
         # (s, p, dp, ds) at once plus (bkv, d) dk/dv scratch, so the forward's
-        # tuned 2048-wide KV blocks blow the VMEM budget.  1024x1024 wins the
-        # round-4 sweep at EVERY (dtype, head_dim) once measured uncontended
-        # (scripts/tune_bwd.py [--split]; measurements/tune_bwd_split.txt +
-        # tune_bwd_split_d64_clean.txt — the first sweep's per-dtype winners
-        # were chip-contention noise):
-        #   bf16 d=128: 0.910 ms / 188.8 TF/s @ split=4 (vs 0.985 @ split=1)
-        #   bf16 d=64:  0.734 ms / 117.0 TF/s @ split=2 (vs 0.768 @ split=1)
-        #   fp32 d=128: 3.003 ms /  57.2 TF/s @ split=1 (splits lose)
-        #   fp32 d=64:  1.877 ms /  45.8 TF/s @ split=1 (old 1024/512: 41.6)
-        # acc_split (_csplit independent accumulation chains) pays only on
-        # the single-pass bf16 matmuls; the lane-packed fp32 path already
-        # breaks each accumulation into 2 hi/lo passes, and further splits
-        # just add VPU tile sums.
+        # tuned 2048-wide KV blocks blow the VMEM budget.  Defaults re-swept
+        # HONESTLY in round 5 (measurements/tune_bwd_r5.txt): every round-4
+        # number timed the dq kernel alone — the `...[0]` timing lambda let
+        # XLA dead-code-eliminate the dkv pallas_call (fixed in
+        # scripts/tune_bwd.py) — so the old records (45.8/117/57.2/188.8
+        # TF/s) were ~2x optimistic AND picked wrong winners.  True sweep:
+        #   bf16 d=64:  512/1024 @ split=2 -> 1.965 ms  43.7 TF/s
+        #   bf16 d=128: 1024/1024 @ split=1 -> 2.564 ms  67.0 TF/s
+        #   fp32 d=64:  1024/1024 @ split=1 -> 3.761 ms  22.8 TF/s
+        #   fp32 d=128: 512/512  @ split=1 -> 6.442 ms  26.7 TF/s
+        # acc_split (_csplit independent accumulation chains) only pays on
+        # the single-pass bf16 d=64 matmuls; the multi-pass fp32 emulations
+        # already break each accumulation into hi/lo passes, and further
+        # splits just add VPU tile sums.
         # causal=False below: fit()'s causal branch tunes the FORWARD tri
         # grid (block_q/bkv caps that lose here — the sweep above ran
         # causal); block_h/pv_split are forward-tuned, so both come from the
         # backward sweep instead.  Explicit block_sizes pass through
         # untouched.
-        if precision == "bf16":
-            acc_split = 4 if d >= 128 else 2
-        else:
-            acc_split = 1
+        if precision == "bf16" and d < 128:
+            acc_split, max_bq, max_bkv = 2, 512, 1024
+        elif precision == "bf16":
+            acc_split, max_bq, max_bkv = 1, 1024, 1024
+        elif d >= 128:  # fp32 multi-pass (bf16_3x)
+            acc_split, max_bq, max_bkv = 1, 512, 512
+        else:  # fp32 lane-packed
+            acc_split, max_bq, max_bkv = 1, 1024, 1024
         block_sizes = BlockSizes.fit(
             q_seq_len or s_q, s_kv, d, precision, False,
-            max_block_q=1024, max_block_kv=1024,
+            max_block_q=max_bq, max_block_kv=max_bkv,
         )
-        if block_sizes.block_kv_compute % (acc_split * 128):
-            acc_split = 1  # tiny kv blocks: nothing to split
+        if (
+            block_sizes.block_kv_compute % (acc_split * 128)
+            or block_sizes.block_q % (acc_split * 128)
+        ):
+            acc_split = 1  # tiny blocks on either split axis: nothing to split
         block_sizes = BlockSizes(
             block_sizes.block_q, block_sizes.block_kv,
             block_sizes.block_kv_compute, 1, acc_split,
         )
+    # acc_split rides BlockSizes.pv_split (documented overload, round-4/5
+    # advisor finding): the backward has no PV matmul, so the field names the
+    # contraction-split knob of whichever pass owns it — forward PV there,
+    # dQ/dK/dV accumulation chains here.  tune_bwd.py sweeps it explicitly.
+    # Gate on BOTH split axes (advisor r4: the dq kernels split block_kv, the
+    # dkv kernels split block_q; guarding only one could leave them split
+    # differently / drop into an unmeasured sub-128 chunk regime).
+    acc_split = block_sizes.pv_split
+    if (
+        block_sizes.block_kv_compute % (acc_split * 128)
+        or block_sizes.block_q % (acc_split * 128)
+    ):
+        acc_split = 1
     bq, bkv = block_sizes.block_q, block_sizes.block_kv
     if s_q % bq or s_kv % bkv:
         raise ValueError(
@@ -824,7 +845,7 @@ def flash_attention_bwd(
             bm_mask_fn=block_mask.mask_fn if bm else None,
             bm_element_mask=bm and block_mask.needs_element_mask,
             bm_num_kv=num_kv if bm else None,
-            acc_split=block_sizes.pv_split,
+            acc_split=acc_split,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -878,7 +899,7 @@ def flash_attention_bwd(
             bm_mask_fn=block_mask.mask_fn if bm else None,
             bm_element_mask=bm and block_mask.needs_element_mask,
             bm_num_kv=num_kv if bm else None,
-            acc_split=block_sizes.pv_split,
+            acc_split=acc_split,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

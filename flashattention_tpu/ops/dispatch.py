@@ -240,13 +240,24 @@ def attention(
     elif implementation == "pallas":
         if block_sizes is None:
             if block_mask is not None:
+                # Block geometry is the mask's; pv_split follows the same
+                # non-causal default as fit() (round 5: the bm grid is the
+                # tri grid's generalization, same serial-PV bottleneck).
                 block_sizes = BlockSizes(
-                    block_mask.block_q, block_mask.block_kv, block_mask.block_kv
+                    block_mask.block_q, block_mask.block_kv,
+                    block_mask.block_kv, 1,
+                    4 if block_mask.block_kv % (4 * 128) == 0 else 1,
                 )
             else:
                 block_sizes = BlockSizes.fit(
                     _round_up(s_q, 128), _round_up(s_kv, 128), d,
                     resolve_precision(precision, q3.dtype), causal,
+                    # Mirror flash_attention's internal fit: head batching
+                    # only for plain (unfolded) layouts (round 5 — without
+                    # this the dispatch path never saw block_h or the
+                    # small-packed fp32 regime, measurements/
+                    # probe_small_fp32.txt's 15% "fit() mis-tune").
+                    n_heads=bh if groups == 1 else None,
                 )
         bq, bkv = block_sizes.block_q, block_sizes.block_kv
         s_q_pad = _round_up(s_q, bq)

@@ -78,8 +78,27 @@ import os as _os
 # Masking strategy for tiles that may straddle the causal diagonal /
 # window / kv_len boundary: "always" applies the (vector-scalar) mask
 # unconditionally; "cond" branches around it at runtime — measured 2x
-# SLOWER on v5e (serializes the Mosaic pipeline), kept only for A/B.
+# SLOWER on v5e (serializes the Mosaic pipeline), kept only for A/B;
+# "unsafe_none" (round-4 advisor finding: the old name "off" read like
+# "disable mask-SKIPPING") drops the mask chain entirely — a TIMING-ONLY
+# probe mode that returns WRONG outputs on boundary tiles, guarded by a
+# loud warning below so it can never silently corrupt a production run.
 _MASK_SKIP_MODE = _os.environ.get("FA_MASK_SKIP", "always")
+if _MASK_SKIP_MODE == "off":  # old probe-mode name: refuse ambiguity
+    raise ValueError(
+        "FA_MASK_SKIP=off is ambiguous and was removed; use "
+        "FA_MASK_SKIP=unsafe_none (timing-only, WRONG results on boundary "
+        "tiles) or unset it for correct masking"
+    )
+if _MASK_SKIP_MODE == "unsafe_none":
+    import warnings as _warnings
+
+    _warnings.warn(
+        "FA_MASK_SKIP=unsafe_none: causal/kv_len masking DISABLED — "
+        "outputs on boundary tiles are WRONG.  Timing probes only "
+        "(scripts/probe_causal.py).",
+        stacklevel=1,
+    )
 
 __all__ = [
     "BlockSizes",
@@ -226,7 +245,7 @@ class BlockSizes:
         head_dim: int,
         precision: str = "bf16",
         causal: bool = False,
-        max_block_q: int = 1024,
+        max_block_q: int | None = None,
         max_block_kv: int = 2048,
         n_heads: int | None = None,
     ) -> "BlockSizes":
@@ -247,7 +266,6 @@ class BlockSizes:
         more than it saves (measured v5e S=8192 bf16: 2.24 ms @ 1024/1024
         or 2048/1024-substripes, 3.2 ms @ x/512).
         """
-        del precision
         # PV contraction split (round 4): the PV output is a single 128-lane
         # tile for every d <= 128, and its serial accumulation chain is the
         # measured thin-shape MXU bottleneck (measurements/D128_CEILING.md).
@@ -256,6 +274,29 @@ class BlockSizes:
         # non-causal 3.57 -> 3.23 ms and causal 2.22 -> 2.18 ms
         # (measurements/probe_pvsplit_d64.txt).
         pv_split = 2 if causal else 4
+        auto_bq = max_block_q is None
+        if auto_bq:
+            max_block_q = 1024
+        # Small-shape lane-packed fp32 regime (round 5; VERDICT r4 #3): the
+        # round-4 sweep (measurements/probe_small_fp32.txt) measured
+        # bq=512/block_h=8/split=4 at 1.285 ms vs auto's 1.52 on the
+        # reference's BH=128 S=1024 d=64 fp32 shape — halving block_q while
+        # doubling the head fold keeps the same VMEM working set but shortens
+        # the per-step serial chains of the 2-pass packed matmuls.  Gated on
+        # n_heads (the forward dispatch path; the backward tunes its own
+        # blocks and never passes n_heads).  d=64 only: the same sweep shows
+        # d=32 preferring the full bq=1024 (1.071 ms vs 1.148 at bq=512) —
+        # its packed matmuls are half as deep, so chain length never binds.
+        small_packed = (
+            precision == "bf16_3x"  # the measured (lane-packed) mode only
+            and not causal
+            and head_dim == 64
+            and s_q <= 1024
+            and n_heads is not None
+            and n_heads % 8 == 0
+        )
+        if small_packed:
+            max_block_q = min(max_block_q, 512)
         if head_dim >= 128:
             if causal:
                 # Tri-grid sweeps found bq=512 best with the diagonal mix of
@@ -265,6 +306,21 @@ class BlockSizes:
                 # bq=1024 + the 4-way split beats every bq=512 config
                 # (1.824 vs 1.95-2.02 ms at the Llama-7B shape).
                 max_block_q = min(max_block_q, 1024)
+        elif (
+            precision == "bf16"
+            and not causal
+            and head_dim == 64
+            and s_q >= 8192
+            and auto_bq  # caller didn't constrain it
+        ):
+            # Long-S bf16 d=64 rect grid (round 5; VERDICT r4 #5): the
+            # geometry sweep (measurements/probe_causal_geom.txt) measured
+            # bq=2048 bkv=2048 split4 at 3.139 ms (87.6 TF/s, ceiling_frac
+            # 0.89) vs the old bq=1024/bkv=2048 fit at 3.34-3.39 — doubling
+            # block_q halves the per-q-block pipeline/bookkeeping cost.  The
+            # tri grid measured the OPPOSITE (causal bq2048: 2.28 vs 2.17),
+            # so causal keeps bq<=1024.
+            max_block_q = 2048
 
         def largest_dividing(s, cap):
             # Largest MIN_BLOCK multiple <= cap dividing s (halving could land
@@ -289,7 +345,12 @@ class BlockSizes:
             # double-buffering + scratch) stays well under the 96 MB VMEM
             # budget at the shapes that trigger it (S <= ~2048).
             steps = -(-s_q // block_q) * -(-s_kv // block_kv)
-            if steps <= 2:
+            if small_packed and steps <= 2:
+                # Measured winner keeps the full 8-head fold even at 2 grid
+                # steps per head (probe_small_fp32.txt: bq512/bh8 1.285 ms
+                # vs bq1024/bh4 1.314, bq1024/bh8 1.459).
+                block_h = 8
+            elif steps <= 2:
                 cap = 8 // steps
                 while cap > 1 and n_heads % cap:
                     cap -= 1
@@ -337,6 +398,7 @@ class BlockMask:
     last_kj: tuple[int, ...]   # per q block: last live kj (epilogue trigger)
     needs_element_mask: bool   # any live pair only partially live?
     mask_fn: Any               # (q_pos, kv_pos) int arrays -> bool array
+    element_live_fraction: float = 1.0  # live ELEMENTS / (s_q * s_kv)
 
     @classmethod
     def from_mask_fn(
@@ -345,8 +407,8 @@ class BlockMask:
         s_q: int,
         s_kv: int,
         *,
-        block_q: int = 512,
-        block_kv: int = 512,
+        block_q: int = 1024,
+        block_kv: int = 1024,
     ) -> "BlockMask":
         """Classify every (q, kv) block of ``mask_fn`` as dead/full/partial.
 
@@ -369,6 +431,7 @@ class BlockMask:
         first_kj = [-1] * nq
         last_kj = [0] * nq
         needs_element_mask = False
+        n_live_elements = 0
         for i in range(nq):
             rows = np.arange(i * block_q, (i + 1) * block_q)[:, None]
             row_live = np.zeros(block_q, bool)
@@ -388,6 +451,7 @@ class BlockMask:
                     first_kj[i] = j
                 last_kj[i] = j
                 row_live |= m.any(axis=1)
+                n_live_elements += int(m.sum())
                 if not m.all():
                     needs_element_mask = True
             if not row_live.all():
@@ -407,6 +471,7 @@ class BlockMask:
             last_kj=tuple(last_kj),
             needs_element_mask=needs_element_mask,
             mask_fn=mask_fn,
+            element_live_fraction=n_live_elements / (s_q * s_kv),
         )
 
     @property
@@ -417,6 +482,19 @@ class BlockMask:
     def live_fraction(self) -> float:
         """Fraction of the dense block grid the kernel actually executes."""
         return self.num_pairs / ((self.s_q // self.block_q) * (self.s_kv // self.block_kv))
+
+    @property
+    def occupancy(self) -> float:
+        """Live elements / executed elements (1.0 = no partial-block waste).
+
+        Round 5 (VERDICT r4 #4): honest live-FLOPs accounting.  The kernel
+        executes ``live_fraction`` of the dense grid, but only
+        ``element_live_fraction`` of the dense SCORES are live — the gap is
+        masked work inside partial blocks.  Efficiency on live flops can
+        never exceed ``occupancy`` times the executed-rate efficiency, so
+        bench rows report both.
+        """
+        return self.element_live_fraction / max(self.live_fraction, 1e-12)
 
 
 def dropout_keep_mask(seed, bh_idx, row_start, col_start, shape, rate: float):
@@ -757,7 +835,7 @@ def _kernel(
                         mask = len_mask if mask is None else (mask & len_mask)
                     return jnp.where(mask, s, DEFAULT_MASK_VALUE)
 
-                if _MASK_SKIP_MODE == "off":
+                if _MASK_SKIP_MODE == "unsafe_none":
                     # TIMING-ONLY probe mode (scripts/probe_causal.py):
                     # skips the mask chain entirely, so diagonal tiles give
                     # WRONG results.  Isolates the vector-scalar mask's VPU
@@ -1175,8 +1253,11 @@ def _flash_attention(
                 f"{block_mask.s_kv}) but inputs are ({s_q}, {s_kv})"
             )
         if block_sizes is None:
+            # pv_split follows the non-causal fit() default (round 5): the
+            # bm grid generalizes the tri grid, same serial-PV bottleneck.
             block_sizes = BlockSizes(
-                block_mask.block_q, block_mask.block_kv, block_mask.block_kv
+                block_mask.block_q, block_mask.block_kv, block_mask.block_kv,
+                1, 4 if block_mask.block_kv % (4 * MIN_BLOCK) == 0 else 1,
             )
         elif (
             block_sizes.block_q != block_mask.block_q

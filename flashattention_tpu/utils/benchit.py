@@ -16,7 +16,16 @@ import time
 
 import jax
 
-__all__ = ["benchmark", "devtime_ms", "BenchResult", "attention_flops", "roofline"]
+__all__ = [
+    "benchmark",
+    "devtime_ms",
+    "BenchResult",
+    "attention_flops",
+    "roofline",
+    "attention_ceiling_tflops",
+    "attention_bwd_ceiling_tflops",
+    "measured_hbm_gbps",
+]
 
 
 # Peak specs per chip generation (bf16 matmul TFLOP/s, HBM GB/s). Used only
@@ -222,3 +231,98 @@ def attention_ceiling_tflops(d: int, precision: str = "bf16") -> float | None:
         peak32 = chip_peak(32)
         return peak32[0] * min(1.0, d / 128) if peak32 else None
     return None
+
+
+def attention_bwd_ceiling_tflops(
+    d: int,
+    precision: str = "bf16",
+    *,
+    s: int = 4096,
+    block: int = 1024,
+    causal: bool = True,
+    two_pass: bool = True,
+) -> float | None:
+    """NOMINAL-TF/s ceiling for the flash backward at head_dim d.
+
+    Round 5 (VERDICT r4 #2a): the round-4 bwd rows divided nominal flops by
+    the FORWARD's shape ceiling and read ceiling_frac 1.2 — two separate
+    accounting errors, both fixed here:
+
+    1. **Nominal vs machine flops.** The convention credits the backward
+       2.5x the forward (5 block matmuls: S, dP, dV, dQ, dK), but the
+       two-pass scheme EXECUTES 7 (the dq pass and the dkv pass each
+       recompute S and dP).  A nominal ceiling must charge for the machine's
+       7.
+    2. **Causal nominal undercount.**  Nominal causal flops are dense/2, but
+       the block grid executes every at/below-diagonal pair: with n = s/block
+       q blocks the live fraction is (n+1)/(2n) of dense (0.625 at n=4), not
+       0.5.  The machine does that work; the nominal rate never sees it.
+
+    Per-matmul effective rate: the same pass model as
+    :func:`attention_ceiling_tflops` (d/128-useful passes; lane-packed fp32
+    = 2 full-width passes per logical matmul -> peak * d/256).  At d=128 the
+    forward's measured 0.78 v5e thin-shape factor does NOT transfer — it was
+    measured on the forward's (K=d, N=d) mix, while the backward mix is 4x
+    K=128 contractions (XLA alone measures ~168 TF/s there,
+    measurements/D128_CEILING.md) + 3x N=128 — so the per-matmul bound is
+    the nameplate (a true upper bound; a measured bwd-skeleton refinement
+    would only lower it).
+
+    ceiling = per_mm * (5 * c) / (n_mm * live),  c = 1/2 if causal else 1.
+    """
+    peak = chip_peak(16)
+    if peak is None:
+        return None
+    if precision == "bf16":
+        per_mm = peak[0] * min(1.0, d / 128)
+    elif precision in ("bf16_3x", "packed"):
+        if 2 * d <= 128:
+            # Lane-packed backward: every logical matmul is 2 full-width
+            # passes (_packed_nt / _packed_fold); the 4d<=128 1-pass fusion
+            # only applies to the two d-contractions, ignored here (upper
+            # bound stays valid).
+            per_mm = peak[0] * d / 256
+        else:
+            per_mm = peak[0] * min(1.0, d / 128) / 3  # bf16_3x: 3 passes
+    elif precision == "float32":
+        peak32 = chip_peak(32)
+        per_mm = peak32[0] * min(1.0, d / 128) if peak32 else None
+    else:
+        return None
+    if per_mm is None:
+        return None
+    n_mm = 7 if two_pass else 5
+    if causal:
+        n = max(1, s // block)
+        live = (n + 1) / (2 * n)
+        c = 0.5
+    else:
+        live = 1.0
+        c = 1.0
+    return per_mm * (5 * c) / (n_mm * live)
+
+
+def measured_hbm_gbps(*, refresh: bool = False) -> float | None:
+    """Measured (not spec-sheet) HBM copy bandwidth of the local chip.
+
+    Round 5 (VERDICT r4 #2b): the decode bf16 row read hbm_frac 1.094
+    against the 819 GB/s v5e spec constant — a "bound" the hardware
+    demonstrably beats is not a bound.  This measures a big streaming
+    copy (read + write counted) once per process and caches it; decode
+    rows report against max(spec, measured).
+    """
+    global _MEASURED_HBM
+    if _MEASURED_HBM is not None and not refresh:
+        return _MEASURED_HBM
+    if jax.default_backend() != "tpu":
+        return None
+    import jax.numpy as jnp
+
+    n = 256 * 1024 * 1024  # 512 MB in bf16: far beyond any cache
+    x = jnp.ones((n,), jnp.bfloat16)
+    ms = devtime_ms(lambda x: x + jnp.bfloat16(1.0), (x,), n_hi=33)
+    _MEASURED_HBM = 2 * n * 2 / ms / 1e6  # read + write, GB/s
+    return _MEASURED_HBM
+
+
+_MEASURED_HBM: float | None = None

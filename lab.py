@@ -103,9 +103,70 @@ def build(kernel_num, causal, scale, blocks, kq=None, vq=None):
     raise SystemExit(f"unknown kernel {kernel_num}; choose 1-7")
 
 
+def run_rung(args, kernel_num, q, k, v, golden, flops, sweep_blocks=True):
+    """Validate + bench one ladder rung; returns True iff every config passed."""
+    kq = vq = None
+    if kernel_num in (5, 6):
+        kq, vq = quantize_kv(k, v, "int8" if kernel_num == 5 else "fp8")
+    dtype = q.dtype
+    # int8 / bf16 paths get the reference's public-gate tolerance; fp32 dense
+    # kernels get the kernel-lab 1e-4 gate (~ attention_forward.cu:1262).
+    if kernel_num == 6:
+        tol = 2e-1  # e4m3: 3 mantissa bits ~6% relative
+    elif kernel_num == 7:
+        tol = 5e-2  # jax's kernel runs 1-pass bf16 matmuls on fp32 inputs
+    elif dtype == jnp.float32 and kernel_num != 5:
+        tol = 1e-4
+    else:
+        tol = 5e-2
+
+    if sweep_blocks and kernel_num in (4, 5, 6):
+        sweeps = [
+            b
+            for b in BLOCK_CONFIGS
+            if args.seq_len % b.block_q == 0 and args.seq_len % b.block_kv == 0
+        ]
+        if not sweeps:
+            raise SystemExit(
+                f"no block config divides seq_len={args.seq_len}; "
+                "use a multiple of 128"
+            )
+    else:
+        sweeps = [None]  # rung 4-6 under --all: the library's auto-fit config
+    ok = True
+    for blocks in sweeps:
+        fn = build(kernel_num, args.masking, args.scale, blocks, kq, vq)
+        out = jax.jit(fn)(q, k, v)
+        err = max_abs_err(out.astype(jnp.float32), golden)
+        status = "OK" if err <= tol else "FAIL"
+        ms = devtime_ms(fn, (q, k, v))
+        print(
+            json.dumps(
+                {
+                    "kernel": kernel_num,
+                    "blocks": str(blocks) if blocks else "auto",
+                    "max_abs_err": float(err),
+                    "tol": tol,
+                    "valid": status,
+                    "ms": round(ms, 3),
+                    "tflops_per_s": round(flops / ms / 1e9, 2),
+                }
+            ),
+            flush=True,
+        )
+        ok = ok and status == "OK"
+    return ok
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("kernel_num", type=int, nargs="?", default=4)
+    p.add_argument(
+        "--all",
+        action="store_true",
+        help="run every ladder rung 1-7 at this config, one JSON line each "
+        "(~ llm.c's all-kernel sweep, attention_forward.cu:1253-1288)",
+    )
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--n_head", type=int, default=16)
     p.add_argument("--seq_len", type=int, default=1024)
@@ -119,56 +180,20 @@ def main():
     bh = args.batch * args.n_head
     ks = jax.random.split(jax.random.key(0), 3)
     q, k, v = (make_random(kk, (bh, args.seq_len, args.d), dtype) for kk in ks)
-    kq = vq = None
-    if args.kernel_num in (5, 6):
-        kq, vq = quantize_kv(k, v, "int8" if args.kernel_num == 5 else "fp8")
 
     golden = attention_reference(q, k, v, causal=args.masking, scale=args.scale)
     flops = attention_flops(bh, args.seq_len, args.seq_len, args.d, causal=args.masking)
-    # int8 / bf16 paths get the reference's public-gate tolerance; fp32 dense
-    # kernels get the kernel-lab 1e-4 gate (~ attention_forward.cu:1262).
-    if args.kernel_num == 6:
-        tol = 2e-1  # e4m3: 3 mantissa bits ~6% relative
-    elif args.kernel_num == 7:
-        tol = 5e-2  # jax's kernel runs 1-pass bf16 matmuls on fp32 inputs
-    elif dtype == jnp.float32 and args.kernel_num != 5:
-        tol = 1e-4
-    else:
-        tol = 5e-2
 
-    sweeps = BLOCK_CONFIGS if args.kernel_num in (4, 5, 6) else [None]
-    sweeps = [
-        b
-        for b in sweeps
-        if b is None
-        or (args.seq_len % b.block_q == 0 and args.seq_len % b.block_kv == 0)
-    ]
-    if not sweeps:
-        raise SystemExit(
-            f"no block config divides seq_len={args.seq_len}; "
-            "use a multiple of 128"
+    if args.all:
+        ok = all(
+            # One validated JSON line per rung at the library's auto-fit
+            # blocks (the comparative artifact VERDICT r4 #7 asked for).
+            [run_rung(args, kn, q, k, v, golden, flops, sweep_blocks=False)
+             for kn in range(1, 8)]
         )
-    for blocks in sweeps:
-        fn = build(args.kernel_num, args.masking, args.scale, blocks, kq, vq)
-        out = jax.jit(fn)(q, k, v)
-        err = max_abs_err(out.astype(jnp.float32), golden)
-        status = "OK" if err <= tol else "FAIL"
-        ms = devtime_ms(fn, (q, k, v))
-        print(
-            json.dumps(
-                {
-                    "kernel": args.kernel_num,
-                    "blocks": str(blocks) if blocks else "-",
-                    "max_abs_err": float(err),
-                    "tol": tol,
-                    "valid": status,
-                    "ms": round(ms, 3),
-                    "tflops_per_s": round(flops / ms / 1e9, 2),
-                }
-            )
-        )
-        if status == "FAIL":
-            sys.exit(1)
+        sys.exit(0 if ok else 1)
+    if not run_rung(args, args.kernel_num, q, k, v, golden, flops):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -40,9 +40,16 @@ def sweep(bh, s, d, dtype, splits=(1,), blocks=None):
         blocks = list(itertools.product((256, 512, 1024), (256, 512, 1024)))
     for (bq, bkv), sp in itertools.product(blocks, splits):
         bs = BlockSizes(bq, bkv, bkv, 1, sp)
-        f = lambda q, k, v, o, lse, do, bs=bs: flash_attention_bwd(
-            q, k, v, o, lse, do, causal=True, block_sizes=bs
-        )[0]
+
+        # NB (round 5): `...[0]` here let XLA dead-code-eliminate the dk/dv
+        # pallas_call inside the jitted timing loop — the round-4 sweeps
+        # timed the dq kernel only.  Sum all three gradients into the chain.
+        def f(q, k, v, o, lse, do, bs=bs):
+            dq, dk, dv = flash_attention_bwd(
+                q, k, v, o, lse, do, causal=True, block_sizes=bs
+            )
+            return (dq + dk + dv).astype(q.dtype)
+
         try:
             ms = devtime_ms(f, (q, k, v, o, lse, do), n_hi=5)
         except Exception as e:  # noqa: BLE001
@@ -64,6 +71,16 @@ def main():
     # --split: focused acc_split sweep on the per-(dtype, d) winning blocks
     # from the full round-4 sweep (measurements/tune_bwd.txt) — the _csplit
     # independent-chain question is orthogonal to the block-shape one.
+    if "--r5" in sys.argv:
+        # Round-5 re-tune: every round-4 number was dq-only (the [0] DCE bug
+        # fixed above), so the recorded bests are untrustworthy.  Full
+        # honest re-sweep over the credible grid (256-blocks never won).
+        blocks = list(itertools.product((512, 1024), (512, 1024)))
+        sweep(16, 4096, 64, jnp.float32, splits=(1, 2), blocks=blocks)
+        sweep(16, 4096, 64, jnp.bfloat16, splits=(1, 2), blocks=blocks)
+        sweep(64, 2048, 128, jnp.float32, splits=(1, 2), blocks=blocks)
+        sweep(64, 2048, 128, jnp.bfloat16, splits=(1, 2), blocks=blocks)
+        return
     if "--split" in sys.argv:
         # Winning block shapes from measurements/tune_bwd.txt, plus the
         # runner-up with the larger contraction (more to split).

@@ -38,28 +38,36 @@ def test_grads_match_autodiff(causal, scale):
         validate_result(a, b, TOL, name=f"d{name}")
 
 
+@pytest.mark.parametrize("split", [2, 4])
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-def test_bwd_acc_split_parity(dtype):
+def test_bwd_acc_split_parity(dtype, split):
     # acc_split (round 4): splitting the dQ/dK/dV accumulation chains into
     # independent partial sums must be numerically benign — same split-level
-    # tolerance story as the forward's pv_split.
+    # tolerance story as the forward's pv_split.  fp32 inputs resolve to the
+    # lane-packed path, so the fp32 x split>1 cases cover the
+    # _csplit + _packed_fold combination (round-4 advisor finding); the bf16
+    # cases cover the unpacked _dot_g combination.
     from flashattention_tpu.ops.flash import flash_attention
 
     ks = jax.random.split(jax.random.key(7), 4)
-    q, k, v, do = (make_random(kk, (2, 256, 64), dtype) for kk in ks)
+    q, k, v, do = (make_random(kk, (2, 512, 64), dtype) for kk in ks)
+    blocks = BlockSizes(256, 256, 256)
     o, l, m = flash_attention(
-        q, k, v, causal=True, save_residuals=True, block_sizes=BLOCKS
+        q, k, v, causal=True, save_residuals=True, block_sizes=blocks
     )
     lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
     ref = flash_attention_bwd(
-        q, k, v, o, lse, do, causal=True, block_sizes=BLOCKS
+        q, k, v, o, lse, do, causal=True, block_sizes=blocks
     )
-    split = flash_attention_bwd(
-        q, k, v, o, lse, do, causal=True,
-        block_sizes=BlockSizes(256, 256, 256, 1, 2),
+    # Block shape must admit the split on BOTH axes (the dq kernels split
+    # block_kv, the dkv kernels split block_q — advisor r4 finding).
+    b = 128 * split
+    split_bs = BlockSizes(b, b, b, 1, split)
+    out = flash_attention_bwd(
+        q, k, v, o, lse, do, causal=True, block_sizes=split_bs
     )
     tol = TOL if dtype == jnp.float32 else 2e-2
-    for name, a, b in zip(("dq", "dk", "dv"), split, ref):
+    for name, a, b in zip(("dq", "dk", "dv"), out, ref):
         validate_result(a, b, tol, name=name)
 
 

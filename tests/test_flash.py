@@ -401,6 +401,20 @@ def test_block_h_fit_triggers_small_s_only():
     assert BlockSizes.fit(1024, 1024, 64, n_heads=13).block_h == 1
 
 
+def test_fit_small_packed_fp32_regime():
+    # Round 5 (VERDICT r4 #3): the lane-packed fp32 small-shape winner from
+    # measurements/probe_small_fp32.txt — bq=512 with the full 8-head fold —
+    # must be what fit() picks at the reference's BH=128 S=1024 d=64 shape.
+    bs = BlockSizes.fit(1024, 1024, 64, "bf16_3x", False, n_heads=128)
+    assert (bs.block_q, bs.block_h, bs.pv_split) == (512, 8, 4)
+    # d=32 measured the opposite (bq=1024 wins); bf16 and causal unaffected.
+    assert BlockSizes.fit(1024, 1024, 32, "bf16_3x", False, n_heads=128).block_q == 1024
+    assert BlockSizes.fit(1024, 1024, 64, "bf16", False, n_heads=128).block_q == 1024
+    assert BlockSizes.fit(1024, 1024, 64, "bf16_3x", True, n_heads=128).block_q == 1024
+    # the backward's fit calls never pass n_heads: untouched
+    assert BlockSizes.fit(1024, 1024, 64, "bf16_3x", False).block_q == 1024
+
+
 def test_block_h_must_divide_heads():
     q, k, v = qkv((6, 256, 64), seed=8)
     with pytest.raises(ValueError, match="block_h"):
