@@ -52,19 +52,29 @@ BLOCK_CONFIGS = [  # ~ llm.c's block_size sweep {32, 64, 128, 256, 512}
 
 def naive_xla(q, k, v, causal, scale):
     # Deliberately materializes the scores matrix (the llm.c v1 baseline).
-    s = jnp.einsum("bqd,bkd->bqk", q, k).astype(jnp.float32) * scale
-    if causal:
-        mask = jnp.tril(jnp.ones(s.shape[-2:], bool))
-        s = jnp.where(mask, s, -1e30)
-    p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bqk,bkd->bqd", p.astype(q.dtype), v)
+    # Operand-dtype-true matmuls (round 5): llm.c's v1/v3 baselines run true
+    # fp32 cuBLAS; on TPU the XLA default is a single bf16 MXU pass
+    # (err ~9e-3 — would fail the 1e-4 fp32 gate), so pin HIGHEST for fp32
+    # inputs.  bf16 inputs keep the native single pass.
+    prec = "highest" if q.dtype == jnp.float32 else "default"
+    with jax.default_matmul_precision(prec):
+        s = jnp.einsum("bqd,bkd->bqk", q, k).astype(jnp.float32) * scale
+        if causal:
+            mask = jnp.tril(jnp.ones(s.shape[-2:], bool))
+            s = jnp.where(mask, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bqk,bkd->bqd", p.astype(q.dtype), v)
 
 
 def xla_sdpa(q, k, v, causal, scale):
     # jax.nn.dot_product_attention wants (B, S, H, d); fold BH -> (BH, S, 1, d).
-    qe, ke, ve = (x[:, :, None, :] for x in (q, k, v))
-    o = jax.nn.dot_product_attention(qe, ke, ve, scale=scale, is_causal=causal)
-    return o[:, :, 0, :]
+    prec = "highest" if q.dtype == jnp.float32 else "default"
+    with jax.default_matmul_precision(prec):
+        qe, ke, ve = (x[:, :, None, :] for x in (q, k, v))
+        o = jax.nn.dot_product_attention(
+            qe, ke, ve, scale=scale, is_causal=causal
+        )
+        return o[:, :, 0, :]
 
 
 def build(kernel_num, causal, scale, blocks, kq=None, vq=None):

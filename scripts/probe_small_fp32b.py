@@ -87,7 +87,12 @@ def build(variant):
                 l = out[:, D : D + 1]
             if variant == "full":
                 acc = acc / jnp.where(l == 0.0, 1.0, l)
-            o_ref[h] = acc
+            if packed:
+                # devtime_ms chains the output through args[0] (the packed
+                # q), so the out block mirrors its (BQ, 2d) width.
+                o_ref[h] = jnp.concatenate([acc, acc], axis=-1)
+            else:
+                o_ref[h] = acc
 
     w = 2 * D + 1 if packed else D + 1
 
@@ -104,8 +109,12 @@ def build(variant):
                              lambda b, i: (b, 0, 0)),
                 pl.BlockSpec((BHF, S, w), lambda b, i: (b, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((BHF, BQ, D), lambda b, i: (b, i, 0)),
-            out_shape=jax.ShapeDtypeStruct((BH, S, D), jnp.float32),
+            out_specs=pl.BlockSpec(
+                (BHF, BQ, 2 * D if packed else D), lambda b, i: (b, i, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (BH, S, 2 * D if packed else D), jnp.float32
+            ),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary"),
                 vmem_limit_bytes=100 * 1024 * 1024,
