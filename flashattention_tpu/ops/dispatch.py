@@ -240,14 +240,7 @@ def attention(
     elif implementation == "pallas":
         if block_sizes is None:
             if block_mask is not None:
-                # Block geometry is the mask's; pv_split follows the same
-                # non-causal default as fit() (round 5: the bm grid is the
-                # tri grid's generalization, same serial-PV bottleneck).
-                block_sizes = BlockSizes(
-                    block_mask.block_q, block_mask.block_kv,
-                    block_mask.block_kv, 1,
-                    4 if block_mask.block_kv % (4 * 128) == 0 else 1,
-                )
+                block_sizes = BlockSizes.for_mask(block_mask, n_heads=bh)
             else:
                 block_sizes = BlockSizes.fit(
                     _round_up(s_q, 128), _round_up(s_kv, 128), d,

@@ -359,6 +359,37 @@ class BlockSizes:
             pv_split = 1  # tiny kv blocks: nothing to split
         return cls(block_q, block_kv, block_kv_compute, block_h, pv_split)
 
+    @classmethod
+    def for_mask(cls, block_mask, n_heads: int | None = None) -> "BlockSizes":
+        """Default blocks for a :class:`BlockMask` grid (round 5).
+
+        Geometry is the mask's; pv_split follows the non-causal fit()
+        default (the bm grid generalizes the tri grid — same serial-PV
+        bottleneck); block_h batches heads when the mask leaves per-head
+        rows SHALLOW (a band mask runs 2-3 grid steps per q block — the
+        pipeline-ramp regime head folding amortizes; the dense-grid
+        threshold in fit() is the same idea at steps <= 2).
+        """
+        bq, bkv = block_mask.block_q, block_mask.block_kv
+        # Measured on the S=8192 band grid (probe_bm_blockh.txt): split2
+        # beats split4 (1.371 vs 1.410 ms at block_h=4), matching the tri
+        # grid's split2 preference at the same 1024 geometry.
+        pv_split = 2 if bkv % (2 * MIN_BLOCK) == 0 else 1
+        block_h = 1
+        if n_heads is not None and n_heads > 1 and bq <= 1024:
+            steps = block_mask.num_pairs / max(
+                1, block_mask.s_q // bq
+            )  # mean live kv blocks per q row
+            if steps <= 4.0:
+                # Shallow rows: head folding amortizes the pipeline ramp
+                # (band w=1024: 1.487 -> 1.410 ms at block_h=4; block_h=8
+                # regresses to 1.434).
+                for cand in (4, 2):
+                    if n_heads % cand == 0:
+                        block_h = cand
+                        break
+        return cls(bq, bkv, bkv, block_h, pv_split)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -1253,21 +1284,15 @@ def _flash_attention(
                 f"{block_mask.s_kv}) but inputs are ({s_q}, {s_kv})"
             )
         if block_sizes is None:
-            # pv_split follows the non-causal fit() default (round 5): the
-            # bm grid generalizes the tri grid, same serial-PV bottleneck.
-            block_sizes = BlockSizes(
-                block_mask.block_q, block_mask.block_kv, block_mask.block_kv,
-                1, 4 if block_mask.block_kv % (4 * MIN_BLOCK) == 0 else 1,
-            )
+            block_sizes = BlockSizes.for_mask(block_mask, n_heads=bh)
         elif (
             block_sizes.block_q != block_mask.block_q
             or block_sizes.block_kv != block_mask.block_kv
-            or block_sizes.block_h != 1
         ):
             raise ValueError(
                 f"block_sizes {block_sizes} disagree with block_mask blocks "
                 f"({block_mask.block_q}, {block_mask.block_kv}); rebuild the "
-                "mask at the desired block shape (block_h must stay 1)"
+                "mask at the desired block shape"
             )
     quantized = k_scales is not None
     if (k_scales is None) != (v_scales is None):
@@ -1319,9 +1344,12 @@ def _flash_attention(
     # index tables — above-diagonal steps vanish instead of cycling through
     # the pipeline as predicated no-ops.
     tri = tri_ok and num_q_blocks > 1
-    # Heads per grid step (round 3; VERDICT #4): off on the pair-table grids
-    # (long-S — per-head grids are already deep) and when it doesn't divide.
-    block_h = 1 if (tri or bm) else block_sizes.block_h
+    # Heads per grid step (round 3; VERDICT #4): off on the tri grid (long-S
+    # causal — per-head grids are already deep) and when it doesn't divide.
+    # The bm grid DOES batch heads (round 5): sparse masks make per-head
+    # rows SHALLOW (a band mask runs 2-3 steps per q block), which is
+    # exactly the pipeline-ramp regime head folding amortizes.
+    block_h = 1 if tri else block_sizes.block_h
     if bh % block_h:
         raise ValueError(
             f"block_h ({block_h}) must divide batch*heads ({bh})"
@@ -1351,7 +1379,7 @@ def _flash_attention(
         kj_tab = jnp.asarray(block_mask.kj, jnp.int32)
         bm_first_tab = jnp.asarray(block_mask.first_kj, jnp.int32)
         bm_last_tab = jnp.asarray(block_mask.last_kj, jnp.int32)
-        grid = (bh, block_mask.num_pairs)
+        grid = (bh // block_h, block_mask.num_pairs)
     else:
         grid = (bh // block_h, num_q_blocks, num_kv_blocks)
 

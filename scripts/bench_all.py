@@ -117,7 +117,11 @@ def prefill_suite():
     fl_dense = attention_flops(16, s, s, 64)
     ms_dense = devtime_ms(lambda q, k, v: flash_attention(q, k, v), (q, k, v))
     for bm, fam in [
-        (BlockMask.from_mask_fn(_band_512, s, s), "band w=512"),
+        # Mask-scale-matched blocks for the narrow band (round 5,
+        # probe_bm_blockh.txt: 512-blocks 1.039 ms vs 1.419 at 1024 —
+        # occupancy 0.67 vs 0.35); tuned 1024 default for the rest.
+        (BlockMask.from_mask_fn(_band_512, s, s, block_q=512, block_kv=512),
+         "band w=512"),
         (BlockMask.from_mask_fn(_band_1024, s, s), "band w=1024"),
         (BlockMask.from_mask_fn(_band_2048, s, s), "band w=2048"),
         (BlockMask.from_mask_fn(_prefix_lm_2048, s, s), "prefix-LM P=2048"),

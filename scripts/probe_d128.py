@@ -41,8 +41,9 @@ def sweep(bh, s, d, dtype, causal=False, configs=None):
             if bkc <= bkv and bkv % bkc == 0 and bq <= s and bkv <= s
         ]
     best = None
-    for bq, bkv, bkc in configs:
-        bs = BlockSizes(bq, bkv, bkc)
+    for cfg in configs:
+        bq, bkv, bkc = cfg[:3]
+        bs = BlockSizes(bq, bkv, bkc, 1, cfg[3] if len(cfg) > 3 else 1)
         try:
             ms = devtime_ms(
                 lambda q, k, v, bs=bs: flash_attention(
@@ -232,6 +233,18 @@ def main():
         )
     elif which == "pipeline":
         pipeline_decomposition()
+    elif which == "s4096":
+        # Round 5: the pipeline2 mini-kernels showed the d=128 ceiling rises
+        # to ~173 TF/s when the KV step widens to 4096 — test whether the
+        # REAL kernel harvests it at S=4096 (VMEM permitting).
+        sweep(
+            64, 4096, 128, jnp.bfloat16,
+            configs=[
+                (1024, 2048, 2048, 4), (512, 2048, 2048, 4),
+                (1024, 4096, 4096, 4), (512, 4096, 4096, 4),
+                (1024, 4096, 4096, 8), (1024, 4096, 2048, 4),
+            ],
+        )
     elif which == "pipeline2":
         # Round 5 (VERDICT r4 #8): confirm the ~154 TF/s d=128 shape ceiling
         # at a second shape (S=4096, BH=64) and a second block schedule —
