@@ -246,7 +246,7 @@ class BlockSizes:
         precision: str = "bf16",
         causal: bool = False,
         max_block_q: int | None = None,
-        max_block_kv: int = 2048,
+        max_block_kv: int | None = None,
         n_heads: int | None = None,
     ) -> "BlockSizes":
         """Pick defaults that divide the (padded) problem and fit VMEM.
@@ -277,6 +277,9 @@ class BlockSizes:
         auto_bq = max_block_q is None
         if auto_bq:
             max_block_q = 1024
+        auto_bkv = max_block_kv is None
+        if auto_bkv:
+            max_block_kv = 2048
         # Small-shape lane-packed fp32 regime (round 5; VERDICT r4 #3): the
         # round-4 sweep (measurements/probe_small_fp32.txt) measured
         # bq=512/block_h=8/split=4 at 1.285 ms vs auto's 1.52 on the
@@ -336,6 +339,28 @@ class BlockSizes:
         max_bkv = min(max_block_kv, 1024 if causal else 2048)
         block_kv = largest_dividing(s_kv, max_bkv)
         block_kv_compute = block_kv
+        whole_s_kv = False
+        if auto_bkv and precision == "bf16" and not causal:
+            # Wide-DMA + substripe-compute regimes (round 5,
+            # probe_d128_s4096.txt / probe_substripe_d64.txt): a KV DMA
+            # block wider than the 2048 compute substripe cuts grid steps
+            # at unchanged compute width, without the VMEM pressure of a
+            # (bq, 4096+) score tile.  At d=64 the winning block is the
+            # WHOLE sequence — K/V become grid-resident (the index map is
+            # constant, so Pallas elides re-DMA across q blocks) and the
+            # rate jumps to 0.91-0.99 of the shape ceiling (S=4096:
+            # 0.871 -> 0.709 ms; S=8192: 3.147 -> 3.079).  At d=128 the
+            # 2 MB/operand whole-S block loses at S=8192 (7.68 vs 6.85 ms);
+            # bkv=4096 is the measured winner there (S=4096: 3.89 -> 3.42;
+            # S=8192: 160.6 TF/s).
+            if head_dim == 64 and 4096 <= s_kv <= 8192 and s_kv % 2048 == 0:
+                block_kv = s_kv
+                block_kv_compute = 2048
+                block_q = largest_dividing(s_q, 2048)  # measured at bq=2048
+                whole_s_kv = True
+            elif head_dim == 128 and s_kv >= 4096 and s_kv % 4096 == 0:
+                block_kv = 4096
+                block_kv_compute = 2048
         block_h = 1
         if n_heads is not None and n_heads > 1:
             # Head batching (round 3; VERDICT #4): with <= 2 (q, kv) steps
@@ -352,6 +377,12 @@ class BlockSizes:
                 block_h = 8
             elif steps <= 2:
                 cap = 8 // steps
+                if whole_s_kv:
+                    # Whole-S-resident KV regime: the big (bq, 2048)
+                    # substripe tiles leave less VMEM slack; measured
+                    # same-batch at d=64 S=4096: bh2 0.791 ms, bh1 0.824,
+                    # bh4 0.888.
+                    cap = min(cap, 2)
                 while cap > 1 and n_heads % cap:
                     cap -= 1
                 block_h = cap

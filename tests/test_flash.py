@@ -415,6 +415,20 @@ def test_fit_small_packed_fp32_regime():
     assert BlockSizes.fit(1024, 1024, 64, "bf16_3x", False).block_q == 1024
 
 
+def test_fit_wide_dma_substripe_d128_regime():
+    # Round 5 (probe_d128_s4096.txt): d=128 long-S non-causal bf16 runs
+    # 4096-wide KV DMA blocks computed in 2048 substripes (160.6 vs 141
+    # TF/s); explicit caller caps and other shapes keep bkc == bkv.
+    bs = BlockSizes.fit(4096, 4096, 128, "bf16", False, n_heads=64)
+    assert (bs.block_kv, bs.block_kv_compute) == (4096, 2048)
+    assert BlockSizes.fit(2048, 2048, 128, "bf16", False).block_kv == 2048
+    bwd = BlockSizes.fit(4096, 4096, 128, "bf16", False,
+                         max_block_q=1024, max_block_kv=1024)
+    assert (bwd.block_kv, bwd.block_kv_compute) == (1024, 1024)
+    caus = BlockSizes.fit(4096, 4096, 128, "bf16", True)
+    assert caus.block_kv == caus.block_kv_compute
+
+
 def test_block_h_must_divide_heads():
     q, k, v = qkv((6, 256, 64), seed=8)
     with pytest.raises(ValueError, match="block_h"):
