@@ -361,6 +361,21 @@ class BlockSizes:
             elif head_dim == 128 and s_kv >= 4096 and s_kv % 4096 == 0:
                 block_kv = 4096
                 block_kv_compute = 2048
+        elif (
+            auto_bkv
+            and precision == "bf16_3x"
+            and not causal
+            and head_dim == 64
+            and s_kv >= 8192
+            and s_kv % 4096 == 0
+        ):
+            # Lane-packed fp32 long-S (round 5, same wide-DMA mechanism,
+            # measured at the reference fp32 headline shape): 7.76 -> 7.25
+            # ms (bq1024/bkv4096/bkc2048).  Whole-S loses here (8.15 — the
+            # 128-lane packed operands double the residency cost), as does
+            # bq=2048; d=32 measured flat (fit already optimal).
+            block_kv = 4096
+            block_kv_compute = 2048
         block_h = 1
         if n_heads is not None and n_heads > 1:
             # Head batching (round 3; VERDICT #4): with <= 2 (q, kv) steps
