@@ -555,12 +555,14 @@ def flash_attention_bwd(
 
     ``fused`` runs the one-pass kv-major kernel (:func:`_fused_bwd_kernel`):
     5 block matmuls and one HBM stream of q/k/v/do instead of the two-pass
-    scheme's 7 and two.  Measured on v5e it LOSES to the two-pass kernels
-    (S=4096 causal bf16: 1.50 ms vs 0.93 ms) — the dynamic-offset
-    read-modify-write into the full-sequence dQ VMEM accumulator doesn't
-    pipeline — so the default stays two-pass (which already runs at ~1.8x
-    the forward kernel's TF/s rate); the fused path is kept for future
-    hardware/compiler revisions.
+    scheme's 7 and two.  **Default since round 5** wherever it applies (no
+    segment ids / block_mask, dQ scratch fits VMEM): the honest A/B
+    (measurements/probe_fused_bwd.txt) has it winning at every
+    (dtype, head_dim) — bf16 d=64 1.26 vs 2.05 ms, fp32 d=128 4.42 vs
+    6.38.  The old "two-pass faster (1.50 vs 0.93)" verdict compared
+    against a DCE-corrupted two-pass timing (the dq kernel alone).
+    ``fused=False`` forces the two-pass kernels (needed for segment ids
+    and block-sparse masks).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -597,6 +599,34 @@ def flash_attention_bwd(
                 f"block_sizes {block_sizes} disagree with block_mask blocks "
                 f"({block_mask.block_q}, {block_mask.block_kv})"
             )
+    # One-pass fused vs two-pass (round 5; probe_fused_bwd.txt): the fused
+    # kernel WINS at every (dtype, head_dim) once timed honestly —
+    #   bf16 d=64:  1.255 vs 2.047 ms   bf16 d=128: 1.824 vs 2.416
+    #   fp32 d=64:  3.775 vs 4.400      fp32 d=128: 4.420 vs 6.382
+    # — 5 block matmuls and one HBM stream instead of 7 and two.  The old
+    # "two-pass faster" verdict compared the fused kernel against a
+    # DCE-corrupted two-pass number (dq kernel alone).  Default: fused
+    # wherever it applies (no segment ids / block_mask, dQ scratch fits).
+    if fused is None:
+        fused = (
+            q_segment_ids is None
+            and not bm
+            and s_q * d * 4 <= 32 * 1024 * 1024
+        )
+    if block_sizes is None and fused:
+        # Fused-path winners from the same honest sweep.
+        if precision == "bf16":
+            bq_kv = (1024, 1024) if d < 128 else (512, 1024)
+        else:
+            bq_kv = (512, 512)
+        block_sizes = BlockSizes.fit(
+            q_seq_len or s_q, s_kv, d, precision, False,
+            max_block_q=bq_kv[0], max_block_kv=bq_kv[1],
+        )
+        block_sizes = BlockSizes(
+            block_sizes.block_q, block_sizes.block_kv,
+            block_sizes.block_kv_compute, 1, 1,
+        )
     if block_sizes is None:
         # The backward kernels live with ~4 score-sized (bq x bkv) fp32 tiles
         # (s, p, dp, ds) at once plus (bkv, d) dk/dv scratch, so the forward's
@@ -743,8 +773,6 @@ def flash_attention_bwd(
         seg_q3 = q_segment_ids[:, :, None].astype(jnp.int32)   # (BH, S_q, 1)
         seg_kv3 = kv_segment_ids[:, None, :].astype(jnp.int32)  # (BH, 1, S_kv)
 
-    if fused is None:
-        fused = False  # two-pass measured faster on v5e (see docstring)
     if fused:
         if has_segments:
             raise ValueError(

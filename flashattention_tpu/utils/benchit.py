@@ -7,6 +7,18 @@ TPU-native equivalent of the reference's three timing mechanisms
 profiler tables (``bench_flashattention.py:61-72``).  On TPU the analog is
 wall-clock around ``block_until_ready`` after a warmup/compile run, plus
 roofline math from the known chip specs.
+
+Measured timing-bias caveats (round 5), for anyone comparing numbers:
+
+- **Timing-order bias within a process**: the SAME kernel config re-timed
+  later in a busy process reads up to ~13% slower (measured back-to-back:
+  auto 1.278 ms then an identical explicit config 1.447 — the chip
+  throttles/queues as it stays hot).  Compare rows timed adjacently;
+  treat late-in-suite rows as pessimistic.
+- **Cross-session drift**: identical configs re-measured hours apart move
+  up to ~4% (fwd) / ~20% (bwd chains); see
+  measurements/BF16_D64_RECONCILIATION.md.  Headline benches record 3-run
+  spreads for this reason.
 """
 
 from __future__ import annotations

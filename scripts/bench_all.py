@@ -254,12 +254,13 @@ def train_suite():
 
         ms = devtime_ms(f, (qx, kx, vx, o, lse, do), n_hi=5)
         row(
-            f"bwd-only causal {name} S=4096 (two-pass dq + dkv)",
+            f"bwd-only causal {name} S=4096 (fused one-pass)",
             ms,
             flops=int(2.5 * fl),
-            note="flops = 2.5x fwd (5 block matmuls); two-pass executes 7",
+            note="flops = 2.5x fwd = the fused kernel's 5 block matmuls",
             ceiling=attention_bwd_ceiling_tflops(
-                d, "bf16" if dt == jnp.bfloat16 else "bf16_3x"
+                d, "bf16" if dt == jnp.bfloat16 else "bf16_3x",
+                two_pass=False,
             ),
         )
 
@@ -282,12 +283,13 @@ def train_suite():
 
         ms = devtime_ms(f, (qx, kx, vx, o, lse, do), n_hi=5)
         row(
-            f"bwd-only causal {name} d=128 S=2048 (two-pass dq + dkv)",
+            f"bwd-only causal {name} d=128 S=2048 (fused one-pass)",
             ms,
             flops=int(2.5 * fl),
-            note="flops = 2.5x fwd (5 block matmuls); two-pass executes 7",
+            note="flops = 2.5x fwd = the fused kernel's 5 block matmuls",
             ceiling=attention_bwd_ceiling_tflops(
-                d, "bf16" if dt == jnp.bfloat16 else "bf16_3x"
+                d, "bf16" if dt == jnp.bfloat16 else "bf16_3x",
+                two_pass=False, s=2048,
             ),
         )
 
