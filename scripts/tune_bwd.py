@@ -27,7 +27,7 @@ from flashattention_tpu.utils.benchit import attention_flops, devtime_ms
 from flashattention_tpu.utils.testing import make_random
 
 
-def sweep(bh, s, d, dtype, splits=(1,), blocks=None):
+def sweep(bh, s, d, dtype, splits=(1,), blocks=None, fused=False):
     ks = jax.random.split(jax.random.key(0), 4)
     q, k, v = (make_random(kk, (bh, s, d), dtype) for kk in ks[:3])
     do = make_random(ks[3], (bh, s, d), dtype)
@@ -46,7 +46,8 @@ def sweep(bh, s, d, dtype, splits=(1,), blocks=None):
         # timed the dq kernel only.  Sum all three gradients into the chain.
         def f(q, k, v, o, lse, do, bs=bs):
             dq, dk, dv = flash_attention_bwd(
-                q, k, v, o, lse, do, causal=True, block_sizes=bs
+                q, k, v, o, lse, do, causal=True, block_sizes=bs,
+                fused=fused,
             )
             return (dq + dk + dv).astype(q.dtype)
 
@@ -71,6 +72,16 @@ def main():
     # --split: focused acc_split sweep on the per-(dtype, d) winning blocks
     # from the full round-4 sweep (measurements/tune_bwd.txt) — the _csplit
     # independent-chain question is orthogonal to the block-shape one.
+    if "--fused" in sys.argv:
+        # Round-5 default path (probe_fused_bwd.txt chose these; re-run to
+        # re-tune after kernel/compiler changes).  splits are a no-op on the
+        # fused kernel (no _csplit) — swept at 1 only.
+        blocks = [(512, 512), (512, 1024), (1024, 512), (1024, 1024)]
+        sweep(16, 4096, 64, jnp.float32, blocks=blocks, fused=True)
+        sweep(16, 4096, 64, jnp.bfloat16, blocks=blocks, fused=True)
+        sweep(64, 2048, 128, jnp.float32, blocks=blocks, fused=True)
+        sweep(64, 2048, 128, jnp.bfloat16, blocks=blocks, fused=True)
+        return
     if "--r5" in sys.argv:
         # Round-5 re-tune: every round-4 number was dq-only (the [0] DCE bug
         # fixed above), so the recorded bests are untrustworthy.  Full
