@@ -980,8 +980,15 @@ def attention_vjp(
     q_segment_ids=None,
     kv_segment_ids=None,
     block_mask=None,
+    kv_len=None,
+    q_offset=0,
 ):
     """Differentiable fused attention on (BH, S, d) (block-aligned shapes).
+
+    ``kv_len``/``q_offset`` (round 5): traced ragged-tail/offset scalars —
+    the same args the kernels take — so the public dispatch path (which
+    pads unaligned shapes and masks the tail via kv_len) is differentiable
+    end-to-end.  Their cotangents are symbolic zeros.
 
     ``q_seq_len`` enables GQA row folding (see ops.flash.flash_attention):
     q is (B*KVH, G*q_seq_len, d) against k/v (B*KVH, S_kv, d) — the backward
@@ -1000,28 +1007,31 @@ def attention_vjp(
         window=window, logit_softcap=logit_softcap,
         dropout_rate=dropout_rate, dropout_seed=dropout_seed,
         q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
-        block_mask=block_mask,
+        block_mask=block_mask, kv_len=kv_len, q_offset=q_offset,
     )
 
 
 def _vjp_fwd(q, k, v, causal, scale, block_sizes, precision, interpret,
              q_seq_len, window, logit_softcap, dropout_rate, dropout_seed,
-             q_segment_ids, kv_segment_ids, block_mask=None):
+             q_segment_ids, kv_segment_ids, block_mask=None, kv_len=None,
+             q_offset=0):
     o, l, m = flash_attention(
         q, k, v, causal=causal, scale=scale, block_sizes=block_sizes,
         save_residuals=True, precision=precision, q_seq_len=q_seq_len,
         interpret=interpret, window=window, logit_softcap=logit_softcap,
         dropout_rate=dropout_rate, dropout_seed=dropout_seed,
         q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
-        block_mask=block_mask,
+        block_mask=block_mask, kv_len=kv_len, q_offset=q_offset,
     )
     lse = m + jnp.log(jnp.where(l == 0.0, 1.0, l))
-    return o, (q, k, v, o, lse, dropout_seed, q_segment_ids, kv_segment_ids)
+    return o, (q, k, v, o, lse, dropout_seed, q_segment_ids, kv_segment_ids,
+               kv_len, q_offset)
 
 
 def _vjp_bwd(causal, scale, block_sizes, precision, interpret, q_seq_len,
              window, logit_softcap, dropout_rate, block_mask, res, do):
-    q, k, v, o, lse, dropout_seed, q_segment_ids, kv_segment_ids = res
+    (q, k, v, o, lse, dropout_seed, q_segment_ids, kv_segment_ids,
+     kv_len, q_offset) = res
     dq, dk, dv = flash_attention_bwd(
         q, k, v, o, lse, do,
         causal=causal, scale=scale, block_sizes=block_sizes,
@@ -1029,7 +1039,7 @@ def _vjp_bwd(causal, scale, block_sizes, precision, interpret, q_seq_len,
         window=window, logit_softcap=logit_softcap,
         dropout_rate=dropout_rate, dropout_seed=dropout_seed,
         q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
-        block_mask=block_mask,
+        block_mask=block_mask, kv_len=kv_len, q_offset=q_offset,
     )
 
     # Integer inputs: symbolic-zero cotangents (float0); None stays None.
@@ -1040,7 +1050,7 @@ def _vjp_bwd(causal, scale, block_sizes, precision, interpret, q_seq_len,
 
     return dq, dk, dv, _zero(dropout_seed), _zero(q_segment_ids), _zero(
         kv_segment_ids
-    )
+    ), _zero(kv_len), _zero(q_offset)
 
 
 attention_vjp.defvjp(_vjp_fwd, _vjp_bwd)

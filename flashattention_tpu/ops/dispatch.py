@@ -45,6 +45,7 @@ import jax
 import jax.numpy as jnp
 
 from flashattention_tpu.ops import reference
+from flashattention_tpu.ops.backward import attention_vjp
 from flashattention_tpu.ops.flash import BlockSizes, flash_attention, resolve_precision
 
 __all__ = ["attention", "sdpa"]
@@ -290,29 +291,45 @@ def attention(
         eff_kv_len = kv_len
         if eff_kv_len is None and s_kv_pad != s_kv:
             eff_kv_len = s_kv
-        out = flash_attention(
-            q3,
-            kp,
-            vp,
-            ks3,
-            vs3,
-            causal=causal,
-            scale=scale,
-            block_sizes=block_sizes,
-            kv_len=eff_kv_len,
-            q_offset=q_offset,
-            save_residuals=save_residuals,
-            precision=precision,
-            q_seq_len=s_q_pad if groups > 1 else None,
-            interpret=interpret,
-            window=window,
-            logit_softcap=logit_softcap,
-            dropout_rate=dropout_rate,
-            dropout_seed=dropout_seed,
-            q_segment_ids=seg_q3,
-            kv_segment_ids=seg_kv3,
-            block_mask=block_mask,
-        )
+        eff_q_seq_len = s_q_pad if groups > 1 else None
+        if ks3 is None and not save_residuals:
+            # Differentiable route (round 5): the custom-VJP wrapper makes
+            # jax.grad through the public attention() work — the pad/fold/
+            # slice plumbing around it is linear, so autodiff handles it
+            # once the kernel call itself has a VJP.  Quantized KV and
+            # save_residuals callers keep the raw kernel (no bwd exists
+            # for int8 payload streams; residuals are a fwd-only protocol).
+            # NB custom_vjp + nondiff_argnums: positional args only.
+            out = attention_vjp(
+                q3, kp, vp, causal, scale, block_sizes, precision,
+                interpret, eff_q_seq_len, window, logit_softcap,
+                dropout_rate, dropout_seed, seg_q3, seg_kv3, block_mask,
+                eff_kv_len, q_offset,
+            )
+        else:
+            out = flash_attention(
+                q3,
+                kp,
+                vp,
+                ks3,
+                vs3,
+                causal=causal,
+                scale=scale,
+                block_sizes=block_sizes,
+                kv_len=eff_kv_len,
+                q_offset=q_offset,
+                save_residuals=save_residuals,
+                precision=precision,
+                q_seq_len=eff_q_seq_len,
+                interpret=interpret,
+                window=window,
+                logit_softcap=logit_softcap,
+                dropout_rate=dropout_rate,
+                dropout_seed=dropout_seed,
+                q_segment_ids=seg_q3,
+                kv_segment_ids=seg_kv3,
+                block_mask=block_mask,
+            )
         o, l, m = out if save_residuals else (out, None, None)
         if groups > 1 and s_q_pad != s_q:
             o = o.reshape(bh * groups, s_q_pad, d)[:, :s_q].reshape(

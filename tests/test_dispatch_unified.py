@@ -163,3 +163,54 @@ def test_sdpa_passes_new_kwargs():
     got = sdpa(q, k, v, q_segment_ids=seg, kv_segment_ids=seg)
     want = attention(q, k, v, scale=64**-0.5)
     validate_result(got, want, 2e-5)
+
+
+def test_attention_is_differentiable():
+    """jax.grad through the public attention() (round 5): the dispatch
+    pallas branch routes through attention_vjp, so pad/fold/slice plumbing
+    differentiates — including at unaligned shapes (the kv_len tail-mask
+    path, newly threaded through the custom VJP)."""
+    from flashattention_tpu.ops.reference import attention_reference
+
+    q, k, v = qkv((4, 300, 64))  # unaligned: exercises pad + kv_len
+
+    def loss(q, k, v):
+        o = attention(q, k, v, causal=True, scale=0.125)
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        o = attention_reference(q, k, v, causal=True, scale=0.125)
+        return (o ** 2).sum()
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g, gr):
+        validate_result(a, b, 2e-4, name=f"d{name}")
+
+
+def test_sdpa_gqa_is_differentiable():
+    import jax.random as jr
+
+    ks = jr.split(jr.key(5), 3)
+    q = jr.normal(ks[0], (2, 8, 256, 64), jnp.float32)
+    k = jr.normal(ks[1], (2, 2, 256, 64), jnp.float32)
+    v = jr.normal(ks[2], (2, 2, 256, 64), jnp.float32)
+
+    def loss(q, k, v):
+        return (sdpa(q, k, v, causal=True).astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        kr = jnp.repeat(k, 4, axis=1).reshape(16, 256, 64)
+        vr = jnp.repeat(v, 4, axis=1).reshape(16, 256, 64)
+        from flashattention_tpu.ops.reference import attention_reference
+        o = attention_reference(
+            q.reshape(16, 256, 64), kr, vr, causal=True, scale=64**-0.5
+        )
+        return (o ** 2).sum()
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g, gr):
+        # dK/dV accumulate over the 4 query groups -> 4x the bf16_3x
+        # accumulation-order error of the plain case.
+        validate_result(a, b.reshape(a.shape), 8e-4, name=f"d{name}")
