@@ -72,7 +72,7 @@ def devtime_ms(
     n_lo: int = 1,
     n_hi: int = 17,
     trials: int = 5,
-    min_window_ms: float = 8.0,
+    min_window_ms: float = 40.0,
 ) -> float:
     """Per-iteration device time of ``fn(*args)`` via a chained-loop slope.
 
@@ -85,7 +85,11 @@ def devtime_ms(
     Sub-millisecond kernels need a wider measurement window than round-trip
     jitter: if the measured (t_hi - t_lo) window is below ``min_window_ms``,
     the loop length escalates (at the cost of one extra compile) until the
-    slope is taken over a window the tunnel noise cannot dominate.
+    slope is taken over a window the tunnel noise cannot dominate.  The
+    default is 40 ms — ABOVE the tunnel's ~25 ms round trip (round 5: an
+    8 ms window let a single clean t_hi against RTT-inflated t_lo trials
+    report a d=256 row at 1.08x the chip's nameplate; a window wider than
+    one RTT bounds that bias to a few percent).
 
     ``fn(*args)`` must return something with the shape/dtype of ``args[0]``
     (or castable to it) so the chain can feed back.
