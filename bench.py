@@ -199,8 +199,12 @@ def main():
     ql, kl, vl = (make_random(kk, (128, 2048, 128), jnp.bfloat16) for kk in ksl)
     fl_llama = attention_flops(128, 2048, 2048, 128)
     ms_llama = devtime_ms(lambda q, k, v: flash_attention(q, k, v), (ql, kl, vl))
-    decode_tps = _decode_tokens_per_s()
-    decode_tps_int8 = _decode_tokens_per_s(kv="int8")
+    # Decode rows carry a 2-run spread too (round 5: cross-run drift on the
+    # int8 row measured 163k-206k tok/s across the day's sessions).
+    decode_runs = [_decode_tokens_per_s() for _ in range(2)]
+    decode_int8_runs = [_decode_tokens_per_s(kv="int8") for _ in range(2)]
+    decode_tps = max(decode_runs)
+    decode_tps_int8 = max(decode_int8_runs)
     print(
         json.dumps(
             {
@@ -219,7 +223,9 @@ def main():
                 "llama7b_shape_ms": round(ms_llama, 3),
                 "llama7b_shape_tflops_per_s": round(fl_llama / ms_llama / 1e9, 1),
                 "decode_tokens_per_s_bf16": decode_tps,
+                "decode_tokens_per_s_bf16_spread": decode_runs,
                 "decode_tokens_per_s_int8": decode_tps_int8,
+                "decode_tokens_per_s_int8_spread": decode_int8_runs,
                 "compiled_selftest": f"{st_pass}/{st_pass + st_fail} pass",
             }
         )
